@@ -1,0 +1,99 @@
+"""Mergeable count-min sketch with vectorized batch update.
+
+Generalizes the reference's partial-build/merge pattern
+(/root/reference/spark/main.py:139-164) to counter addition.
+Algorithm: Cormode-Muthukrishnan 2005 — d rows of w int64 counters;
+point estimate = min over rows; overestimate-only, error <= eps*N with
+probability >= 1-delta for w = ceil(e/eps), d = ceil(ln 1/delta).
+
+merge = elementwise add — associative and commutative, so merged
+counter bytes are order-independent.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from sketchlib.core import hashing
+from sketchlib.core import serde
+from sketchlib.core.params import cms_params
+
+
+@serde.register_sketch(serde.TYPE_CMS)
+class CountMinSketch:
+    __slots__ = ("w", "d", "seed", "total", "table")
+
+    def __init__(self, w: int, d: int, seed: int = 0):
+        self.w = int(w)
+        self.d = int(d)
+        self.seed = int(seed)
+        self.total = 0
+        self.table = np.zeros((self.d, self.w), dtype=np.int64)
+
+    @classmethod
+    def from_error(cls, epsilon: float, delta: float, seed: int = 0) -> "CountMinSketch":
+        w, d = cms_params(epsilon, delta)
+        return cls(w, d, seed)
+
+    def _row_indices(self, values) -> np.ndarray:
+        """uint64[n, d] column index per row, via double hashing."""
+        h1, h2 = hashing.hash64_pair(values, self.seed)
+        i = np.arange(self.d, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            return (h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(self.w)
+
+    def update_batch(self, values, counts=None) -> "CountMinSketch":
+        """Add a batch of keys; optional per-key counts (weighted update)."""
+        n = len(values)
+        if n == 0:
+            return self
+        if counts is None:
+            counts = np.ones(n, dtype=np.int64)
+        else:
+            counts = np.asarray(counts, dtype=np.int64)
+        idx = self._row_indices(values)
+        for r in range(self.d):
+            np.add.at(self.table[r], idx[:, r].astype(np.int64), counts)
+        self.total += int(counts.sum())
+        return self
+
+    def query_batch(self, values) -> np.ndarray:
+        """Point estimates for a batch of keys. int64[n], >= true count."""
+        if len(values) == 0:
+            return np.zeros(0, dtype=np.int64)
+        idx = self._row_indices(values).astype(np.int64)
+        ests = np.stack([self.table[r][idx[:, r]] for r in range(self.d)], axis=1)
+        return ests.min(axis=1)
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        if (other.w, other.d, other.seed) != (self.w, self.d, self.seed):
+            raise ValueError("cannot merge CMS with different (w,d,seed)")
+        self.table += other.table
+        self.total += other.total
+        return self
+
+    def to_bytes(self) -> bytes:
+        header = {"w": self.w, "d": self.d, "seed": self.seed, "total": self.total}
+        return serde.pack(serde.TYPE_CMS, header, self.table.tobytes())
+
+    @classmethod
+    def _from_parts(cls, header: dict, payload: bytes) -> "CountMinSketch":
+        c = cls(header["w"], header["d"], header["seed"])
+        c.total = header["total"]
+        c.table = np.frombuffer(payload, dtype=np.int64).reshape(c.d, c.w).copy()
+        return c
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "CountMinSketch":
+        type_id, header, payload = serde.unpack(data)
+        if type_id != serde.TYPE_CMS:
+            raise ValueError("not a CMS blob")
+        return cls._from_parts(header, payload)
+
+    def __eq__(self, other) -> bool:
+        return (isinstance(other, CountMinSketch)
+                and (self.w, self.d, self.seed) == (other.w, other.d, other.seed)
+                and np.array_equal(self.table, other.table))
+
+    def __repr__(self) -> str:
+        return f"CountMinSketch(w={self.w}, d={self.d}, total={self.total})"

@@ -1,0 +1,229 @@
+"""Vectorized MurmurHash3 (x86_32) over numpy arrays of strings/bytes.
+
+The reference hashes every key k times with seeded murmur3
+(/root/reference/spark/main.py:47 ``mmh3.hash(title, i)``;
+/root/reference/hadoop/.../model/BloomFilter.java:54 ``MurmurHash``).
+``mmh3`` is not available here, so this module ships a from-scratch
+numpy implementation that processes an entire Arrow batch of keys per
+call — the per-4-byte-block murmur loop runs ``ceil(maxlen/4)``
+vectorized iterations over the whole batch instead of a Python loop
+per key.
+
+Index math is unsigned end-to-end (``np.uint32``/``np.uint64``), which
+fixes two reference warts we must not copy (SURVEY.md §2.7):
+  W1 — creation used ``abs(h) % m`` but validation used ``h % m``;
+  W2 — ``Math.abs(Integer.MIN_VALUE)`` is negative in Java.
+
+For k probe positions we use Kirsch-Mitzenmacher double hashing
+(g_i = h1 + i*h2 mod m over uint64), which needs only two 64-bit base
+hashes per key yet preserves the Bloom false-positive guarantee
+(Kirsch & Mitzenmacher, "Less Hashing, Same Performance", ESA 2006).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_C1 = np.uint32(0xCC9E2D51)
+_C2 = np.uint32(0x1B873593)
+_MIX1 = np.uint32(0x85EBCA6B)
+_MIX2 = np.uint32(0xC2B2AE35)
+_FIVE = np.uint32(5)
+_N1 = np.uint32(0xE6546B64)
+
+# seed-derivation constants for the 64-bit composition / double-hashing family
+_GOLDEN = 0x9E3779B9
+
+
+def _rotl32(x: np.ndarray, r: int) -> np.ndarray:
+    r32 = np.uint32(r)
+    return (x << r32) | (x >> np.uint32(32 - r))
+
+
+def _fmix32(h: np.ndarray) -> np.ndarray:
+    h = h ^ (h >> np.uint32(16))
+    h = h * _MIX1
+    h = h ^ (h >> np.uint32(13))
+    h = h * _MIX2
+    h = h ^ (h >> np.uint32(16))
+    return h
+
+
+# Keys longer than this are pre-digested to 16 bytes before the murmur
+# block loop (whose iteration count is max key length / 4). Web-page
+# texts can be hundreds of KB; without this a single long key stalls
+# the whole batch.
+LONG_KEY_THRESHOLD = 256
+
+
+def _digest16(data: bytes) -> bytes:
+    """16-byte vectorized digest of one long key (two seeded fold64s)."""
+    pad = (-len(data)) % 8
+    u = np.frombuffer(data + b"\x00" * pad, dtype=np.uint64)
+    lo = fold64(u, seed=len(data))
+    hi = fold64(u, seed=len(data) ^ 0x517CC1B727220A95)
+    return lo.to_bytes(8, "little") + hi.to_bytes(8, "little")
+
+
+def to_bytes_matrix(values) -> tuple[np.ndarray, np.ndarray]:
+    """Encode a batch of str/bytes into a zero-padded uint8 matrix + lengths.
+
+    Accepts a pandas Series, numpy array, or list. Returns
+    ``(mat[n, L], lengths[n])`` with L a multiple of 4 (>= 4).
+    Keys longer than LONG_KEY_THRESHOLD are replaced by a 16-byte
+    vectorized digest (deterministic per key contents, so Bloom/HLL/CMS
+    semantics are unchanged; only the hash family differs for long keys).
+
+    Limitation (documented): keys may not contain NUL bytes — numpy 'S'
+    storage is NUL-padded. Web urls / extracted text never do.
+    """
+    arr = np.asarray(values, dtype=object)
+    n = len(arr)
+    if n == 0:
+        return np.zeros((0, 4), dtype=np.uint8), np.zeros(0, dtype=np.int64)
+    first = arr[0]
+    if isinstance(first, str):
+        # encode utf-8; object loop happens in C inside np.char for the
+        # common case, but mixed content needs the explicit encode
+        enc_list = [s.encode("utf-8") for s in arr]
+    else:
+        enc_list = list(arr)
+    if any(len(b) > LONG_KEY_THRESHOLD for b in enc_list):
+        enc_list = [b if len(b) <= LONG_KEY_THRESHOLD else _digest16(b)
+                    for b in enc_list]
+    enc = np.array(enc_list, dtype=bytes)
+    L = enc.dtype.itemsize
+    lengths = np.char.str_len(enc).astype(np.int64)
+    L4 = max(4, ((L + 3) // 4) * 4)
+    mat = np.zeros((n, L4), dtype=np.uint8)
+    mat[:, :L] = enc.view(np.uint8).reshape(n, L)
+    return mat, lengths
+
+
+def murmur3_32_mat(mat: np.ndarray, lengths: np.ndarray, seed: int) -> np.ndarray:
+    """murmur3 x86_32 of each row of a padded byte matrix. Returns uint32[n]."""
+    n, L4 = mat.shape
+    if n == 0:
+        return np.zeros(0, dtype=np.uint32)
+    blocks = np.ascontiguousarray(mat).view("<u4").reshape(n, L4 // 4)
+    h = np.full(n, np.uint32(seed & 0xFFFFFFFF), dtype=np.uint32)
+    nblocks = L4 // 4
+    with np.errstate(over="ignore"):
+        for i in range(nblocks):
+            full = lengths >= 4 * (i + 1)
+            if not full.any():
+                break
+            k1 = blocks[:, i] * _C1
+            k1 = _rotl32(k1, 15)
+            k1 = k1 * _C2
+            hx = h ^ k1
+            hx = _rotl32(hx, 13)
+            hx = hx * _FIVE + _N1
+            h = np.where(full, hx, h)
+        # tail: 1-3 trailing bytes; padding is zero so masking is belt+braces
+        tail_len = (lengths & 3).astype(np.uint32)
+        has_tail = tail_len > 0
+        if has_tail.any():
+            idx = np.minimum(lengths >> 2, nblocks - 1).astype(np.int64)
+            k = blocks[np.arange(n), idx]
+            mask = ((np.uint64(1) << (np.uint64(8) * tail_len.astype(np.uint64)))
+                    - np.uint64(1)).astype(np.uint32)
+            k1 = (k & mask) * _C1
+            k1 = _rotl32(k1, 15)
+            k1 = k1 * _C2
+            h = np.where(has_tail, h ^ k1, h)
+        h = h ^ lengths.astype(np.uint32)
+        h = _fmix32(h)
+    return h
+
+
+def murmur3_32(values, seed: int = 0) -> np.ndarray:
+    """Vectorized murmur3 x86_32 over a batch of str/bytes. uint32[n]."""
+    mat, lengths = to_bytes_matrix(values)
+    return murmur3_32_mat(mat, lengths, seed)
+
+
+def hash64_pair(values, seed: int = 0) -> tuple[np.ndarray, np.ndarray]:
+    """Two independent 64-bit hashes per key (for Kirsch-Mitzenmacher).
+
+    Each u64 is composed from two seeded murmur3_32 runs; h2 is forced odd
+    so the double-hash family never degenerates mod a power of two.
+    """
+    mat, lengths = to_bytes_matrix(values)
+    a = murmur3_32_mat(mat, lengths, seed).astype(np.uint64)
+    b = murmur3_32_mat(mat, lengths, seed ^ _GOLDEN).astype(np.uint64)
+    c = murmur3_32_mat(mat, lengths, (seed + 1) ^ _GOLDEN).astype(np.uint64)
+    d = murmur3_32_mat(mat, lengths, seed + 0x5BD1E995).astype(np.uint64)
+    h1 = (a << np.uint64(32)) | b
+    h2 = ((c << np.uint64(32)) | d) | np.uint64(1)
+    return h1, h2
+
+
+def hash64(values, seed: int = 0) -> np.ndarray:
+    """One 64-bit hash per key (for HLL register/rho extraction)."""
+    mat, lengths = to_bytes_matrix(values)
+    a = murmur3_32_mat(mat, lengths, seed).astype(np.uint64)
+    b = murmur3_32_mat(mat, lengths, seed ^ _GOLDEN).astype(np.uint64)
+    return (a << np.uint64(32)) | b
+
+
+def probe_indices(values, k: int, m: int, seed: int = 0) -> np.ndarray:
+    """k Bloom bit positions per key: uint64[n, k] = (h1 + i*h2) % m."""
+    h1, h2 = hash64_pair(values, seed)
+    i = np.arange(k, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        return (h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(m)
+
+
+def mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer, elementwise over uint64 arrays."""
+    with np.errstate(over="ignore"):
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return x ^ (x >> np.uint64(31))
+
+
+def fold64(arr: np.ndarray, seed: int = 0) -> int:
+    """Deterministic 64-bit digest of a numeric array (order-sensitive).
+
+    One vectorized mix pass + xor-reduce — O(n) with no Python loop,
+    unlike the byte-string murmur path. Used for e.g. KLL's
+    deterministic compaction offset.
+    """
+    u = np.ascontiguousarray(arr).view(np.uint64).reshape(-1)
+    if len(u) == 0:
+        return int(mix64(np.array([seed], dtype=np.uint64))[0])
+    with np.errstate(over="ignore"):
+        idx = np.arange(len(u), dtype=np.uint64) + np.uint64(seed & 0xFFFFFFFFFFFFFFFF)
+        h = np.bitwise_xor.reduce(mix64(u ^ mix64(idx)))
+        return int(mix64(np.array([h ^ np.uint64(len(u))], dtype=np.uint64))[0])
+
+
+def murmur3_32_scalar(data: bytes, seed: int = 0) -> int:
+    """Reference scalar implementation (tests compare vectorized vs this)."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    length = len(data)
+    h = seed & 0xFFFFFFFF
+    rounded = length & ~3
+    for i in range(0, rounded, 4):
+        k = int.from_bytes(data[i:i + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    tail = data[rounded:]
+    if tail:
+        k = int.from_bytes(tail.ljust(4, b"\0"), "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= length
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h

@@ -1,0 +1,67 @@
+"""Versioned binary serialization for sketch states.
+
+The reference serialized its only value type as a Hadoop Writable
+(``int k, int m, int len, long[] words`` —
+/root/reference/hadoop/.../model/BloomFilter.java:77-98). Ours is a
+self-describing envelope so sketch bytes stored in a parquet/Iceberg
+``binary`` column survive schema evolution:
+
+    magic 'SKB1' | u8 version | u8 type_id | u32 header_len |
+    header (utf-8 JSON of params) | payload (numpy buffers)
+
+``to_bytes`` is canonical: a given logical sketch state always produces
+identical bytes (required by the merge-order property tests).
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+
+MAGIC = b"SKB1"
+VERSION = 1
+
+# type ids are part of the wire format — never renumber
+TYPE_BLOOM = 1
+TYPE_HLL = 2
+TYPE_CMS = 3
+TYPE_TDIGEST = 4
+TYPE_KLL = 5
+
+_REGISTRY: dict[int, type] = {}
+
+
+def register_sketch(type_id: int):
+    def deco(cls):
+        cls.TYPE_ID = type_id
+        _REGISTRY[type_id] = cls
+        return cls
+    return deco
+
+
+def pack(type_id: int, header: dict, payload: bytes) -> bytes:
+    hjson = json.dumps(header, sort_keys=True, separators=(",", ":")).encode()
+    return MAGIC + struct.pack("<BBI", VERSION, type_id, len(hjson)) + hjson + payload
+
+
+def unpack(data: bytes) -> tuple[int, dict, bytes]:
+    if data[:4] != MAGIC:
+        raise ValueError("not a sketchlib blob (bad magic)")
+    try:
+        version, type_id, hlen = struct.unpack_from("<BBI", data, 4)
+        off = 4 + 6
+        header = json.loads(data[off:off + hlen].decode())
+    except (struct.error, UnicodeDecodeError, json.JSONDecodeError) as e:
+        raise ValueError(f"truncated or corrupt sketch blob: {e}") from e
+    if version != VERSION:
+        raise ValueError(f"unsupported sketch version {version}")
+    return type_id, header, data[off + hlen:]
+
+
+def sketch_from_bytes(data: bytes):
+    """Deserialize any registered sketch from its envelope."""
+    type_id, header, payload = unpack(data)
+    cls = _REGISTRY.get(type_id)
+    if cls is None:
+        raise ValueError(f"unknown sketch type id {type_id}")
+    return cls._from_parts(header, payload)

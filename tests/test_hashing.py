@@ -1,0 +1,54 @@
+"""Vectorized murmur3 vs scalar reference + published test vectors."""
+
+import numpy as np
+import pytest
+
+from sketchlib.core import hashing
+
+
+def test_known_vectors():
+    # published murmur3 x86_32 vectors
+    assert hashing.murmur3_32_scalar(b"", 0) == 0x00000000
+    assert hashing.murmur3_32_scalar(b"", 1) == 0x514E28B7
+    assert hashing.murmur3_32_scalar(b"", 0xFFFFFFFF) == 0x81F16F39
+    assert hashing.murmur3_32_scalar(b"\xff\xff\xff\xff", 0) == 0x76293B50
+
+
+def test_vectorized_matches_scalar_random():
+    rng = np.random.default_rng(42)
+    keys = []
+    for _ in range(500):
+        n = int(rng.integers(0, 64))
+        keys.append(bytes(rng.integers(1, 256, size=n, dtype=np.uint8)))
+    for seed in (0, 1, 7, 0xDEADBEEF):
+        vec = hashing.murmur3_32(keys, seed)
+        for i, k in enumerate(keys):
+            assert int(vec[i]) == hashing.murmur3_32_scalar(k, seed), (i, k, seed)
+
+
+def test_vectorized_strings_utf8():
+    keys = ["hello", "héllo wörld", "日本語テキスト", "a", "", "x" * 100]
+    vec = hashing.murmur3_32(keys, 3)
+    for i, k in enumerate(keys):
+        assert int(vec[i]) == hashing.murmur3_32_scalar(k.encode("utf-8"), 3)
+
+
+def test_hash64_independence_and_determinism():
+    keys = [f"https://example.com/{i}" for i in range(1000)]
+    h1a, h2a = hashing.hash64_pair(keys, seed=0)
+    h1b, h2b = hashing.hash64_pair(keys, seed=0)
+    assert np.array_equal(h1a, h1b) and np.array_equal(h2a, h2b)
+    assert len(np.unique(h1a)) == len(keys)  # no collisions at this scale
+    assert np.all(h2a & np.uint64(1) == 1)  # forced odd
+    h1c, _ = hashing.hash64_pair(keys, seed=1)
+    assert not np.array_equal(h1a, h1c)
+
+
+def test_probe_indices_shape_and_range():
+    idx = hashing.probe_indices(["a", "b", "c"], k=5, m=1000)
+    assert idx.shape == (3, 5)
+    assert idx.max() < 1000
+
+
+def test_empty_batch():
+    assert hashing.murmur3_32([], 0).shape == (0,)

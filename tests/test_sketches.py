@@ -1,0 +1,205 @@
+"""Known-answer + error-bound + serde round-trip tests for the five kernels."""
+
+import numpy as np
+import pytest
+
+from sketchlib.core.bloom import BloomFilter
+from sketchlib.core.hll import HyperLogLog
+from sketchlib.core.cms import CountMinSketch
+from sketchlib.core.tdigest import TDigest
+from sketchlib.core.kll import KLL
+from sketchlib.core.params import bloom_params, bloom_expected_fpr
+from sketchlib.core.serde import sketch_from_bytes
+
+
+def _keys(n, prefix="k"):
+    return [f"{prefix}:{i}" for i in range(n)]
+
+
+# ---------------- Bloom ----------------
+
+class TestBloom:
+    def test_no_false_negatives(self):
+        # fixes reference wart W1 (SURVEY.md §2.7): every inserted key found
+        bf = BloomFilter.from_target(10_000, 0.01)
+        keys = _keys(10_000)
+        bf.update_batch(keys)
+        assert bf.contains_batch(keys).all()
+
+    def test_fpr_near_design_point(self):
+        n, p = 20_000, 0.01
+        bf = BloomFilter.from_target(n, p)
+        bf.update_batch(_keys(n, "in"))
+        probes = _keys(100_000, "out")
+        fpr = bf.contains_batch(probes).mean()
+        assert fpr == pytest.approx(p, abs=0.005)
+
+    def test_params_match_reference_table1(self):
+        # report Table 1: n=2555 -> m=24489; n=369543 -> m=3542091; k=6 @ p=0.01
+        # ours ceils m (never undersized) where the ref truncates -> +1 bit
+        m, k = bloom_params(2555, 0.01)
+        assert m in (24489, 24490) and k == 7  # ref k=6 (truncated 6.64; wart W4)
+        m2, _ = bloom_params(369543, 0.01)
+        assert m2 in (3542091, 3542092)
+        assert bloom_expected_fpr(m, 6, 2555) == pytest.approx(0.01, abs=0.002)
+
+    def test_serde_roundtrip(self):
+        bf = BloomFilter(1024, 5, seed=7)
+        bf.update_batch(_keys(100))
+        blob = bf.to_bytes()
+        bf2 = BloomFilter.from_bytes(blob)
+        assert bf2 == bf and bf2.n_added == 100
+        assert sketch_from_bytes(blob) == bf
+        assert bf2.to_bytes() == blob  # canonical bytes
+
+    def test_estimate_cardinality(self):
+        bf = BloomFilter.from_target(50_000, 0.01)
+        bf.update_batch(_keys(30_000))
+        assert bf.estimate() == pytest.approx(30_000, rel=0.02)
+
+    def test_merge_mismatch_raises(self):
+        with pytest.raises(ValueError):
+            BloomFilter(100, 3).merge(BloomFilter(200, 3))
+
+
+# ---------------- HLL ----------------
+
+class TestHLL:
+    def test_estimate_within_bound(self):
+        for true_n in (100, 5_000, 200_000):
+            h = HyperLogLog(b=12)
+            h.update_batch(_keys(true_n))
+            tol = 4 * h.rel_error()  # 4 sigma
+            assert abs(h.estimate() - true_n) / true_n < tol, true_n
+
+    def test_duplicates_dont_inflate(self):
+        h = HyperLogLog(b=12)
+        for _ in range(5):
+            h.update_batch(_keys(1000))
+        assert abs(h.estimate() - 1000) / 1000 < 4 * h.rel_error()
+
+    def test_serde_roundtrip(self):
+        h = HyperLogLog(b=10, seed=3)
+        h.update_batch(_keys(500))
+        blob = h.to_bytes()
+        assert HyperLogLog.from_bytes(blob) == h
+        assert sketch_from_bytes(blob).to_bytes() == blob
+
+    def test_empty_estimate_zero(self):
+        assert HyperLogLog(b=8).estimate() == 0.0
+
+
+# ---------------- CMS ----------------
+
+class TestCMS:
+    def test_overestimate_only_and_bound(self):
+        rng = np.random.default_rng(0)
+        zipf = rng.zipf(1.3, size=50_000)
+        keys = [f"tok{z}" for z in zipf]
+        cms = CountMinSketch.from_error(epsilon=0.005, delta=0.01)
+        cms.update_batch(keys)
+        import collections
+        truth = collections.Counter(keys)
+        qkeys = list(truth.keys())[:2000]
+        est = cms.query_batch(qkeys)
+        true = np.array([truth[k] for k in qkeys])
+        assert (est >= true).all()  # never underestimates
+        assert (est - true).max() <= 0.005 * len(keys)
+
+    def test_weighted_update(self):
+        cms = CountMinSketch(1024, 4)
+        cms.update_batch(["a", "b"], counts=[10, 3])
+        assert cms.query_batch(["a"])[0] >= 10
+        assert cms.total == 13
+
+    def test_serde_roundtrip(self):
+        cms = CountMinSketch(512, 3, seed=1)
+        cms.update_batch(_keys(1000))
+        blob = cms.to_bytes()
+        assert CountMinSketch.from_bytes(blob) == cms
+        assert sketch_from_bytes(blob).to_bytes() == blob
+
+
+# ---------------- t-digest ----------------
+
+class TestTDigest:
+    @pytest.mark.parametrize("dist", ["uniform", "lognormal", "bimodal"])
+    def test_quantiles_within_rank_error(self, dist):
+        rng = np.random.default_rng(7)
+        if dist == "uniform":
+            data = rng.uniform(0, 1000, 100_000)
+        elif dist == "lognormal":
+            data = rng.lognormal(9, 1, 100_000)
+        else:
+            data = np.concatenate([rng.normal(0, 1, 50_000), rng.normal(100, 1, 50_000)])
+        td = TDigest(delta=200)
+        td.update_batch(data)
+        srt = np.sort(data)
+        for q in (0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99):
+            est = td.quantile(q)
+            true_rank = np.searchsorted(srt, est) / len(srt)
+            assert abs(true_rank - q) < 0.012, (dist, q, est, true_rank)
+
+    def test_exact_extremes(self):
+        td = TDigest(delta=100)
+        td.update_batch(np.arange(10_000.0))
+        assert td.quantile(0.0) == 0.0
+        assert td.quantile(1.0) == 9999.0
+
+    def test_serde_roundtrip_canonical(self):
+        td = TDigest(delta=100)
+        td.update_batch(np.random.default_rng(1).normal(size=5000))
+        blob = td.to_bytes()
+        td2 = TDigest.from_bytes(blob)
+        assert td2.to_bytes() == blob
+        assert td2.quantile(0.5) == td.quantile(0.5)
+
+    def test_bounded_size(self):
+        td = TDigest(delta=200)
+        for _ in range(20):
+            td.update_batch(np.random.default_rng(2).normal(size=50_000))
+        td._flush()
+        assert len(td.means) < 2 * td.delta
+
+
+# ---------------- KLL ----------------
+
+class TestKLL:
+    def test_quantiles_within_rank_error(self):
+        rng = np.random.default_rng(3)
+        data = rng.lognormal(9, 1, 200_000)
+        kll = KLL(k=200)
+        for chunk in np.array_split(data, 20):
+            kll.update_batch(chunk)
+        srt = np.sort(data)
+        for q in (0.01, 0.1, 0.5, 0.9, 0.99):
+            est = kll.quantile(q)
+            true_rank = np.searchsorted(srt, est) / len(srt)
+            assert abs(true_rank - q) < 0.02, (q, est, true_rank)
+
+    def test_rank_query(self):
+        kll = KLL(k=200)
+        kll.update_batch(np.arange(100_000.0))
+        assert kll.rank(50_000.0) == pytest.approx(0.5, abs=0.02)
+
+    def test_bounded_size(self):
+        kll = KLL(k=128)
+        kll.update_batch(np.random.default_rng(4).normal(size=500_000))
+        total_items = sum(len(l) for l in kll.levels)
+        assert total_items < 6 * kll.k
+
+    def test_deterministic_run_to_run(self):
+        a, b = KLL(k=64), KLL(k=64)
+        data = np.random.default_rng(5).normal(size=50_000)
+        a.update_batch(data)
+        b.update_batch(data)
+        assert a.to_bytes() == b.to_bytes()
+
+    def test_serde_roundtrip(self):
+        kll = KLL(k=64)
+        kll.update_batch(np.random.default_rng(6).uniform(size=10_000))
+        blob = kll.to_bytes()
+        k2 = KLL.from_bytes(blob)
+        assert k2.n == kll.n
+        assert k2.quantile(0.5) == pytest.approx(kll.quantile(0.5), rel=0.05)
+        assert sketch_from_bytes(blob).n == kll.n
