@@ -1,0 +1,206 @@
+"""Stages 1+2: calibration and distributed sketch build.
+
+Reproduces the reference's dataflow (/root/reference/spark/main.py:
+stage 1 count-per-class :100-137, stage 2 partition-local build +
+OR-merge :139-164) with the Spark-native architecture from SURVEY.md §4:
+
+  1. ``calibrate``      — exact `groupBy().count()` (Catalyst partial
+                          aggregation; the only full-row shuffle-free scan).
+  2. ``build_partials`` — ``mapInPandas`` over *input partitions*: one
+                          partial sketch per (group, spec) per partition.
+                          Raw rows NEVER shuffle (the reference's
+                          `groupByKey` at main.py:146 shuffles every row —
+                          its known skew trap, SURVEY.md G1). Only
+                          fixed-size sketch states cross the wire.
+  3. ``merge_partials`` — hierarchical merge via ``applyInPandas``;
+                          optional two-level (salted) fan-in for very
+                          wide clusters, treeAggregate-style.
+
+At 100 TB: the shuffle volume is (#input_partitions × #groups ×
+sketch_bytes) regardless of row count — the property that makes the
+reference's design scale, preserved verbatim.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+from pyspark.sql.types import (BinaryType, IntegerType, LongType, StringType,
+                               StructField, StructType)
+
+from sketchlib.core.params import bloom_params
+from sketchlib.core.serde import sketch_from_bytes
+from sketchlib.spark.specs import SketchSpec
+
+
+def calibrate(df: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Stage 1: exact per-group counts (n). Catalyst does partial agg."""
+    return df.groupBy(*group_cols).agg(F.count("*").alias("n"))
+
+
+def bloom_params_by_group(calib: DataFrame, p: float) -> dict:
+    """Driver-side (m, k) per group from collected calibration counts.
+
+    Mirrors /root/reference/spark/main.py:117-125 (collect n per class,
+    derive m per class, one k) — bounded by #groups, never by #rows.
+    """
+    rows = calib.collect()
+    out = {}
+    for r in rows:
+        vals = r.asDict()
+        n = vals.pop("n")
+        key = tuple(vals.values())
+        if len(key) == 1:
+            key = key[0]
+        m, k = bloom_params(n, p)
+        out[key] = {"m": m, "k": k}
+    return out
+
+
+def _group_fields(df: DataFrame, group_cols: list[str]) -> list[StructField]:
+    by_name = {f.name: f for f in df.schema.fields}
+    return [StructField(c, by_name[c].dataType, True) for c in group_cols]
+
+
+def _partials_schema(df: DataFrame, group_cols: list[str]) -> StructType:
+    return StructType(_group_fields(df, group_cols) + [
+        StructField("sketch_name", StringType(), False),
+        StructField("partial", BinaryType(), False),
+        StructField("n_rows", LongType(), False),
+        StructField("partition_id", IntegerType(), False),
+    ])
+
+
+def _values_for(spec: SketchSpec, sub: pd.DataFrame):
+    col = sub[spec.value_col]
+    if spec.tokenize:
+        col = col.astype(str).str.split().explode().dropna()
+    if spec.numeric:
+        return col.to_numpy(dtype=np.float64, na_value=np.nan)
+    return col.dropna()
+
+
+def build_partials(df: DataFrame, group_cols: list[str],
+                   specs: list[SketchSpec]) -> DataFrame:
+    """Stage 2a: one partial sketch per (input partition, group, spec).
+
+    Column-prunes to exactly the needed columns before the Python
+    boundary so the parquet scan reads only those (ReadSchema check).
+    """
+    if not specs:
+        raise ValueError("at least one SketchSpec required")
+    names = [s.name for s in specs]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate spec names: {names}")
+    value_cols = sorted({s.value_col for s in specs})
+    sel = df.select(*group_cols, *value_cols)
+    schema = _partials_schema(df, group_cols)
+    n_groups = len(group_cols)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else -1
+        acc: dict = {}  # (group_tuple, spec_idx) -> [sketch, n_rows]
+        for pdf in batches:
+            for gkey, sub in pdf.groupby(group_cols, sort=False, dropna=False):
+                if not isinstance(gkey, tuple):
+                    gkey = (gkey,)
+                for si, spec in enumerate(specs):
+                    slot = acc.get((gkey, si))
+                    if slot is None:
+                        slot = [spec.make(gkey if n_groups > 1 else gkey[0]), 0]
+                        acc[(gkey, si)] = slot
+                    vals = _values_for(spec, sub)
+                    if len(vals):
+                        slot[0].update_batch(vals)
+                    slot[1] += len(sub)
+        if acc:
+            rows = []
+            for (gkey, si), (sk, n) in acc.items():
+                rows.append((*gkey, specs[si].name, sk.to_bytes(), n, pid))
+            yield pd.DataFrame(rows, columns=[*group_cols, "sketch_name",
+                                              "partial", "n_rows", "partition_id"])
+
+    return sel.mapInPandas(fn, schema)
+
+
+def _merged_schema(partials: DataFrame, group_cols: list[str]) -> StructType:
+    return StructType(_group_fields(partials, group_cols) + [
+        StructField("sketch_name", StringType(), False),
+        StructField("sketch", BinaryType(), False),
+        StructField("n_rows", LongType(), False),
+        StructField("n_partials", LongType(), False),
+    ])
+
+
+def merge_partials(partials: DataFrame, group_cols: list[str],
+                   fanout: int | None = None) -> DataFrame:
+    """Stage 2b: hierarchical merge of partial sketches per (group, spec).
+
+    ``fanout=S`` inserts a salted pre-merge level (treeAggregate-style):
+    partials first merge within (group, partition_id % S) buckets, then
+    across buckets — bounds any single task's fan-in on 10k-partition
+    inputs. Partials are merged in partition_id order so the pipeline
+    is deterministic run-to-run even for the lossy quantile sketches.
+    """
+    out_schema = _merged_schema(partials, group_cols)
+    keys = [*group_cols, "sketch_name"]
+
+    def merge_fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("partition_id", kind="stable")
+        sk = sketch_from_bytes(bytes(pdf["partial"].iloc[0]))
+        for blob in pdf["partial"].iloc[1:]:
+            sk.merge(sketch_from_bytes(bytes(blob)))
+        return pd.DataFrame({
+            **{c: [key[i]] for i, c in enumerate(keys)},
+            "sketch": [sk.to_bytes()],
+            "n_rows": [int(pdf["n_rows"].sum())],
+            "n_partials": [int(pdf["n_partials"].sum()) if "n_partials" in pdf
+                           else len(pdf)],
+        })
+
+    if fanout and fanout > 1:
+        mid_schema = StructType(_group_fields(partials, group_cols) + [
+            StructField("sketch_name", StringType(), False),
+            StructField("partial", BinaryType(), False),
+            StructField("n_rows", LongType(), False),
+            StructField("partition_id", IntegerType(), False),
+            StructField("n_partials", LongType(), False),
+        ])
+
+        def level1_fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("partition_id", kind="stable")
+            sk = sketch_from_bytes(bytes(pdf["partial"].iloc[0]))
+            for blob in pdf["partial"].iloc[1:]:
+                sk.merge(sketch_from_bytes(bytes(blob)))
+            return pd.DataFrame({
+                **{c: [key[i]] for i, c in enumerate(keys)},
+                "partial": [sk.to_bytes()],
+                "n_rows": [int(pdf["n_rows"].sum())],
+                "partition_id": [int(pdf["partition_id"].min())],
+                "n_partials": [len(pdf)],
+            })
+
+        salted = partials.withColumn("salt", F.pmod(F.col("partition_id"),
+                                                    F.lit(int(fanout))))
+        level1 = (salted.groupBy(*keys, "salt")
+                  .applyInPandas(lambda k, p: level1_fn(k[:-1], p), mid_schema))
+        return level1.groupBy(*keys).applyInPandas(merge_fn, out_schema)
+
+    return partials.groupBy(*keys).applyInPandas(merge_fn, out_schema)
+
+
+def build_sketches(df: DataFrame, group_cols: list[str],
+                   specs: list[SketchSpec], fanout: int | None = None) -> DataFrame:
+    """Full stage-2: partial build then hierarchical merge.
+
+    Returns one row per (group, sketch_name):
+    (group_cols..., sketch_name, sketch binary, n_rows, n_partials).
+    """
+    return merge_partials(build_partials(df, group_cols, specs),
+                          group_cols, fanout=fanout)

@@ -1,0 +1,69 @@
+"""SparkSession helpers: tuned local sessions + worker-visible package.
+
+Spark Python workers do not inherit the driver's ``sys.path`` — a
+library like this must ship itself to workers (``spark-submit
+--py-files sketchlib.zip`` on a real cluster; ``addPyFile`` here).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import SparkSession
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def package_zip(out_dir: str | None = None) -> str:
+    """Zip the sketchlib package for --py-files / addPyFile shipping."""
+    pkg_dir = os.path.join(_REPO_ROOT, "sketchlib")
+    out = os.path.join(out_dir or tempfile.gettempdir(), "sketchlib_pyfiles.zip")
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            if "__pycache__" in root:
+                continue
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    zf.write(full, os.path.relpath(full, _REPO_ROOT))
+    return out
+
+
+def attach_package(spark: SparkSession) -> None:
+    """Make sketchlib importable inside Spark Python workers."""
+    if os.environ.get("PYTHONPATH", "").find(_REPO_ROOT) >= 0:
+        return  # already visible to forked workers
+    spark.sparkContext.addPyFile(package_zip())
+
+
+def get_spark(app_name: str = "sketchlib", cpus: int | str = "*",
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """Tuned local session. ``cpus`` maps to local[n] parallelism.
+
+    Tuning rationale (100 TB posture, exercised at local scale):
+    - AQE on: runtime partition coalescing + skew-join splitting.
+    - Arrow batch size bounds pandas-UDF memory per task.
+    - shuffle.partitions sized to parallelism (partial-sketch shuffles
+      are tiny; raw-row shuffles never happen in the build path).
+    """
+    if shuffle_partitions is None:
+        shuffle_partitions = 32 if cpus == "*" else max(8, int(cpus))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.driver.memory", os.environ.get("SKETCHLIB_DRIVER_MEM", "8g"))
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    attach_package(spark)
+    return spark

@@ -1,0 +1,62 @@
+"""Sketch build specifications — what to sketch, over which column.
+
+A spec is the Spark-facing declaration of one sketch UDAF instance:
+which kernel, which value column, and its parameters (optionally
+per-group, as produced by the calibration stage — mirroring the
+reference's per-class m derived from per-class n,
+/root/reference/spark/main.py:117-125).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from sketchlib.core.bloom import BloomFilter
+from sketchlib.core.hll import HyperLogLog
+from sketchlib.core.cms import CountMinSketch
+from sketchlib.core.tdigest import TDigest
+from sketchlib.core.kll import KLL
+
+KINDS = {"bloom", "hll", "cms", "tdigest", "kll"}
+_NUMERIC_KINDS = {"tdigest", "kll"}
+
+
+@dataclass(frozen=True)
+class SketchSpec:
+    """One sketch to build per group.
+
+    name: output sketch name (unique within a build)
+    kind: bloom | hll | cms | tdigest | kll
+    value_col: input column with the keys/values to feed
+    params: kernel constructor kwargs (e.g. {"m":..., "k":...})
+    per_group_params: optional {group_tuple: kwargs} overriding params
+        (group_tuple is the tuple of group-column values, or the scalar
+        itself for a single group column)
+    tokenize: if True, whitespace-split the string column and feed
+        tokens instead of whole values (heavy-hitter sketches)
+    """
+
+    name: str
+    kind: str
+    value_col: str
+    params: dict = field(default_factory=dict)
+    per_group_params: dict | None = None
+    tokenize: bool = False
+
+    def __post_init__(self):
+        if self.kind not in KINDS:
+            raise ValueError(f"unknown sketch kind {self.kind!r}; one of {sorted(KINDS)}")
+
+    def make(self, group_key: Any):
+        kwargs = dict(self.params)
+        if self.per_group_params is not None:
+            key = group_key if not (isinstance(group_key, tuple) and len(group_key) == 1) else group_key[0]
+            kwargs.update(self.per_group_params.get(key, {}))
+        ctor = {"bloom": BloomFilter, "hll": HyperLogLog, "cms": CountMinSketch,
+                "tdigest": TDigest, "kll": KLL}[self.kind]
+        return ctor(**kwargs)
+
+    @property
+    def numeric(self) -> bool:
+        return self.kind in _NUMERIC_KINDS

@@ -1,0 +1,132 @@
+"""Integration tests: the three-stage pipeline on Spark DataFrames.
+
+Reproduces the reference's end-to-end statistical self-validation
+(SURVEY.md §5: designed-vs-measured FPR, parameter sanity) on the
+synthetic pages fixture, plus properties the reference lacked
+(zero false negatives, merge-topology invariance of lossless sketches).
+"""
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from sketchlib.spark.specs import SketchSpec
+from sketchlib.spark.build import (calibrate, bloom_params_by_group,
+                                   build_partials, build_sketches, merge_partials)
+from sketchlib.spark.validate import collect_sketches, bloom_validate
+
+P = 0.01
+
+
+@pytest.fixture(scope="module")
+def pages(pages_tiny):
+    df = (pages_tiny.repartition(16)
+          .withColumn("html_len", F.length("html").cast("double"))
+          .cache())
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def merged(spark, pages):
+    bp = bloom_params_by_group(calibrate(pages, ["lang"]), P)
+    specs = [
+        SketchSpec("url_bloom", "bloom", "url", per_group_params=bp),
+        SketchSpec("url_hll", "hll", "url", {"b": 12}),
+        SketchSpec("tok_cms", "cms", "text", {"w": 8192, "d": 5}, tokenize=True),
+        SketchSpec("len_tdigest", "tdigest", "html_len", {"delta": 200}),
+        SketchSpec("len_kll", "kll", "html_len", {"k": 200}),
+    ]
+    df = build_sketches(pages, ["lang"], specs).cache()
+    df.count()
+    return df
+
+
+def test_calibration_counts_exact(spark, pages):
+    calib = {r["lang"]: r["n"] for r in calibrate(pages, ["lang"]).collect()}
+    assert sum(calib.values()) == pages.count()
+    assert calib["en"] > calib["nl"]  # skew present
+
+
+def test_sketch_table_shape(merged):
+    rows = merged.collect()
+    langs = {r["lang"] for r in rows}
+    names = {r["sketch_name"] for r in rows}
+    assert len(rows) == len(langs) * len(names) == 10 * 5
+    assert all(r["n_rows"] > 0 and len(r["sketch"]) > 10 for r in rows)
+
+
+def test_bloom_validation_fpr_and_no_false_negatives(spark, pages, merged):
+    filters = collect_sketches(merged, ["lang"], "url_bloom")
+    val = bloom_validate(pages, filters, ["lang"], "url", P).collect()
+    assert len(val) == 10
+    for r in val:
+        assert r["false_negatives"] == 0, r
+        assert r["measured_fpr"] == pytest.approx(P, abs=0.012), r
+
+
+def test_hll_within_error_bound(spark, pages, merged):
+    hlls = collect_sketches(merged, ["lang"], "url_hll")
+    exact = {r["lang"]: r["n"] for r in
+             pages.groupBy("lang").agg(F.countDistinct("url").alias("n")).collect()}
+    for lang, h in hlls.items():
+        rel = abs(h.estimate() - exact[lang]) / exact[lang]
+        assert rel < 4 * h.rel_error(), (lang, h.estimate(), exact[lang])
+
+
+def test_quantiles_within_rank_error(spark, pages, merged):
+    klls = collect_sketches(merged, ["lang"], "len_kll")
+    tds = collect_sketches(merged, ["lang"], "len_tdigest")
+    for lang in ("en", "nl"):
+        vals = np.sort(np.array(
+            [r["html_len"] for r in
+             pages.filter(F.col("lang") == lang).select("html_len").collect()]))
+        for q in (0.1, 0.5, 0.9):
+            for sk in (klls[lang], tds[lang]):
+                est = sk.quantile(q)
+                rank = np.searchsorted(vals, est) / len(vals)
+                assert abs(rank - q) < 0.035, (lang, q, type(sk).__name__)
+
+
+def test_cms_overestimate_only(spark, pages, merged):
+    cms = collect_sketches(merged, ["lang"], "tok_cms")["en"]
+    exact = (pages.filter("lang = 'en'")
+             .select(F.explode(F.split("text", " ")).alias("t"))
+             .groupBy("t").count().orderBy(F.desc("count")).limit(20).collect())
+    keys = [r["t"] for r in exact]
+    est = cms.query_batch(keys)
+    true = np.array([r["count"] for r in exact])
+    assert (est >= true).all()
+    assert (est - true).max() <= np.e / 8192 * cms.total * 2
+
+
+def test_merge_topology_invariance(spark, pages):
+    """Lossless sketches: identical bytes whether merged flat, salted,
+    or from a different partitioning of the same input."""
+    specs = [SketchSpec("b", "bloom", "url", {"m": 1 << 15, "k": 6}),
+             SketchSpec("h", "hll", "url", {"b": 10})]
+
+    def bytes_of(df, fanout=None):
+        rows = build_sketches(df, ["lang"], specs, fanout=fanout).collect()
+        return {(r["lang"], r["sketch_name"]): bytes(r["sketch"]) for r in rows}
+
+    flat = bytes_of(pages)
+    salted = bytes_of(pages, fanout=4)
+    repart = bytes_of(pages.repartition(5, "url"))
+    assert flat == salted == repart
+
+
+def test_partials_shuffle_only_sketch_bytes(spark, pages_tiny):
+    """The physical plan must not shuffle raw rows: partials are built
+    from the scan (no Exchange before mapInPandas)."""
+    partials = build_partials(pages_tiny, ["lang"],
+                              [SketchSpec("h", "hll", "url", {"b": 8})])
+    plan = partials._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_duplicate_spec_names_rejected(spark, pages):
+    with pytest.raises(ValueError, match="duplicate"):
+        build_partials(pages, ["lang"], [
+            SketchSpec("x", "hll", "url", {"b": 8}),
+            SketchSpec("x", "bloom", "url", {"m": 64, "k": 2})])
