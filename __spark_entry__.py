@@ -3,36 +3,163 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash -> CORRECTNESS_r{N}.json).
+
+Catalog: exact queries are DuckDB-oracle-checked; sketch queries
+(estimates from our mergeable sketches) are rows-only, each paired
+with an exact companion so accuracy is externally checkable.
+Implementations live in sketchlib/spark/queries.py.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from sketchlib.spark import queries as Q  # noqa: E402
+from sketchlib.spark.session import attach_package  # noqa: E402
+
+
+def _wrap(fn: Callable) -> Callable:
+    """Ship sketchlib to Spark workers before any pandas UDF runs."""
+    def inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+        attach_package(spark)
+        return fn(spark, sf_dir)
+    return inner
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the reference's three-stage Bloom pipeline output —
+    per-lang designed-vs-measured FPR with false-negative counts
+    (ref /root/reference/spark/main.py:178-183) on sf0.001."""
+    attach_package(spark)
+    return Q.q_bloom_fpr_validation(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # exact (oracle-checked)
+        "calib_counts_lang": _wrap(Q.q_calib_counts_lang),
+        "distinct_texts_lang": _wrap(Q.q_distinct_texts_lang),
+        "distinct_users_daily": _wrap(Q.q_distinct_users_daily),
+        "quantiles_nchars_lang": _wrap(Q.q_quantiles_nchars_lang),
+        "quantiles_value_event": _wrap(Q.q_quantiles_value_event),
+        "heavy_tokens_lang": _wrap(Q.q_heavy_tokens_lang),
+        "dedup_exact": _wrap(Q.q_dedup_exact),
+        "token_counts": _wrap(Q.q_token_counts),
+        "quality_scores": _wrap(Q.q_quality_scores),
+        "ngram_jaccard_pairs": _wrap(Q.q_ngram_jaccard_pairs),
+        "ann_cosine_topk": _wrap(Q.q_ann_cosine_topk),
+        "pricing_summary": _wrap(Q.q_pricing_summary),
+        # sketch estimates (rows-only; exact companions above)
+        "bloom_fpr_validation": _wrap(Q.q_bloom_fpr_validation),
+        "hll_distinct_lang": _wrap(Q.q_hll_distinct_lang),
+        "cms_top_tokens": _wrap(Q.q_cms_top_tokens),
+        "kll_quantiles_nchars": _wrap(Q.q_kll_quantiles_nchars),
+        "tdigest_quantiles_value": _wrap(Q.q_tdigest_quantiles_value),
+        "minhash_lsh_pairs": _wrap(Q.q_minhash_lsh_pairs),
+        "simhash_pairs": _wrap(Q.q_simhash_pairs),
+        "content_fingerprint": _wrap(Q.q_content_fingerprint),
+        "langid_heuristic": _wrap(Q.q_langid),
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "calib_counts_lang":
+            "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang",
+        "distinct_texts_lang":
+            "SELECT lang, count(DISTINCT text) AS n_distinct "
+            "FROM documents GROUP BY lang",
+        "distinct_users_daily":
+            "SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, "
+            "count(DISTINCT user_id) AS n_users "
+            "FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')",
+        "quantiles_nchars_lang":
+            "SELECT lang, "
+            "round(quantile_cont(n_chars, 0.25), 4) AS p25, "
+            "round(quantile_cont(n_chars, 0.5), 4) AS p50, "
+            "round(quantile_cont(n_chars, 0.9), 4) AS p90, "
+            "round(quantile_cont(n_chars, 0.99), 4) AS p99 "
+            "FROM documents GROUP BY lang",
+        "quantiles_value_event":
+            "SELECT event_type, "
+            "round(quantile_cont(value, 0.5), 4) AS p50, "
+            "round(quantile_cont(value, 0.95), 4) AS p95 "
+            "FROM events GROUP BY event_type",
+        "heavy_tokens_lang":
+            "WITH toks AS (SELECT lang, unnest(string_split(text, ' ')) AS token "
+            "FROM documents), "
+            "counts AS (SELECT lang, token, count(*) AS cnt FROM toks "
+            "GROUP BY lang, token) "
+            "SELECT lang, token, cnt, CAST(rnk AS INTEGER) AS rnk FROM ("
+            "SELECT *, row_number() OVER (PARTITION BY lang "
+            "ORDER BY cnt DESC, token ASC) AS rnk FROM counts) WHERE rnk <= 10",
+        "dedup_exact":
+            "SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, "
+            "count(*) AS n_copies FROM documents GROUP BY md5(text)",
+        "token_counts":
+            "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) "
+            "AS n_tokens FROM documents",
+        "quality_scores":
+            "SELECT doc_id, "
+            "CAST(length(text) AS BIGINT) AS n_chars_text, "
+            "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, "
+            "round(len(list_distinct(string_split(text, ' '))) "
+            "      / len(string_split(text, ' ')), 4) AS uniq_ratio, "
+            "round((length(text) - (len(string_split(text, ' ')) - 1)) "
+            "      / len(string_split(text, ' ')), 4) AS avg_token_len "
+            "FROM documents",
+        "ngram_jaccard_pairs":
+            "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t "
+            "FROM documents), "
+            "sh AS (SELECT DISTINCT doc_id AS doc, "
+            "unnest(list_transform(range(1, len(t) - 1), "
+            "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle "
+            "FROM toks WHERE len(t) >= 3), "
+            "sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY doc), "
+            "inter AS (SELECT a.doc AS a_id, b.doc AS b_id, count(*) AS inter "
+            "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc "
+            "GROUP BY a.doc, b.doc) "
+            "SELECT a_id, b_id, "
+            "round(inter / (sa.sz + sb.sz - inter), 4) AS jaccard "
+            "FROM inter JOIN sizes sa ON sa.doc = a_id "
+            "JOIN sizes sb ON sb.doc = b_id "
+            "WHERE inter / (sa.sz + sb.sz - inter) >= 0.5",
+        "ann_cosine_topk":
+            "WITH norms AS (SELECT vec_id, sqrt(sum(x * x)) AS norm FROM ("
+            "SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x "
+            "FROM embeddings) GROUP BY vec_id), "
+            "dots AS (SELECT q_id, nbr_id, sum(xq * xn) AS dot FROM ("
+            "SELECT a.vec_id AS q_id, b.vec_id AS nbr_id, "
+            "CAST(unnest(a.embedding) AS DOUBLE) AS xq, "
+            "CAST(unnest(b.embedding) AS DOUBLE) AS xn "
+            "FROM embeddings a, embeddings b "
+            "WHERE a.vec_id < 10 AND a.vec_id != b.vec_id) "
+            "GROUP BY q_id, nbr_id), "
+            "scored AS (SELECT q_id, nbr_id, dot / (nq.norm * nn.norm) AS score "
+            "FROM dots JOIN norms nq ON nq.vec_id = q_id "
+            "JOIN norms nn ON nn.vec_id = nbr_id) "
+            "SELECT q_id, nbr_id, CAST(rnk AS INTEGER) AS rnk, "
+            "round(score, 3) AS score FROM ("
+            "SELECT *, row_number() OVER (PARTITION BY q_id "
+            "ORDER BY score DESC, nbr_id ASC) AS rnk FROM scored) "
+            "WHERE rnk <= 5",
+        "pricing_summary":
+            "SELECT l_returnflag, l_linestatus, "
+            "round(sum(l_quantity), 2) AS sum_qty, "
+            "round(sum(l_extendedprice), 2) AS sum_base_price, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+            "round(avg(l_quantity), 4) AS avg_qty, "
+            "count(*) AS count_order "
+            "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+            "GROUP BY l_returnflag, l_linestatus",
+        # sketch queries intentionally omitted -> rows-only driver check
+    }

@@ -1,0 +1,96 @@
+"""Benchmark driver: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Headline metric: end-to-end wall seconds for the query suite, plus
+sketch-build throughput (docs/sec) over the synthetic pages corpus —
+the number comparable to BASELINE.md's ~48k rows/s reference
+throughput (1.24M rows / 25.7 s on the course cluster).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+os.environ.setdefault("PYTHONPATH", _REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+PAGES_ROWS = int(os.environ.get("SKETCHLIB_BENCH_ROWS", "300000"))
+
+# suite: exact + sketch queries that exercise every operator family
+BENCH_QUERIES = [
+    "calib_counts_lang",
+    "heavy_tokens_lang",
+    "quantiles_nchars_lang",
+    "distinct_users_daily",
+    "pricing_summary",
+    "ann_cosine_topk",
+    "ngram_jaccard_pairs",
+    "bloom_fpr_validation",
+    "hll_distinct_lang",
+    "cms_top_tokens",
+    "kll_quantiles_nchars",
+    "tdigest_quantiles_value",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+]
+
+
+def main() -> None:
+    from sketchlib.spark.session import get_spark
+    from sketchlib.spark.specs import SketchSpec
+    from sketchlib.spark.build import (calibrate, bloom_params_by_group,
+                                       build_sketches)
+    from sketchlib.io.fixtures import pages_path
+    import __spark_entry__ as entry_mod
+    import pyspark.sql.functions as F
+
+    spark = get_spark("sketchlib-bench", cpus=CPUS,
+                      shuffle_partitions=max(CPUS, 16))
+    qfns = entry_mod.queries()
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        df = qfns[name](spark, SF_DIR)
+        df.collect()
+        times[name] = round(time.time() - t0, 3)
+
+    # sketch-build throughput over the pages corpus (all 5 kernels)
+    ppath = pages_path(str(PAGES_ROWS))
+    pages = (spark.read.parquet(ppath)
+             .withColumn("html_len", F.length("html").cast("double")))
+    bp = bloom_params_by_group(calibrate(pages, ["lang"]), 0.01)
+    specs = [
+        SketchSpec("url_bloom", "bloom", "url", per_group_params=bp),
+        SketchSpec("url_hll", "hll", "url", {"b": 14}),
+        SketchSpec("tok_cms", "cms", "text", {"w": 16384, "d": 5}, tokenize=True),
+        SketchSpec("len_tdigest", "tdigest", "html_len", {"delta": 200}),
+        SketchSpec("len_kll", "kll", "html_len", {"k": 200}),
+    ]
+    t0 = time.time()
+    build_sketches(pages, ["lang"], specs).collect()
+    build_s = time.time() - t0
+    times["pages_sketch_build"] = round(build_s, 3)
+    throughput = PAGES_ROWS / build_s
+
+    total = sum(times.values())
+    print(json.dumps({
+        "metric": "suite_seconds",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": SF_DIR,
+        "cpus": CPUS,
+        "pages_rows": PAGES_ROWS,
+        "sketch_build_docs_per_sec": round(throughput, 1),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -151,7 +151,7 @@ def merge_partials(partials: DataFrame, group_cols: list[str],
     out_schema = _merged_schema(partials, group_cols)
     keys = [*group_cols, "sketch_name"]
 
-    def merge_fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def merge_fn(key, pdf):
         pdf = pdf.sort_values("partition_id", kind="stable")
         sk = sketch_from_bytes(bytes(pdf["partial"].iloc[0]))
         for blob in pdf["partial"].iloc[1:]:
@@ -173,7 +173,7 @@ def merge_partials(partials: DataFrame, group_cols: list[str],
             StructField("n_partials", LongType(), False),
         ])
 
-        def level1_fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        def level1_fn(key, pdf):
             pdf = pdf.sort_values("partition_id", kind="stable")
             sk = sketch_from_bytes(bytes(pdf["partial"].iloc[0]))
             for blob in pdf["partial"].iloc[1:]:

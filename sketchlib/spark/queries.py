@@ -1,0 +1,243 @@
+"""Query catalog over the driver-provided testdata tables.
+
+Two families (SURVEY.md §5 "driver contract"):
+- exact queries — SQL-expressible, oracle-checked against DuckDB by
+  the driver at sf0.01; these are the exact companions of each sketch
+  (calibration counts, exact distinct, exact quantiles, exact heavy
+  hitters, exact dedup/Jaccard, brute-force ANN).
+- sketch queries — estimates from our mergeable sketches; not
+  reproducible in DuckDB (rows-only check), each paired with an exact
+  companion above so accuracy is externally checkable.
+
+Every computed column is aliased identically to its oracle SQL
+counterpart (driver hashes values after sorting columns by name).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+import pyspark.sql.functions as F
+
+from sketchlib.spark.specs import SketchSpec
+from sketchlib.spark.build import calibrate, bloom_params_by_group, build_sketches
+from sketchlib.spark.validate import collect_sketches, bloom_validate
+from sketchlib.spark import textops
+
+BLOOM_P = 0.01
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# exact queries (oracle-checked)
+# ---------------------------------------------------------------------------
+
+def q_calib_counts_lang(spark, sf_dir):
+    """Stage-1 calibration: n per group (ref spark/main.py:113)."""
+    return (load(spark, sf_dir, "documents")
+            .groupBy("lang").agg(F.count("*").alias("n_docs")))
+
+
+def q_distinct_texts_lang(spark, sf_dir):
+    """Exact companion of the HLL query."""
+    return (load(spark, sf_dir, "documents")
+            .groupBy("lang").agg(F.countDistinct("text").alias("n_distinct")))
+
+
+def q_distinct_users_daily(spark, sf_dir):
+    """Exact distinct users per event_type x day (HLL companion #2)."""
+    ev = load(spark, sf_dir, "events")
+    return (ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+            .groupBy("event_type", "day")
+            .agg(F.countDistinct("user_id").alias("n_users")))
+
+
+def q_quantiles_nchars_lang(spark, sf_dir):
+    """Exact companion of KLL/t-digest quantiles."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.round(F.expr("percentile(n_chars, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(n_chars, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(n_chars, 0.99)"), 4).alias("p99"))
+
+
+def q_quantiles_value_event(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"))
+
+
+def q_heavy_tokens_lang(spark, sf_dir):
+    """Exact companion of the CMS heavy-hitter query: top-10 tokens per
+    lang, ties broken lexicographically."""
+    d = load(spark, sf_dir, "documents")
+    counts = (d.select("lang", F.explode(F.split("text", " ")).alias("token"))
+              .groupBy("lang", "token").agg(F.count("*").alias("cnt")))
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("token"))
+    return (counts.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 10)
+            .select("lang", "token", "cnt", "rnk"))
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup groups over documents (md5 grouping)."""
+    return textops.exact_dedup_groups(load(spark, sf_dir, "documents"),
+                                      "doc_id", "text")
+
+
+def q_token_counts(spark, sf_dir):
+    return textops.token_counts(load(spark, sf_dir, "documents"),
+                                "doc_id", "text")
+
+
+def q_quality_scores(spark, sf_dir):
+    return textops.quality_scores(load(spark, sf_dir, "documents"),
+                                  "doc_id", "text")
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """Exact word-3-gram Jaccard >= 0.5 pairs (MinHash-LSH companion)."""
+    return textops.ngram_jaccard_pairs(load(spark, sf_dir, "documents"),
+                                       "doc_id", "text", n=3, threshold=0.5)
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-5 neighbors for query vectors vec_id < 10.
+
+    JVM-side vector math: zip_with + aggregate (no Python). At scale
+    the query side is broadcast; the scan side streams.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    withnorm = emb.select(
+        "vec_id", "embedding",
+        F.sqrt(F.aggregate(F.transform("embedding",
+                                       lambda x: x.cast("double") * x.cast("double")),
+                           F.lit(0.0), lambda a, v: a + v)).alias("norm"))
+    q = (withnorm.filter(F.col("vec_id") < 10)
+         .select(F.col("vec_id").alias("q_id"),
+                 F.col("embedding").alias("q_emb"),
+                 F.col("norm").alias("q_norm")))
+    n = (withnorm.select(F.col("vec_id").alias("nbr_id"),
+                         F.col("embedding").alias("n_emb"),
+                         F.col("norm").alias("n_norm")))
+    dot = F.aggregate(
+        F.zip_with("q_emb", "n_emb",
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda a, v: a + v)
+    pairs = (n.crossJoin(F.broadcast(q))
+             .filter(F.col("q_id") != F.col("nbr_id"))
+             .withColumn("score", dot / (F.col("q_norm") * F.col("n_norm"))))
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("nbr_id"))
+    return (pairs.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 5)
+            .select("q_id", "nbr_id", "rnk", F.round("score", 3).alias("score")))
+
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-style exact aggregation (partial-agg cross-check)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                 .alias("sum_disc_price"),
+                 F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                 F.count("*").alias("count_order")))
+
+
+def q_langid(spark, sf_dir):
+    return textops.langid_heuristic(load(spark, sf_dir, "documents"),
+                                    "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# sketch queries (estimates; rows-only driver check)
+# ---------------------------------------------------------------------------
+
+def _doc_sketches(spark, sf_dir, specs) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return build_sketches(docs, ["lang"], specs)
+
+
+def q_bloom_fpr_validation(spark, sf_dir):
+    """The reference's stage-3 output: per-lang designed-vs-measured FPR
+    plus the false-negative count (must be 0)."""
+    docs = load(spark, sf_dir, "documents")
+    bp = bloom_params_by_group(calibrate(docs, ["lang"]), BLOOM_P)
+    merged = build_sketches(
+        docs, ["lang"],
+        [SketchSpec("text_bloom", "bloom", "text", per_group_params=bp)])
+    filters = collect_sketches(merged, ["lang"], "text_bloom")
+    return bloom_validate(docs, filters, ["lang"], "text", BLOOM_P)
+
+
+def q_hll_distinct_lang(spark, sf_dir):
+    merged = _doc_sketches(spark, sf_dir,
+                           [SketchSpec("h", "hll", "text", {"b": 14})])
+    hlls = collect_sketches(merged, ["lang"], "h")
+    rows = [(lang, float(h.estimate()), float(h.rel_error()))
+            for lang, h in sorted(hlls.items())]
+    return spark.createDataFrame(rows, "lang string, n_distinct_est double, rel_error double")
+
+
+def q_cms_top_tokens(spark, sf_dir):
+    """CMS estimates for the exact top-10 candidate tokens per lang."""
+    merged = _doc_sketches(spark, sf_dir,
+                           [SketchSpec("c", "cms", "text",
+                                       {"w": 16384, "d": 5}, tokenize=True)])
+    sketches = collect_sketches(merged, ["lang"], "c")
+    cand = q_heavy_tokens_lang(spark, sf_dir).collect()
+    rows = []
+    for r in cand:
+        cms = sketches.get(r["lang"])
+        if cms is None:
+            continue
+        est = int(cms.query_batch([r["token"]])[0])
+        rows.append((r["lang"], r["token"], est, int(r["cnt"])))
+    return spark.createDataFrame(
+        rows, "lang string, token string, est_cnt long, exact_cnt long")
+
+
+def q_kll_quantiles_nchars(spark, sf_dir):
+    merged = _doc_sketches(
+        spark, sf_dir,
+        [SketchSpec("k", "kll", "n_chars", {"k": 256}),
+         SketchSpec("t", "tdigest", "n_chars", {"delta": 300})])
+    klls = collect_sketches(merged, ["lang"], "k")
+    tds = collect_sketches(merged, ["lang"], "t")
+    rows = [(lang, float(sk.quantile(0.5)), float(sk.quantile(0.9)),
+             float(tds[lang].quantile(0.5)), float(tds[lang].quantile(0.9)))
+            for lang, sk in sorted(klls.items())]
+    return spark.createDataFrame(
+        rows, "lang string, kll_p50 double, kll_p90 double, "
+              "td_p50 double, td_p90 double")
+
+
+def q_tdigest_quantiles_value(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    merged = build_sketches(ev, ["event_type"],
+                            [SketchSpec("t", "tdigest", "value", {"delta": 300})])
+    tds = collect_sketches(merged, ["event_type"], "t")
+    rows = [(et, float(td.quantile(0.5)), float(td.quantile(0.95)))
+            for et, td in sorted(tds.items())]
+    return spark.createDataFrame(rows, "event_type string, p50_est double, p95_est double")
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    return textops.minhash_lsh_pairs(load(spark, sf_dir, "documents"),
+                                     "doc_id", "text", threshold=0.5)
+
+
+def q_simhash_pairs(spark, sf_dir):
+    return textops.simhash_candidate_pairs(load(spark, sf_dir, "documents"),
+                                           "doc_id", "text", max_hamming=3)
+
+
+def q_content_fingerprint(spark, sf_dir):
+    return textops.content_fingerprint(load(spark, sf_dir, "documents"),
+                                       "doc_id", "text")

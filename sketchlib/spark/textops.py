@@ -1,0 +1,332 @@
+"""Text-analysis / dedup operators for training-data pipelines.
+
+All operators follow the same execution posture as the sketch build:
+JVM-side DataFrame ops where Spark's built-ins express the semantics
+(exact dedup, token counts, quality ratios), Arrow-batched pandas UDFs
+with numpy kernels where they don't (minhash signatures, simhash,
+fingerprints). Never per-row Python.
+
+Dedup ladder (each a separate operator, composable):
+  exact        — groupBy(md5(text))                      [built-ins only]
+  minhash LSH  — shingle -> minhash sig -> band buckets -> bucket join
+  simhash      — 64-bit weighted-bit signature, hamming cand. pairs
+  n-gram exact — word-shingle Jaccard via explode + self-join [built-ins]
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+from pyspark.sql.types import (ArrayType, BinaryType, LongType, StringType,
+                               StructField, StructType)
+
+from sketchlib.core import hashing
+
+# ---------------------------------------------------------------------------
+# exact dedup + n-gram Jaccard — pure DataFrame compositions
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One row per distinct text: (text_md5, keep_id=min id, n_copies)."""
+    return (df.select(F.md5(F.col(text_col).cast("binary")).alias("text_md5"),
+                      F.col(id_col))
+            .groupBy("text_md5")
+            .agg(F.min(id_col).alias("keep_id"),
+                 F.count("*").alias("n_copies")))
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                        n: int = 3, threshold: float = 0.5,
+                        max_shingle_freq: int | None = None) -> DataFrame:
+    """Exact word-n-gram Jaccard similar pairs via shingle self-join.
+
+    The shingle->join plan is the exact counterpart of MinHash LSH:
+    explode distinct shingles, join docs sharing one, count the
+    intersection, Jaccard = inter / (|A| + |B| - inter).
+    ``max_shingle_freq`` drops ubiquitous shingles before the join
+    (skew guard — a shingle shared by f docs creates f^2 join rows).
+    """
+    toks = F.split(F.col(text_col), " ")
+    n_sh = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    sh = (df.select(F.col(id_col).alias("doc"), toks.alias("t"))
+          .select("doc", F.explode(
+              F.transform(F.sequence(F.lit(0), F.size(F.col("t")) - n),
+                          lambda i: F.concat_ws(" ", F.slice(F.col("t"), i + 1, n)))
+          ).alias("shingle"))
+          .distinct())
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("f"))
+        sh = (sh.join(F.broadcast(freq.filter(F.col("f") <= max_shingle_freq)
+                                  .select("shingle")), "shingle"))
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                    & (F.col("a.doc") < F.col("b.doc")))
+             .groupBy(F.col("a.doc").alias("a_id"), F.col("b.doc").alias("b_id"))
+             .agg(F.count("*").alias("inter")))
+    sa = sizes.select(F.col("doc").alias("a_id"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc").alias("b_id"), F.col("sz").alias("sz_b"))
+    return (inter.join(sa, "a_id").join(sb, "b_id")
+            .withColumn("jaccard", F.col("inter")
+                        / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+            .filter(F.col("jaccard") >= threshold)
+            .select("a_id", "b_id", F.round("jaccard", 4).alias("jaccard")))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH — numpy kernel in mapInPandas
+# ---------------------------------------------------------------------------
+
+def _minhash_batch(texts: pd.Series, n_hashes: int, shingle_n: int,
+                   seed: int) -> np.ndarray:
+    """uint64[n_docs, n_hashes] minhash signatures over word shingles."""
+    tok_lists = texts.astype(str).str.split()
+    n_docs = len(tok_lists)
+    sig = np.full((n_docs, n_hashes), np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
+    doc_idx = []
+    shingles = []
+    for d, toks in enumerate(tok_lists):
+        if toks is None or len(toks) < shingle_n:
+            continue
+        seen = {" ".join(toks[i:i + shingle_n])
+                for i in range(len(toks) - shingle_n + 1)}
+        shingles.extend(seen)
+        doc_idx.extend([d] * len(seen))
+    if not shingles:
+        return sig
+    doc_idx = np.asarray(doc_idx, dtype=np.int64)
+    h1, h2 = hashing.hash64_pair(shingles, seed)
+    with np.errstate(over="ignore"):
+        for i in range(n_hashes):
+            hv = h1 + np.uint64(i) * h2
+            np.minimum.at(sig[:, i], doc_idx, hv)
+    return sig
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
+                       n_hashes: int = 128, shingle_n: int = 3,
+                       seed: int = 7) -> DataFrame:
+    """(id, sig: array<bigint>) — one minhash signature per doc."""
+    schema = StructType([
+        StructField("doc_id_mh", LongType(), False),
+        StructField("sig", ArrayType(LongType()), False),
+    ])
+    sel = df.select(F.col(id_col).cast("long").alias("_id"), text_col)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            sig = _minhash_batch(pdf[text_col], n_hashes, shingle_n, seed)
+            yield pd.DataFrame({
+                "doc_id_mh": pdf["_id"].to_numpy(),
+                "sig": list(sig.view(np.int64)),
+            })
+
+    return sel.mapInPandas(fn, schema)
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
+                      n_hashes: int = 128, bands: int = 32,
+                      shingle_n: int = 3, threshold: float = 0.5,
+                      seed: int = 7) -> DataFrame:
+    """Near-dup candidate pairs via banded LSH, verified by signature
+    Jaccard estimate >= threshold.
+
+    Scale path: docs never pair all-vs-all — candidates come from an
+    equi-join on (band index, band hash), i.e. a hash-partitioned
+    shuffle on small keys. est_jaccard = fraction of equal signature
+    components (unbiased estimator of true Jaccard).
+    """
+    if n_hashes % bands:
+        raise ValueError("bands must divide n_hashes")
+    rows_per_band = n_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n, seed)
+    sigs = sigs.withColumnRenamed("doc_id_mh", "doc").cache()
+
+    band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
+    banded = (sigs.select("doc", "sig", band_idx)
+              .select("doc", "band",
+                      F.xxhash64(F.slice("sig", F.col("band") * rows_per_band + 1,
+                                         rows_per_band).cast("string"))
+                      .alias("bucket")))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.doc") < F.col("b.doc")))
+            .select(F.col("a.doc").alias("a_id"), F.col("b.doc").alias("b_id"))
+            .distinct())
+    sa = sigs.select(F.col("doc").alias("a_id"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc").alias("b_id"), F.col("sig").alias("sig_b"))
+    est = (cand.join(sa, "a_id").join(sb, "b_id")
+           .withColumn("est_jaccard", F.expr(
+               "aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)),"
+               " 0, (acc, v) -> acc + v)") / F.lit(n_hashes)))
+    return (est.filter(F.col("est_jaccard") >= threshold)
+            .select("a_id", "b_id", F.round("est_jaccard", 4).alias("est_jaccard")))
+
+
+# ---------------------------------------------------------------------------
+# SimHash — numpy kernel in mapInPandas
+# ---------------------------------------------------------------------------
+
+def _simhash_batch(texts: pd.Series, seed: int) -> np.ndarray:
+    """int64[n_docs] 64-bit simhash over whitespace tokens."""
+    tok_lists = texts.astype(str).str.split()
+    n_docs = len(tok_lists)
+    votes = np.zeros((n_docs, 64), dtype=np.int64)
+    doc_idx = []
+    tokens = []
+    for d, toks in enumerate(tok_lists):
+        if not toks:
+            continue
+        tokens.extend(toks)
+        doc_idx.extend([d] * len(toks))
+    if tokens:
+        doc_idx = np.asarray(doc_idx, dtype=np.int64)
+        h = hashing.hash64(tokens, seed)
+        bits = np.unpackbits(h[:, None].view(np.uint8), axis=1,
+                             bitorder="little").astype(np.int64)  # (n_tok, 64)
+        np.add.at(votes, doc_idx, 2 * bits - 1)
+    out_bits = (votes > 0).astype(np.uint8)
+    return np.packbits(out_bits, axis=1, bitorder="little").view(np.uint64)[:, 0].view(np.int64)
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, seed: int = 11) -> DataFrame:
+    """(id, simhash: bigint) — order-independent 64-bit near-dup signature."""
+    schema = StructType([
+        StructField("doc", LongType(), False),
+        StructField("simhash", LongType(), False),
+    ])
+    sel = df.select(F.col(id_col).cast("long").alias("_id"), text_col)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame({"doc": pdf["_id"].to_numpy(),
+                                "simhash": _simhash_batch(pdf[text_col], seed)})
+
+    return sel.mapInPandas(fn, schema)
+
+
+def simhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
+                            max_hamming: int = 3, seed: int = 11) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming.
+
+    Banding on 4 x 16-bit chunks: two signatures within hamming 3 must
+    agree exactly on at least one chunk (pigeonhole), so candidates come
+    from 4 equi-joins, never a cross join.
+    """
+    sh = simhash(df, id_col, text_col, seed).cache()
+    chunks = sh.select(
+        "doc", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("chunk"),
+                     F.shiftright("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF))
+                     .alias("val"))
+            for i in range(4)])).alias("c")
+    ).select("doc", "simhash", F.col("c.chunk").alias("chunk"),
+             F.col("c.val").alias("val"))
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
+                   & (F.col("a.val") == F.col("b.val"))
+                   & (F.col("a.doc") < F.col("b.doc")))
+            .select(F.col("a.doc").alias("a_id"), F.col("b.doc").alias("b_id"),
+                    F.col("a.simhash").alias("sh_a"), F.col("b.simhash").alias("sh_b"))
+            .distinct())
+    return (cand.withColumn("hamming", F.bit_count(
+                F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("a_id", "b_id", "hamming"))
+
+
+# ---------------------------------------------------------------------------
+# quality / token stats / lang-id / fingerprint
+# ---------------------------------------------------------------------------
+
+def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, n_tokens) via built-in split — stays in whole-stage codegen."""
+    return df.select(F.col(id_col),
+                     F.size(F.split(F.col(text_col), " ")).cast("long")
+                     .alias("n_tokens"))
+
+
+def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Deterministic quality features, all with built-in functions:
+    char count, token count, distinct-token ratio, mean token length."""
+    toks = F.split(F.col(text_col), " ")
+    n_tok = F.size(toks).cast("long")
+    n_chars = F.length(F.col(text_col)).cast("long")
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars_text"),
+        n_tok.alias("n_tokens"),
+        F.round(F.size(F.array_distinct(toks)) / n_tok, 4).alias("uniq_ratio"),
+        F.round((n_chars - (n_tok - 1)) / n_tok, 4).alias("avg_token_len"),
+    )
+
+
+# tiny built-in stopword profiles (public common words); deterministic
+_LANG_PROFILES = {
+    "en": {"the", "and", "of", "to", "in", "is", "a", "that", "for", "it"},
+    "es": {"el", "la", "de", "que", "y", "en", "un", "es", "los", "por"},
+    "de": {"der", "die", "und", "das", "in", "von", "zu", "den", "mit", "ist"},
+    "fr": {"le", "la", "de", "et", "les", "des", "en", "un", "du", "que"},
+    "pt": {"de", "a", "o", "que", "e", "do", "da", "em", "um", "para"},
+    "it": {"di", "e", "il", "la", "che", "in", "un", "per", "del", "non"},
+    "nl": {"de", "het", "een", "en", "van", "in", "is", "dat", "op", "te"},
+}
+
+
+def langid_heuristic(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stopword-overlap language guess: (id, lang_pred, confidence).
+
+    Pure DataFrame expression: per-profile overlap counts via
+    array_intersect on the token array; argmax across a small fixed set
+    of profiles. Docs matching no profile get 'und' (undetermined).
+    """
+    toks = F.array_distinct(F.split(F.lower(F.col(text_col)), " "))
+    scores = F.array(*[
+        F.struct(
+            F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in sorted(ws)])))
+            .alias("score"),
+            F.lit(lang).alias("lang"))
+        for lang, ws in sorted(_LANG_PROFILES.items())])
+    best = F.array_max(scores)
+    return df.select(
+        F.col(id_col),
+        F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+        .alias("lang_pred"),
+        F.round(best["score"] / F.greatest(F.size(toks), F.lit(1)), 4)
+        .alias("confidence"))
+
+
+def content_fingerprint(df: DataFrame, id_col: str, text_col: str,
+                        seed: int = 13) -> DataFrame:
+    """(id, fingerprint: bigint) — 64-bit content hash of the
+    whitespace-normalized lowercased text (exact-dup fingerprinting)."""
+    schema = StructType([
+        StructField("doc", LongType(), False),
+        StructField("fingerprint", LongType(), False),
+    ])
+    sel = df.select(F.col(id_col).cast("long").alias("_id"),
+                    F.lower(F.trim(F.regexp_replace(F.col(text_col),
+                                                    r"\s+", " "))).alias("_t"))
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            h = hashing.hash64(pdf["_t"], seed).view(np.int64)
+            yield pd.DataFrame({"doc": pdf["_id"].to_numpy(), "fingerprint": h})
+
+    return sel.mapInPandas(fn, schema)
