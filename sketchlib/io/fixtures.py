@@ -115,7 +115,7 @@ def pages_path(scale: str = "tiny", base_dir: str | None = None,
     if os.path.exists(path) and os.path.exists(manifest):
         return path
     table = generate_pages(n_rows, seed=seed)
-    pq.write_table(table, path, row_group_size=65_536)
+    pq.write_table(table, path, row_group_size=8_192)  # small row groups -> parallel scan splits
     with open(manifest, "w") as f:
         json.dump({"n_rows": n_rows, "seed": seed, "generator": "sketchlib.io.fixtures"}, f)
     return path

@@ -57,6 +57,11 @@ def get_spark(app_name: str = "sketchlib", cpus: int | str = "*",
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # 32 MB splits: a 1 GB local input must fan out to ~32 scan
+        # tasks, not 128-MB-default's 8 (on a real cluster the default
+        # is fine — there the input is thousands of files)
+        .config("spark.sql.files.maxPartitionBytes",
+                os.environ.get("SKETCHLIB_MAX_PARTITION_BYTES", "33554432"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.driver.memory", os.environ.get("SKETCHLIB_DRIVER_MEM", "8g"))
