@@ -68,6 +68,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _wrap(Q.q_simhash_pairs),
         "content_fingerprint": _wrap(Q.q_content_fingerprint),
         "langid_heuristic": _wrap(Q.q_langid),
+        "hll_users_daily": _wrap(Q.q_hll_users_daily),
+        "bloom_membership": _wrap(Q.q_bloom_membership),
+        "ann_lsh_topk": _wrap(Q.q_ann_lsh_topk),
     }
 
 

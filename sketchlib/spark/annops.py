@@ -1,0 +1,98 @@
+"""Approximate nearest neighbors over embedding columns.
+
+Two strategies (SURVEY-mandated similarity-search surface):
+- brute-force cosine top-k (queries.q_ann_cosine_topk): exact,
+  JVM-side zip_with/aggregate, broadcast query side — the baseline and
+  the oracle-checkable path.
+- SRP-LSH (here): signed-random-projection signatures, banded bucket
+  join — the 10^9-vector path. Candidates come from equi-joins on
+  (band, bucket); only candidates pay the exact cosine. Hyperplanes
+  are seeded (deterministic run-to-run, resumable).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+import pyspark.sql.functions as F
+from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+
+def srp_signatures(df: DataFrame, id_col: str, vec_col: str, dim: int,
+                   bands: int = 32, bits_per_band: int = 4,
+                   seed: int = 17) -> DataFrame:
+    """(id, bands: array<bigint>) — one packed SRP bucket per band."""
+    nbits = bands * bits_per_band
+    schema = StructType([
+        StructField("vid", LongType(), False),
+        StructField("bands", ArrayType(LongType()), False),
+    ])
+    sel = df.select(F.col(id_col).cast("long").alias("_id"), vec_col)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        planes = (np.random.default_rng(seed)
+                  .standard_normal((dim, nbits)).astype(np.float32))
+        weights = (np.uint64(1) << np.arange(bits_per_band, dtype=np.uint64))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float32)
+            bits = (mat @ planes) > 0                      # (n, nbits)
+            b = bits.reshape(len(pdf), bands, bits_per_band)
+            packed = (b.astype(np.uint64) * weights).sum(axis=2).astype(np.int64)
+            yield pd.DataFrame({"vid": pdf["_id"].to_numpy(),
+                                "bands": list(packed)})
+
+    return sel.mapInPandas(fn, schema)
+
+
+def ann_lsh_topk(df: DataFrame, id_col: str, vec_col: str, dim: int,
+                 query_filter, k: int = 5, bands: int = 32,
+                 bits_per_band: int = 4, seed: int = 17) -> DataFrame:
+    """Top-k cosine neighbors per query via SRP-LSH candidates.
+
+    ``query_filter`` is a Column predicate selecting the query rows.
+    Output: (q_id, nbr_id, rnk, score) — same shape as the brute-force
+    baseline so recall is directly comparable.
+    """
+    sigs = srp_signatures(df, id_col, vec_col, dim, bands, bits_per_band,
+                          seed).cache()
+    banded = sigs.select(
+        "vid", F.posexplode("bands").alias("band", "bucket"))
+    base = df.select(F.col(id_col).cast("long").alias("vid"),
+                     F.col(vec_col).alias("emb"))
+    norms = base.select(
+        "vid", "emb",
+        F.sqrt(F.aggregate(F.transform("emb",
+                                       lambda x: x.cast("double") * x.cast("double")),
+                           F.lit(0.0), lambda a, v: a + v)).alias("norm"))
+    q_ids = df.filter(query_filter).select(
+        F.col(id_col).cast("long").alias("q_id"))
+    qb = (banded.join(F.broadcast(q_ids),
+                      banded["vid"] == q_ids["q_id"])
+          .select("q_id", "band", "bucket"))
+    cand = (banded.alias("n").join(
+                qb.alias("q"),
+                (F.col("n.band") == F.col("q.band"))
+                & (F.col("n.bucket") == F.col("q.bucket"))
+                & (F.col("n.vid") != F.col("q.q_id")))
+            .select(F.col("q.q_id").alias("q_id"),
+                    F.col("n.vid").alias("nbr_id"))
+            .distinct())
+    qn = norms.select(F.col("vid").alias("q_id"), F.col("emb").alias("q_emb"),
+                      F.col("norm").alias("q_norm"))
+    nn = norms.select(F.col("vid").alias("nbr_id"), F.col("emb").alias("n_emb"),
+                      F.col("norm").alias("n_norm"))
+    dot = F.aggregate(
+        F.zip_with("q_emb", "n_emb",
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda a, v: a + v)
+    scored = (cand.join(F.broadcast(qn), "q_id").join(nn, "nbr_id")
+              .withColumn("score", dot / (F.col("q_norm") * F.col("n_norm"))))
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("nbr_id"))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("q_id", "nbr_id", "rnk", F.round("score", 3).alias("score")))

@@ -241,3 +241,49 @@ def q_simhash_pairs(spark, sf_dir):
 def q_content_fingerprint(spark, sf_dir):
     return textops.content_fingerprint(load(spark, sf_dir, "documents"),
                                        "doc_id", "text")
+
+
+def q_hll_users_daily(spark, sf_dir):
+    """HLL distinct users per (event_type, day) — multi-column grouping
+    through the whole build stack; exact companion: q_distinct_users_daily."""
+    ev = (load(spark, sf_dir, "events")
+          .withColumn("day", F.date_format("ts", "yyyy-MM-dd")))
+    ev = ev.withColumn("user_id_str", F.col("user_id").cast("string"))
+    merged = build_sketches(ev, ["event_type", "day"],
+                            [SketchSpec("u", "hll", "user_id_str", {"b": 13})])
+    hlls = collect_sketches(merged, ["event_type", "day"], "u")
+    rows = [(et, day, float(h.estimate()))
+            for (et, day), h in sorted(hlls.items())]
+    return spark.createDataFrame(
+        rows, "event_type string, day string, n_users_est double")
+
+
+def q_bloom_membership(spark, sf_dir):
+    """Set-membership probe: is each of the first 50 texts a member of
+    each lang's set? (the reference's stage-3 probe as a query —
+    /root/reference/spark/main.py:55-70)."""
+    docs = load(spark, sf_dir, "documents")
+    bp = bloom_params_by_group(calibrate(docs, ["lang"]), BLOOM_P)
+    merged = build_sketches(
+        docs, ["lang"],
+        [SketchSpec("b", "bloom", "text", per_group_params=bp)])
+    filters = collect_sketches(merged, ["lang"], "b")
+    probe_rows = docs.orderBy("doc_id").limit(50).select("doc_id", "text", "lang").collect()
+    out = []
+    for (lang, bf) in sorted(filters.items()):
+        hits = bf.contains_batch([r["text"] for r in probe_rows])
+        for r, h in zip(probe_rows, hits):
+            out.append((int(r["doc_id"]), lang, bool(h), r["lang"] == lang))
+    return spark.createDataFrame(
+        out, "doc_id long, filter_lang string, is_member boolean, true_member boolean")
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """SRP-LSH approximate top-5 (scale path; brute-force companion
+    q_ann_cosine_topk measures recall)."""
+    from sketchlib.spark import annops
+    emb = load(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    return annops.ann_lsh_topk(emb, "vec_id", "embedding", dim,
+                               query_filter=F.col("vec_id") < 10, k=5,
+                               bands=32, bits_per_band=4)

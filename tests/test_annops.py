@@ -1,0 +1,52 @@
+"""ANN: brute-force baseline correctness + SRP-LSH recall."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from sketchlib.spark import annops
+from sketchlib.spark.queries import q_ann_cosine_topk
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+    df.count()
+    return df
+
+
+def test_brute_force_self_excluded_and_ranked(spark, emb):
+    rows = q_ann_cosine_topk(spark, SF).collect()
+    assert len(rows) == 10 * 5
+    for r in rows:
+        assert r["q_id"] != r["nbr_id"]
+        assert 1 <= r["rnk"] <= 5
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["q_id"], []).append((r["rnk"], r["score"]))
+    for q, lst in by_q.items():
+        scores = [s for _, s in sorted(lst)]
+        assert scores == sorted(scores, reverse=True), q
+
+
+def test_lsh_recall_against_brute_force(spark, emb):
+    dim = len(emb.first()["embedding"])
+    exact = {(r["q_id"], r["nbr_id"])
+             for r in q_ann_cosine_topk(spark, SF).collect()}
+    approx = {(r["q_id"], r["nbr_id"])
+              for r in annops.ann_lsh_topk(
+                  emb, "vec_id", "embedding", dim,
+                  query_filter=F.col("vec_id") < 10, k=5,
+                  bands=32, bits_per_band=4).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, recall  # 32 bands x 4 bits on near-random vectors
+
+
+def test_srp_signatures_deterministic(spark, emb):
+    dim = len(emb.first()["embedding"])
+    a = {r["vid"]: r["bands"] for r in
+         annops.srp_signatures(emb, "vec_id", "embedding", dim).collect()}
+    b = {r["vid"]: r["bands"] for r in
+         annops.srp_signatures(emb, "vec_id", "embedding", dim).collect()}
+    assert a == b and len(a) == emb.count()
