@@ -1,0 +1,81 @@
+"""Structured Streaming: incremental sketch maintenance per group.
+
+The reference is batch-only; this is the natural Spark extension the
+UDAF contract enables (SURVEY.md §2.6): sketch states are mergeable and
+serializable, so they drop into ``applyInPandasWithState`` as-is —
+each micro-batch updates the per-group state sketch and emits the
+refreshed estimate row.
+
+Note the execution-model tradeoff: stateful streaming hash-partitions
+raw rows by group (that is what keyed state means), unlike the batch
+build's partial-per-partition path. Skewed groups therefore need the
+salting module upstream (key by (group, salt) and merge the salted
+states downstream) — same lattice merges make that sound.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (BinaryType, LongType, StringType, StructField,
+                               StructType)
+
+from sketchlib.core.serde import sketch_from_bytes
+from sketchlib.spark.build import _group_fields, _values_for
+from sketchlib.spark.specs import SketchSpec
+
+
+def streaming_build(stream_df: DataFrame, group_cols: list[str],
+                    specs: list[SketchSpec]) -> DataFrame:
+    """Continuously-maintained sketch table over a stream.
+
+    Emits one row per (group, spec) per micro-batch that touched the
+    group: (group_cols..., sketch_name, sketch, n_rows) where ``sketch``
+    is the full serialized state (checkpointable, mergeable with batch-
+    built sketches of the same params).
+    """
+    names = [s.name for s in specs]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate spec names: {names}")
+    n_groups = len(group_cols)
+    out_schema = StructType(_group_fields(stream_df, group_cols) + [
+        StructField("sketch_name", StringType(), False),
+        StructField("sketch", BinaryType(), False),
+        StructField("n_rows", LongType(), False),
+    ])
+    state_schema = StructType(
+        [StructField(f"s{i}", BinaryType(), True) for i in range(len(specs))]
+        + [StructField("n_rows", LongType(), True)])
+
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        gkey = key if n_groups > 1 else key[0]
+        if state.exists:
+            stored = state.get
+            sketches = [sketch_from_bytes(bytes(b)) for b in stored[:-1]]
+            n_rows = int(stored[-1])
+        else:
+            sketches = [spec.make(gkey) for spec in specs]
+            n_rows = 0
+        for pdf in pdfs:
+            for si, spec in enumerate(specs):
+                vals = _values_for(spec, pdf)
+                if len(vals):
+                    sketches[si].update_batch(vals)
+            n_rows += len(pdf)
+        blobs = [sk.to_bytes() for sk in sketches]
+        state.update(tuple(blobs) + (n_rows,))
+        kt = key
+        yield pd.DataFrame({
+            **{c: [kt[i]] * len(specs) for i, c in enumerate(group_cols)},
+            "sketch_name": names,
+            "sketch": blobs,
+            "n_rows": [n_rows] * len(specs),
+        })
+
+    return (stream_df.groupBy(*group_cols)
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "update", GroupStateTimeout.NoTimeout))
