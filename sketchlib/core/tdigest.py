@@ -46,7 +46,18 @@ class TDigest:
         return self.delta / _TWO_PI * np.arcsin(np.clip(2.0 * q - 1.0, -1.0, 1.0))
 
     def _compress(self, means: np.ndarray, weights: np.ndarray) -> None:
-        """One deterministic merge pass over centroids sorted by (mean, weight)."""
+        """Deterministic fully-vectorized compression.
+
+        Fixed-boundary variant of the merging digest: the k1 scale is
+        divided into unit-k bins (q_j = (sin(j*2pi/delta - pi/2)+1)/2),
+        centroids sorted by (mean, weight) are bucketed by the cumulative
+        weight of their *left edge* via searchsorted, and each bucket
+        collapses to its weighted mean with np.add.reduceat — no Python
+        loop. Every bucket spans < 1 unit of k, so the classic t-digest
+        size bound (<= ~2*delta centroids) and rank-error shape hold;
+        determinism is by construction (state -> bytes is a pure
+        function, merges are bitwise-commutative).
+        """
         if len(means) == 0:
             self.means = means
             self.weights = weights
@@ -55,31 +66,19 @@ class TDigest:
         means = means[order]
         weights = weights[order]
         total = weights.sum()
-        out_means: list[float] = []
-        out_weights: list[float] = []
-        cur_m = means[0]
-        cur_w = weights[0]
-        w_so_far = 0.0
-        k_lo = self._k_limit(np.array([0.0]))[0]
-        for i in range(1, len(means)):
-            q_hi = (w_so_far + cur_w + weights[i]) / total
-            k_hi = self._k_limit(np.array([q_hi]))[0]
-            if k_hi - k_lo <= 1.0:
-                # absorb into current centroid (weighted mean)
-                nw = cur_w + weights[i]
-                cur_m = cur_m + (means[i] - cur_m) * (weights[i] / nw)
-                cur_w = nw
-            else:
-                out_means.append(cur_m)
-                out_weights.append(cur_w)
-                w_so_far += cur_w
-                k_lo = self._k_limit(np.array([w_so_far / total]))[0]
-                cur_m = means[i]
-                cur_w = weights[i]
-        out_means.append(cur_m)
-        out_weights.append(cur_w)
-        self.means = np.asarray(out_means, dtype=np.float64)
-        self.weights = np.asarray(out_weights, dtype=np.float64)
+        # unit-k boundaries in q-space (k1 scale): k(q_j) = j - delta/4*2pi...
+        # solve k(q) = j for j = ceil(k(0))..floor(k(1)):
+        # q = (sin(2pi j / delta) + 1) / 2 with j in [-delta/4, delta/4]
+        j = np.arange(-(self.delta // 4), self.delta // 4 + 1, dtype=np.float64)
+        bounds_q = (np.sin(_TWO_PI * j / self.delta) + 1.0) / 2.0
+        left_cum = np.concatenate([[0.0], np.cumsum(weights)[:-1]]) / total
+        bucket = np.searchsorted(bounds_q, left_cum, side="right")
+        # reduceat needs the first index of each bucket run
+        starts = np.flatnonzero(np.diff(bucket, prepend=bucket[0] - 1))
+        w_sum = np.add.reduceat(weights, starts)
+        mw_sum = np.add.reduceat(means * weights, starts)
+        self.means = mw_sum / w_sum
+        self.weights = w_sum
 
     def _flush(self) -> None:
         if not self._buf:
