@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_users_daily": _wrap(Q.q_hll_users_daily),
         "bloom_membership": _wrap(Q.q_bloom_membership),
         "ann_lsh_topk": _wrap(Q.q_ann_lsh_topk),
+        "cms_heavy_hitters_scale": _wrap(Q.q_cms_heavy_hitters_scale),
     }
 
 

@@ -287,3 +287,11 @@ def q_ann_lsh_topk(spark, sf_dir):
     return annops.ann_lsh_topk(emb, "vec_id", "embedding", dim,
                                query_filter=F.col("vec_id") < 10, k=5,
                                bands=32, bits_per_band=4)
+
+
+def q_cms_heavy_hitters_scale(spark, sf_dir):
+    """Scale-true heavy hitters (CMS + per-partition candidates) —
+    no exact pass; companion q_heavy_tokens_lang measures accuracy."""
+    from sketchlib.spark.heavyhitters import cms_heavy_hitters
+    return cms_heavy_hitters(load(spark, sf_dir, "documents"),
+                             ["lang"], "text", k=10)

@@ -1,0 +1,88 @@
+"""SQL-facing scalar functions over serialized sketch columns.
+
+``register_sql_functions(spark)`` registers Arrow-batched pandas UDFs
+so a sketch table written by ``build_sketches`` is queryable straight
+from ``spark.sql``:
+
+    SELECT lang, sketch_estimate(sketch) AS distinct_est
+    FROM sketches WHERE sketch_name = 'url_hll'
+
+    SELECT lang, bloom_contains(sketch, 'https://...') AS hit
+    FROM sketches WHERE sketch_name = 'url_bloom'
+
+UDF construction is deferred to registration time (pandas_udf needs an
+active session to parse return types). Sketch rows are ≤ #groups, so
+per-row deserialization here is driver-scale work made SQL-composable,
+not a hot path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql.functions import pandas_udf
+
+from sketchlib.core.serde import sketch_from_bytes
+from sketchlib.core.bloom import BloomFilter
+from sketchlib.core.cms import CountMinSketch
+from sketchlib.core.hll import HyperLogLog
+
+
+def _make_udfs() -> dict:
+    def sketch_estimate(blobs: pd.Series) -> pd.Series:
+        """HLL/Bloom: distinct estimate; CMS: total; quantile sketches:
+        total weight."""
+        out = []
+        for b in blobs:
+            sk = sketch_from_bytes(bytes(b))
+            if isinstance(sk, (HyperLogLog, BloomFilter)):
+                out.append(float(sk.estimate()))
+            elif isinstance(sk, CountMinSketch):
+                out.append(float(sk.total))
+            else:
+                out.append(float(sk.total_weight()
+                                 if hasattr(sk, "total_weight") else sk.n))
+        return pd.Series(out, dtype="float64")
+
+    def bloom_contains(blobs: pd.Series, keys: pd.Series) -> pd.Series:
+        out = np.zeros(len(blobs), dtype=bool)
+        for i, (b, k) in enumerate(zip(blobs, keys)):
+            if b is None or k is None:
+                continue
+            out[i] = bool(BloomFilter.from_bytes(bytes(b))
+                          .contains_batch([k])[0])
+        return pd.Series(out)
+
+    def cms_count(blobs: pd.Series, keys: pd.Series) -> pd.Series:
+        out = np.zeros(len(blobs), dtype=np.int64)
+        for i, (b, k) in enumerate(zip(blobs, keys)):
+            if b is None or k is None:
+                continue
+            out[i] = int(CountMinSketch.from_bytes(bytes(b))
+                         .query_batch([k])[0])
+        return pd.Series(out)
+
+    def sketch_quantile(blobs: pd.Series, qs: pd.Series) -> pd.Series:
+        out = np.full(len(blobs), np.nan)
+        for i, (b, q) in enumerate(zip(blobs, qs)):
+            if b is None or q is None:
+                continue
+            out[i] = float(sketch_from_bytes(bytes(b)).quantile(float(q)))
+        return pd.Series(out)
+
+    return {
+        "sketch_estimate": pandas_udf(sketch_estimate, "double"),
+        "bloom_contains": pandas_udf(bloom_contains, "boolean"),
+        "cms_count": pandas_udf(cms_count, "long"),
+        "sketch_quantile": pandas_udf(sketch_quantile, "double"),
+    }
+
+
+def register_sql_functions(spark: SparkSession) -> dict:
+    """Register all sketch SQL functions; returns the udf objects for
+    DataFrame-API use."""
+    udfs = _make_udfs()
+    for name, udf in udfs.items():
+        spark.udf.register(name, udf)
+    return udfs

@@ -1,0 +1,49 @@
+"""SQL surface over sketch tables."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from sketchlib.spark.build import build_sketches
+from sketchlib.spark.specs import SketchSpec
+from sketchlib.spark.sqlfuncs import register_sql_functions
+
+
+@pytest.fixture(scope="module")
+def sketch_view(spark, pages_tiny):
+    df = build_sketches(
+        pages_tiny.withColumn("hlen", F.length("html").cast("double")),
+        ["lang"],
+        [SketchSpec("url_hll", "hll", "url", {"b": 12}),
+         SketchSpec("url_bloom", "bloom", "url", {"m": 1 << 16, "k": 6}),
+         SketchSpec("len_kll", "kll", "hlen", {"k": 200})])
+    df.createOrReplaceTempView("sketches")
+    register_sql_functions(spark)
+    return df
+
+
+def test_sql_estimate(spark, pages_tiny, sketch_view):
+    rows = spark.sql(
+        "SELECT lang, sketch_estimate(sketch) AS est FROM sketches "
+        "WHERE sketch_name = 'url_hll'").collect()
+    exact = {r["lang"]: r["n"] for r in
+             pages_tiny.groupBy("lang").agg(F.countDistinct("url").alias("n")).collect()}
+    assert len(rows) == 10
+    for r in rows:
+        assert abs(r["est"] - exact[r["lang"]]) / exact[r["lang"]] < 0.1
+
+
+def test_sql_bloom_contains(spark, pages_tiny, sketch_view):
+    some = pages_tiny.filter("lang = 'en'").select("url").first()["url"]
+    rows = spark.sql(
+        f"SELECT lang, bloom_contains(sketch, '{some}') AS hit FROM sketches "
+        "WHERE sketch_name = 'url_bloom'").collect()
+    hits = {r["lang"]: r["hit"] for r in rows}
+    assert hits["en"] is True
+
+
+def test_sql_quantile(spark, sketch_view):
+    rows = spark.sql(
+        "SELECT lang, sketch_quantile(sketch, 0.5) AS p50 FROM sketches "
+        "WHERE sketch_name = 'len_kll'").collect()
+    assert len(rows) == 10
+    assert all(r["p50"] > 0 for r in rows)
