@@ -78,7 +78,8 @@ def _partials_schema(df: DataFrame, group_cols: list[str]) -> StructType:
 def _values_for(spec: SketchSpec, sub: pd.DataFrame):
     col = sub[spec.value_col]
     if spec.tokenize:
-        col = col.astype(str).str.split().explode().dropna()
+        # dropna BEFORE astype(str): nulls must vanish, not become "nan"
+        col = col.dropna().astype(str).str.split().explode().dropna()
     if spec.numeric:
         return col.to_numpy(dtype=np.float64, na_value=np.nan)
     return col.dropna()
