@@ -197,11 +197,20 @@ def merge_partials(partials: DataFrame, group_cols: list[str],
 
 
 def build_sketches(df: DataFrame, group_cols: list[str],
-                   specs: list[SketchSpec], fanout: int | None = None) -> DataFrame:
+                   specs: list[SketchSpec],
+                   fanout: int | str | None = "auto") -> DataFrame:
     """Full stage-2: partial build then hierarchical merge.
+
+    ``fanout="auto"`` (default) sizes the merge tree from the input
+    partition count: single-level up to 64 partials per group, else a
+    two-level tree with ~sqrt(parts) buckets — so one merge task never
+    deserializes more than ~sqrt(parts) states on a 10k-partition input.
 
     Returns one row per (group, sketch_name):
     (group_cols..., sketch_name, sketch binary, n_rows, n_partials).
     """
+    if fanout == "auto":
+        parts = df.rdd.getNumPartitions()
+        fanout = None if parts <= 64 else int(np.ceil(np.sqrt(parts)))
     return merge_partials(build_partials(df, group_cols, specs),
                           group_cols, fanout=fanout)

@@ -130,3 +130,19 @@ def test_duplicate_spec_names_rejected(spark, pages):
         build_partials(pages, ["lang"], [
             SketchSpec("x", "hll", "url", {"b": 8}),
             SketchSpec("x", "bloom", "url", {"m": 64, "k": 2})])
+
+
+def test_auto_fanout_two_level_on_wide_input(spark, pages_tiny):
+    wide = pages_tiny.repartition(100)
+    df = build_sketches(wide, ["lang"],
+                        [SketchSpec("h", "hll", "url", {"b": 8})])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FlatMapGroupsInPandas") == 2, plan  # two merge levels
+    narrow = build_sketches(pages_tiny, ["lang"],
+                            [SketchSpec("h", "hll", "url", {"b": 8})])
+    plan_n = narrow._jdf.queryExecution().executedPlan().toString()
+    assert plan_n.count("FlatMapGroupsInPandas") == 1, plan_n
+    # results identical either way (lattice merge)
+    a = {(r["lang"]): bytes(r["sketch"]) for r in df.collect()}
+    b = {(r["lang"]): bytes(r["sketch"]) for r in narrow.collect()}
+    assert a == b
