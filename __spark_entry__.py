@@ -25,6 +25,22 @@ if _REPO not in sys.path:
 
 from sketchlib.spark import queries as Q  # noqa: E402
 from sketchlib.spark.session import attach_package  # noqa: E402
+from sketchlib.spark.textops import _LANG_PROFILES  # noqa: E402
+
+
+def _langid_oracle() -> str:
+    structs = ", ".join(
+        "{'score': len(list_intersect(toks, [%s])), 'lang': '%s'}"
+        % (", ".join(f"'{w}'" for w in sorted(ws)), lang)
+        for lang, ws in sorted(_LANG_PROFILES.items()))
+    return (
+        "WITH s AS (SELECT doc_id, "
+        "list_distinct(string_split(lower(text), ' ')) AS toks "
+        "FROM documents), "
+        f"sc AS (SELECT doc_id, toks, list_max([{structs}]) AS best FROM s) "
+        "SELECT doc_id, "
+        "CASE WHEN best.score > 0 THEN best.lang ELSE 'und' END AS lang_pred, "
+        "round(best.score / greatest(len(toks), 1), 4) AS confidence FROM sc")
 
 
 def _wrap(fn: Callable) -> Callable:
@@ -165,5 +181,6 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS count_order "
             "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
             "GROUP BY l_returnflag, l_linestatus",
+        "langid_heuristic": _langid_oracle(),
         # sketch queries intentionally omitted -> rows-only driver check
     }
