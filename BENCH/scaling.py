@@ -43,7 +43,8 @@ specs = [
     SketchSpec("len_tdigest", "tdigest", "html_len", {{"delta": 200}}),
     SketchSpec("len_kll", "kll", "html_len", {{"k": 200}}),
 ]
-build_sketches(pages, ["lang"], specs, fanout=8).collect()  # warm python workers
+for _ in range(3):  # JIT/codegen warmup: steady state needs ~4 runs
+    build_sketches(pages, ["lang"], specs, fanout=8).collect()
 times = []
 for _ in range(3):
     t0 = time.time()
@@ -147,7 +148,8 @@ def main() -> None:
         "",
         f"Input: deterministic synthetic `pages` ({ROWS:,} rows, seed=42, "
         "generator `sketchlib/io/fixtures.py`), warm OS page cache, fresh "
-        "JVM per level, median of 3 timed runs after 1 warmup.",
+        "JVM per level, median of 3 timed runs after 3 warmup runs "
+        "(JIT reaches steady state after ~4).",
         "Job: full stage-1+2 (calibrate -> 5-sketch partial build -> "
         "salted hierarchical merge, fanout=8): Bloom(p=0.01, per-lang m,k), "
         "HLL(b=14), CMS(16384x5, tokenized), t-digest(200), KLL(200), "
