@@ -66,8 +66,16 @@ def run_level(cpus: int) -> dict:
     from sketchlib.io.fixtures import pages_path  # noqa: local import
     size = os.path.getsize(pages_path(str(ROWS)))
     env["SKETCHLIB_MAX_PARTITION_BYTES"] = str(max(1 << 20, size // 96))
-    out = subprocess.run([sys.executable, "-c", code, str(cpus), str(ROWS)],
-                         capture_output=True, text=True, timeout=1800, env=env)
+    # Pin the whole process tree to exactly N CPUs: local[N] bounds task
+    # slots but NOT the JVM's GC/shuffle/netty helper threads, which
+    # otherwise give the narrow level extra effective cores and corrupt
+    # the N->4N comparison. A real N-core executor is cgroup-capped the
+    # same way.
+    cmd = [sys.executable, "-c", code, str(cpus), str(ROWS)]
+    if os.path.exists("/usr/bin/taskset"):
+        cmd = ["/usr/bin/taskset", "-c", f"0-{cpus - 1}"] + cmd
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=1800,
+                         env=env)
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
             return json.loads(line[len("RESULT "):])

@@ -144,18 +144,20 @@ def murmur3_32(values, seed: int = 0) -> np.ndarray:
 
 
 def hash64_pair(values, seed: int = 0) -> tuple[np.ndarray, np.ndarray]:
-    """Two independent 64-bit hashes per key (for Kirsch-Mitzenmacher).
+    """Two 64-bit hashes per key for Kirsch-Mitzenmacher double hashing.
 
-    Each u64 is composed from two seeded murmur3_32 runs; h2 is forced odd
-    so the double-hash family never degenerates mod a power of two.
+    h1 is composed from two seeded murmur3_32 runs; h2 is the splitmix64
+    finalizer of h1, forced odd so the family never degenerates mod a
+    power of two. Deriving h2 from h1 (standard practice — cf. Guava
+    splitting one murmur128 into two halves) halves the hash passes per
+    key; independence holds except on 64-bit h1 collisions, which are
+    negligible below ~2^32 distinct keys per filter.
     """
     mat, lengths = to_bytes_matrix(values)
     a = murmur3_32_mat(mat, lengths, seed).astype(np.uint64)
     b = murmur3_32_mat(mat, lengths, seed ^ _GOLDEN).astype(np.uint64)
-    c = murmur3_32_mat(mat, lengths, (seed + 1) ^ _GOLDEN).astype(np.uint64)
-    d = murmur3_32_mat(mat, lengths, seed + 0x5BD1E995).astype(np.uint64)
     h1 = (a << np.uint64(32)) | b
-    h2 = ((c << np.uint64(32)) | d) | np.uint64(1)
+    h2 = mix64(h1 ^ np.uint64(_GOLDEN)) | np.uint64(1)
     return h1, h2
 
 
