@@ -171,14 +171,19 @@ def main() -> None:
     for r in results:
         md.append(f"| local[{r['cpus']}] | {r['secs']} | {r['docs_per_sec']:,} "
                   f"| {r.get('all_times')} |")
-    md += ["", "Per-band efficiency (throughput_4N / (4 x throughput_N)):", ""]
+    md += ["", "Per-band efficiency (throughput_4N / (4 x throughput_N)); "
+           "'hw-normalized' divides by the hardware control's own per-core "
+           "ceiling over the same band:", ""]
     effs = []
     for lo, hi in zip(results, results[1:]):
         ratio = hi["cpus"] / lo["cpus"]
         eff = hi["docs_per_sec"] / (ratio * lo["docs_per_sec"])
-        effs.append({"band": f"{lo['cpus']}->{hi['cpus']}", "eff": round(eff, 3)})
+        hw_ratio = hw[lo["cpus"]] / hw[hi["cpus"]]  # <1 when wide is slower/task
+        eff_hw = eff / hw_ratio if hw_ratio > 0 else eff
+        effs.append({"band": f"{lo['cpus']}->{hi['cpus']}", "eff": round(eff, 3),
+                     "eff_hw_normalized": round(eff_hw, 3)})
         md.append(f"- **local[{lo['cpus']}] -> local[{hi['cpus']}]: "
-                  f"{eff:.2f}** (ratio {ratio:.0f}x)")
+                  f"{eff:.2f}** (hw-normalized {eff_hw:.2f}, ratio {ratio:.0f}x)")
     md += [
         "",
         "### Hardware control (no Spark)",
