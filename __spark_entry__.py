@@ -115,7 +115,8 @@ def oracle_sql() -> dict[str, str]:
             "round(quantile_cont(value, 0.95), 4) AS p95 "
             "FROM events GROUP BY event_type",
         "heavy_tokens_lang":
-            "WITH toks AS (SELECT lang, unnest(string_split(text, ' ')) AS token "
+            "WITH toks AS (SELECT lang, unnest(list_filter("
+            "string_split(text, ' '), x -> x != '')) AS token "
             "FROM documents), "
             "counts AS (SELECT lang, token, count(*) AS cnt FROM toks "
             "GROUP BY lang, token) "
@@ -126,19 +127,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, "
             "count(*) AS n_copies FROM documents GROUP BY md5(text)",
         "token_counts":
-            "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) "
-            "AS n_tokens FROM documents",
+            "SELECT doc_id, CAST(len(list_filter(string_split(text, ' '), "
+            "x -> x != '')) AS BIGINT) AS n_tokens FROM documents",
         "quality_scores":
+            "WITH t AS (SELECT doc_id, length(text) AS n_chars_raw, "
+            "list_filter(string_split(text, ' '), x -> x != '') AS toks "
+            "FROM documents) "
             "SELECT doc_id, "
-            "CAST(length(text) AS BIGINT) AS n_chars_text, "
-            "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, "
-            "round(len(list_distinct(string_split(text, ' '))) "
-            "      / len(string_split(text, ' ')), 4) AS uniq_ratio, "
-            "round((length(text) - (len(string_split(text, ' ')) - 1)) "
-            "      / len(string_split(text, ' ')), 4) AS avg_token_len "
-            "FROM documents",
+            "CAST(n_chars_raw AS BIGINT) AS n_chars_text, "
+            "CAST(len(toks) AS BIGINT) AS n_tokens, "
+            "round(len(list_distinct(toks)) / len(toks), 4) AS uniq_ratio, "
+            "round((n_chars_raw - (len(toks) - 1)) / len(toks), 4) "
+            "AS avg_token_len FROM t",
         "ngram_jaccard_pairs":
-            "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t "
+            "WITH toks AS (SELECT doc_id, "
+            "list_filter(string_split(text, ' '), x -> x != '') AS t "
             "FROM documents), "
             "sh AS (SELECT DISTINCT doc_id AS doc, "
             "unnest(list_transform(range(1, len(t) - 1), "

@@ -56,6 +56,23 @@ class BloomFilter:
         if len(values) == 0:
             return np.zeros(0, dtype=bool)
         idx = hashing.probe_indices(values, self.k, self.m, self.seed)
+        return self._test_indices(idx)
+
+    def contains_from_hash_pair(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        """Membership test from precomputed KM hash pairs (uint64[n]).
+
+        Lets a caller probing many filters that share one seed hash each
+        batch once instead of once per filter (validation fans every key
+        across #groups filters — rehashing there is O(groups) wasted
+        murmur passes)."""
+        if len(h1) == 0:
+            return np.zeros(0, dtype=bool)
+        i = np.arange(self.k, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            idx = (h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(self.m)
+        return self._test_indices(idx)
+
+    def _test_indices(self, idx: np.ndarray) -> np.ndarray:
         byte_idx = (idx >> np.uint64(3)).astype(np.int64)
         bit = np.left_shift(np.uint8(1), (idx & np.uint64(7)).astype(np.uint8))
         hit = (self.bits[byte_idx] & bit) != 0

@@ -80,8 +80,14 @@ class CountMinSketch:
         header = {"w": self.w, "d": self.d, "seed": self.seed, "total": self.total}
         flat = self.table.reshape(-1)
         vmax = int(flat.max(initial=0))
-        dt = (np.uint16 if vmax <= 0xFFFF else
-              np.uint32 if vmax <= 0xFFFFFFFF else np.int64)
+        vmin = int(flat.min(initial=0))
+        if vmin < 0:  # weighted updates may decrement; stay signed
+            dt = (np.int16 if -0x8000 <= vmin and vmax <= 0x7FFF else
+                  np.int32 if -0x80000000 <= vmin and vmax <= 0x7FFFFFFF
+                  else np.int64)
+        else:
+            dt = (np.uint16 if vmax <= 0xFFFF else
+                  np.uint32 if vmax <= 0xFFFFFFFF else np.int64)
         dense_len = flat.size * dt().itemsize
         nz = np.flatnonzero(flat)
         sparse_len = len(nz) * (4 + dt().itemsize)

@@ -146,8 +146,10 @@ class KLL:
             "k": self.k,
             "n": self.n,
             "sizes": [len(l) for l in self.levels],
-            "vmin": None if np.isinf(self.vmin) else self.vmin,
-            "vmax": None if np.isinf(self.vmax) else self.vmax,
+            # raw floats: Python json round-trips Infinity/-Infinity, and
+            # a None sentinel would conflate "unset" with legitimate inf data
+            "vmin": self.vmin,
+            "vmax": self.vmax,
         }
         payload = b"".join(np.sort(l).tobytes() for l in self.levels)
         return serde.pack(serde.TYPE_KLL, header, payload)
@@ -156,8 +158,8 @@ class KLL:
     def _from_parts(cls, header: dict, payload: bytes) -> "KLL":
         s = cls(header["k"])
         s.n = header["n"]
-        s.vmin = np.inf if header["vmin"] is None else float(header["vmin"])
-        s.vmax = -np.inf if header["vmax"] is None else float(header["vmax"])
+        s.vmin = float(header["vmin"]) if header["vmin"] is not None else np.inf
+        s.vmax = float(header["vmax"]) if header["vmax"] is not None else -np.inf
         arr = np.frombuffer(payload, dtype=np.float64)
         s.levels = []
         off = 0

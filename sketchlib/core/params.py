@@ -33,7 +33,11 @@ def hll_params(rel_error: float) -> int:
     if not (0.0 < rel_error < 1.0):
         raise ValueError(f"relative error must be in (0,1), got {rel_error}")
     b = math.ceil(2 * math.log2(1.04 / rel_error))
-    return min(18, max(4, b))
+    if b > 18:
+        raise ValueError(
+            f"rel_error={rel_error} needs 2^{b} registers; supported max "
+            "is b=18 (rel_error >= 0.0021)")
+    return max(4, b)
 
 
 def cms_params(epsilon: float, delta: float) -> tuple[int, int]:

@@ -153,8 +153,10 @@ class TDigest:
         header = {
             "delta": self.delta,
             "n": len(self.means),
-            "vmin": None if np.isinf(self.vmin) else self.vmin,
-            "vmax": None if np.isinf(self.vmax) else self.vmax,
+            # raw floats: json round-trips Infinity; a None sentinel would
+            # conflate "unset" with legitimate inf data values
+            "vmin": self.vmin,
+            "vmax": self.vmax,
         }
         payload = self.means.tobytes() + self.weights.tobytes()
         return serde.pack(serde.TYPE_TDIGEST, header, payload)
@@ -166,8 +168,8 @@ class TDigest:
         arr = np.frombuffer(payload, dtype=np.float64)
         td.means = arr[:n].copy()
         td.weights = arr[n:2 * n].copy()
-        td.vmin = np.inf if header["vmin"] is None else float(header["vmin"])
-        td.vmax = -np.inf if header["vmax"] is None else float(header["vmax"])
+        td.vmin = float(header["vmin"]) if header["vmin"] is not None else np.inf
+        td.vmax = float(header["vmax"]) if header["vmax"] is not None else -np.inf
         return td
 
     @classmethod

@@ -75,11 +75,25 @@ def _partials_schema(df: DataFrame, group_cols: list[str]) -> StructType:
     ])
 
 
+def _norm_nan(key):
+    """pandas groupby(dropna=False) yields float NaN for null keys while
+    Spark's collect() yields None — normalize to None so per-group param
+    dicts and validation self-exclusion line up across the boundary."""
+    if isinstance(key, tuple):
+        return tuple(_norm_nan(k) for k in key)
+    if isinstance(key, float) and np.isnan(key):
+        return None
+    return key
+
+
 def _values_for(spec: SketchSpec, sub: pd.DataFrame):
     col = sub[spec.value_col]
     if spec.tokenize:
-        # dropna BEFORE astype(str): nulls must vanish, not become "nan"
-        col = col.dropna().astype(str).str.split().explode().dropna()
+        # dropna BEFORE astype(str): nulls must vanish, not become "nan";
+        # library tokenizer = split on single space, drop empty tokens
+        # (matches the exact-companion queries and the DuckDB oracles)
+        col = col.dropna().astype(str).str.split(" ").explode().dropna()
+        col = col[col != ""]
     if spec.numeric:
         return col.to_numpy(dtype=np.float64, na_value=np.nan)
     return col.dropna()
@@ -111,6 +125,7 @@ def build_partials(df: DataFrame, group_cols: list[str],
             for gkey, sub in pdf.groupby(group_cols, sort=False, dropna=False):
                 if not isinstance(gkey, tuple):
                     gkey = (gkey,)
+                gkey = _norm_nan(gkey)
                 for si, spec in enumerate(specs):
                     slot = acc.get((gkey, si))
                     if slot is None:

@@ -19,7 +19,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 import pyspark.sql.functions as F
 from pyspark.sql.types import (ArrayType, BinaryType, IntegerType, LongType,
                                StringType, StructField, StructType)
@@ -53,7 +53,9 @@ def cms_heavy_hitters(df: DataFrame, group_cols: list[str], text_col: str,
                 if slot is None:
                     slot = [CountMinSketch(w, d, seed), {}]
                     acc[gkey] = slot
-                toks = sub[text_col].astype(str).str.split().explode().dropna()
+                toks = (sub[text_col].dropna().astype(str)
+                        .str.split(" ").explode().dropna())
+                toks = toks[toks != ""]
                 if not len(toks):
                     continue
                 vc = toks.value_counts()
@@ -62,6 +64,12 @@ def cms_heavy_hitters(df: DataFrame, group_cols: list[str], text_col: str,
                 local = slot[1]
                 for t, c in vc.items():
                     local[t] = local.get(t, 0) + int(c)
+                # bound the candidate tracker: CMS holds the counts, the
+                # dict only nominates candidates — prune cold entries
+                if len(local) > 64 * candidates_per_partition:
+                    keep = sorted(local.items(), key=lambda kv: -kv[1])
+                    slot[1] = dict(keep[:16 * candidates_per_partition])
+                    acc[gkey][1] = slot[1]
         rows = []
         for gkey, (cms, local) in acc.items():
             top = sorted(local.items(), key=lambda kv: (-kv[1], kv[0]))
@@ -78,7 +86,6 @@ def cms_heavy_hitters(df: DataFrame, group_cols: list[str], text_col: str,
             StructField("est_cnt", LongType(), False),
             StructField("rnk", IntegerType(), False),
         ])
-    n_groups = len(group_cols)
 
     def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
         cms = sketch_from_bytes(bytes(pdf["cms"].iloc[0]))

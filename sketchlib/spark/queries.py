@@ -75,7 +75,8 @@ def q_heavy_tokens_lang(spark, sf_dir):
     """Exact companion of the CMS heavy-hitter query: top-10 tokens per
     lang, ties broken lexicographically."""
     d = load(spark, sf_dir, "documents")
-    counts = (d.select("lang", F.explode(F.split("text", " ")).alias("token"))
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    counts = (d.select("lang", F.explode(toks).alias("token"))
               .groupBy("lang", "token").agg(F.count("*").alias("cnt")))
     w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("token"))
     return (counts.withColumn("rnk", F.row_number().over(w))

@@ -51,9 +51,12 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     ``max_shingle_freq`` drops ubiquitous shingles before the join
     (skew guard — a shingle shared by f docs creates f^2 join rows).
     """
-    toks = F.split(F.col(text_col), " ")
-    n_sh = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    # docs with fewer than n tokens have no shingles — filter BEFORE the
+    # sequence/slice expressions (sequence(0, negative) descends and
+    # slice(start=0) is a runtime error)
     sh = (df.select(F.col(id_col).alias("doc"), toks.alias("t"))
+          .filter(F.size(F.col("t")) >= n)
           .select("doc", F.explode(
               F.transform(F.sequence(F.lit(0), F.size(F.col("t")) - n),
                           lambda i: F.concat_ws(" ", F.slice(F.col("t"), i + 1, n)))
@@ -84,29 +87,36 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
 # ---------------------------------------------------------------------------
 
 def _minhash_batch(texts: pd.Series, n_hashes: int, shingle_n: int,
-                   seed: int) -> np.ndarray:
-    """uint64[n_docs, n_hashes] minhash signatures over word shingles."""
-    tok_lists = texts.astype(str).str.split()
+                   seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """(uint64[n_docs, n_hashes] signatures, bool[n_docs] valid).
+
+    Docs with fewer than shingle_n tokens have NO signature (valid=False)
+    — emitting the untouched max-sentinel would make every short doc an
+    exact duplicate of every other short doc."""
+    tok_lists = texts.fillna("").astype(str).str.split(" ")
     n_docs = len(tok_lists)
     sig = np.full((n_docs, n_hashes), np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
+    valid = np.zeros(n_docs, dtype=bool)
     doc_idx = []
     shingles = []
     for d, toks in enumerate(tok_lists):
-        if toks is None or len(toks) < shingle_n:
+        toks = [t for t in (toks or []) if t]
+        if len(toks) < shingle_n:
             continue
         seen = {" ".join(toks[i:i + shingle_n])
                 for i in range(len(toks) - shingle_n + 1)}
+        valid[d] = True
         shingles.extend(seen)
         doc_idx.extend([d] * len(seen))
     if not shingles:
-        return sig
+        return sig, valid
     doc_idx = np.asarray(doc_idx, dtype=np.int64)
     h1, h2 = hashing.hash64_pair(shingles, seed)
     with np.errstate(over="ignore"):
         for i in range(n_hashes):
             hv = h1 + np.uint64(i) * h2
             np.minimum.at(sig[:, i], doc_idx, hv)
-    return sig
+    return sig, valid
 
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
@@ -123,10 +133,12 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
         for pdf in batches:
             if not len(pdf):
                 continue
-            sig = _minhash_batch(pdf[text_col], n_hashes, shingle_n, seed)
+            sig, valid = _minhash_batch(pdf[text_col], n_hashes, shingle_n, seed)
+            if not valid.any():
+                continue
             yield pd.DataFrame({
-                "doc_id_mh": pdf["_id"].to_numpy(),
-                "sig": list(sig.view(np.int64)),
+                "doc_id_mh": pdf["_id"].to_numpy()[valid],
+                "sig": list(sig[valid].view(np.int64)),
             })
 
     return sel.mapInPandas(fn, schema)
@@ -177,16 +189,22 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
 # SimHash — numpy kernel in mapInPandas
 # ---------------------------------------------------------------------------
 
-def _simhash_batch(texts: pd.Series, seed: int) -> np.ndarray:
-    """int64[n_docs] 64-bit simhash over whitespace tokens."""
-    tok_lists = texts.astype(str).str.split()
+def _simhash_batch(texts: pd.Series, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """(int64[n_docs] simhash, bool[n_docs] valid).
+
+    Null/empty docs are invalid (emitting simhash 0 for all of them
+    would pair every empty doc as a hamming-0 duplicate)."""
+    tok_lists = texts.fillna("").astype(str).str.split(" ")
     n_docs = len(tok_lists)
     votes = np.zeros((n_docs, 64), dtype=np.int64)
+    valid = np.zeros(n_docs, dtype=bool)
     doc_idx = []
     tokens = []
     for d, toks in enumerate(tok_lists):
+        toks = [t for t in (toks or []) if t]
         if not toks:
             continue
+        valid[d] = True
         tokens.extend(toks)
         doc_idx.extend([d] * len(toks))
     if tokens:
@@ -196,7 +214,8 @@ def _simhash_batch(texts: pd.Series, seed: int) -> np.ndarray:
                              bitorder="little").astype(np.int64)  # (n_tok, 64)
         np.add.at(votes, doc_idx, 2 * bits - 1)
     out_bits = (votes > 0).astype(np.uint8)
-    return np.packbits(out_bits, axis=1, bitorder="little").view(np.uint64)[:, 0].view(np.int64)
+    sh = np.packbits(out_bits, axis=1, bitorder="little").view(np.uint64)[:, 0].view(np.int64)
+    return sh, valid
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, seed: int = 11) -> DataFrame:
@@ -211,8 +230,11 @@ def simhash(df: DataFrame, id_col: str, text_col: str, seed: int = 11) -> DataFr
         for pdf in batches:
             if not len(pdf):
                 continue
-            yield pd.DataFrame({"doc": pdf["_id"].to_numpy(),
-                                "simhash": _simhash_batch(pdf[text_col], seed)})
+            sh, valid = _simhash_batch(pdf[text_col], seed)
+            if not valid.any():
+                continue
+            yield pd.DataFrame({"doc": pdf["_id"].to_numpy()[valid],
+                                "simhash": sh[valid]})
 
     return sel.mapInPandas(fn, schema)
 
@@ -254,16 +276,17 @@ def simhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
 # ---------------------------------------------------------------------------
 
 def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, n_tokens) via built-in split — stays in whole-stage codegen."""
+    """(id, n_tokens) via built-in split — stays in whole-stage codegen.
+    Tokenizer = single-space split, empty tokens dropped (library-wide)."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
     return df.select(F.col(id_col),
-                     F.size(F.split(F.col(text_col), " ")).cast("long")
-                     .alias("n_tokens"))
+                     F.size(toks).cast("long").alias("n_tokens"))
 
 
 def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Deterministic quality features, all with built-in functions:
     char count, token count, distinct-token ratio, mean token length."""
-    toks = F.split(F.col(text_col), " ")
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
     n_tok = F.size(toks).cast("long")
     n_chars = F.length(F.col(text_col)).cast("long")
     return df.select(
@@ -318,9 +341,10 @@ def content_fingerprint(df: DataFrame, id_col: str, text_col: str,
         StructField("doc", LongType(), False),
         StructField("fingerprint", LongType(), False),
     ])
-    sel = df.select(F.col(id_col).cast("long").alias("_id"),
-                    F.lower(F.trim(F.regexp_replace(F.col(text_col),
-                                                    r"\s+", " "))).alias("_t"))
+    sel = (df.filter(F.col(text_col).isNotNull())
+           .select(F.col(id_col).cast("long").alias("_id"),
+                   F.lower(F.trim(F.regexp_replace(F.col(text_col),
+                                                   r"\s+", " "))).alias("_t")))
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

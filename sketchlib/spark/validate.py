@@ -27,6 +27,7 @@ import pyspark.sql.functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
 from sketchlib.core.serde import sketch_from_bytes
+from sketchlib.spark.build import _norm_nan
 
 
 def collect_sketches(merged: DataFrame, group_cols: list[str],
@@ -69,18 +70,25 @@ def bloom_validate(df: DataFrame, filters: dict, group_cols: list[str],
     ])
 
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from sketchlib.core import hashing
         local = {k: sketch_from_bytes(b) for k, b in bc.value.items()}
         # per-partition partial counters keyed by the *filter's* group
         agg = {k: [0, 0, 0, 0] for k in local}  # own, fn, probes, fp
+        seeds = sorted({bf.seed for bf in local.values()})
         for pdf in batches:
             for gkey, sub in pdf.groupby(group_cols, sort=False, dropna=False):
                 if isinstance(gkey, tuple) and single:
                     gkey = gkey[0]
+                gkey = _norm_nan(gkey)
                 vals = sub[value_col].dropna()
                 if not len(vals):
                     continue
+                # hash once per seed, not once per filter: the murmur
+                # pass dominates and is identical across same-seed filters
+                pairs = {s: hashing.hash64_pair(vals, s) for s in seeds}
                 for fkey, bf in local.items():
-                    hits = int(bf.contains_batch(vals).sum())
+                    h1, h2 = pairs[bf.seed]
+                    hits = int(bf.contains_from_hash_pair(h1, h2).sum())
                     slot = agg[fkey]
                     if fkey == gkey:
                         slot[0] += len(vals)

@@ -1,0 +1,116 @@
+"""Regression tests for the code-review findings (all previously
+verified failures): short docs, null texts, null group keys, inf
+extremes, negative CMS counters, tokenizer parity."""
+
+import numpy as np
+import pytest
+
+from sketchlib.core.cms import CountMinSketch
+from sketchlib.core.kll import KLL
+from sketchlib.core.serde import sketch_from_bytes
+from sketchlib.core.tdigest import TDigest
+from sketchlib.spark import textops
+from sketchlib.spark.build import build_sketches
+from sketchlib.spark.heavyhitters import cms_heavy_hitters
+from sketchlib.spark.specs import SketchSpec
+
+
+def test_ngram_jaccard_short_docs_no_crash(spark):
+    df = spark.createDataFrame(
+        [(1, "only two"), (2, "a b c d e"), (3, "a b c d f"), (4, "")],
+        "doc_id long, text string")
+    rows = textops.ngram_jaccard_pairs(df, "doc_id", "text",
+                                       n=3, threshold=0.3).collect()
+    assert {(r["a_id"], r["b_id"]) for r in rows} == {(2, 3)}
+
+
+def test_minhash_short_docs_not_fake_duplicates(spark):
+    df = spark.createDataFrame(
+        [(1, "hello"), (2, "bye now"), (3, None),
+         (4, "a b c d e f g"), (5, "a b c d e f g")],
+        "doc_id long, text string")
+    rows = textops.minhash_lsh_pairs(df, "doc_id", "text",
+                                     threshold=0.5).collect()
+    pairs = {(r["a_id"], r["b_id"]) for r in rows}
+    assert pairs == {(4, 5)}  # short/null docs never pair
+
+
+def test_simhash_null_docs_not_duplicates(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "real text here and more words"),
+         (4, "real text here and more words")],
+        "doc_id long, text string")
+    rows = textops.simhash_candidate_pairs(df, "doc_id", "text").collect()
+    pairs = {(r["a_id"], r["b_id"]) for r in rows}
+    assert pairs == {(3, 4)}
+
+
+def test_content_fingerprint_null_text_skipped(spark):
+    df = spark.createDataFrame([(1, "a text"), (2, None)],
+                               "doc_id long, text string")
+    rows = textops.content_fingerprint(df, "doc_id", "text").collect()
+    assert [r["doc"] for r in rows] == [1]
+
+
+def test_heavy_hitters_null_text_no_none_token(spark):
+    df = spark.createDataFrame(
+        [("en", None), ("en", None), ("en", None), ("en", "real token real")],
+        "lang string, text string")
+    rows = cms_heavy_hitters(df, ["lang"], "text", k=3).collect()
+    tokens = {r["token"] for r in rows}
+    assert "None" not in tokens and "nan" not in tokens
+    assert rows[0]["token"] == "real"
+
+
+def test_null_group_key_builds_and_probes(spark):
+    from sketchlib.spark.build import calibrate, bloom_params_by_group
+    from sketchlib.spark.validate import collect_sketches, bloom_validate
+    df = spark.createDataFrame(
+        [("en", f"k{i}") for i in range(50)] + [(None, f"n{i}") for i in range(50)],
+        "lang string, key string")
+    bp = bloom_params_by_group(calibrate(df, ["lang"]), 0.01)
+    assert None in bp
+    merged = build_sketches(df, ["lang"],
+                            [SketchSpec("b", "bloom", "key",
+                                        per_group_params=bp)])
+    filters = collect_sketches(merged, ["lang"], "b")
+    assert None in filters and filters[None].n_added == 50
+    val = {r["lang"]: r for r in
+           bloom_validate(df, filters, ["lang"], "key", 0.01).collect()}
+    assert val[None]["false_negatives"] == 0
+    assert val[None]["n_keys"] == 50  # own keys classified as own, not FP
+
+
+def test_inf_values_survive_serde():
+    for sk in (KLL(k=64), TDigest(delta=50)):
+        sk.update_batch(np.array([1.0, 2.0, np.inf]))
+        back = sketch_from_bytes(sk.to_bytes())
+        assert back.quantile(1.0) == np.inf
+        sk2 = type(sk)(**({"k": 64} if isinstance(sk, KLL) else {"delta": 50}))
+        sk2.update_batch(np.array([-np.inf, 5.0]))
+        assert sketch_from_bytes(sk2.to_bytes()).quantile(0.0) == -np.inf
+
+
+def test_cms_negative_counts_survive_serde():
+    cms = CountMinSketch(128, 3)
+    cms.update_batch(["a"], counts=[-5])
+    assert CountMinSketch.from_bytes(cms.to_bytes()).query_batch(["a"])[0] == -5
+
+
+def test_tokenizer_parity_build_vs_exact(spark):
+    """CMS estimates must be >= exact counts under the SAME tokenizer,
+    even for multi-space / tab-containing text."""
+    import pyspark.sql.functions as F
+    from sketchlib.spark.validate import collect_sketches
+    df = spark.createDataFrame(
+        [("en", "a\tb  c a"), ("en", "a b"), ("en", None)],
+        "lang string, text string")
+    merged = build_sketches(df, ["lang"],
+                            [SketchSpec("c", "cms", "text",
+                                        {"w": 256, "d": 3}, tokenize=True)])
+    cms = collect_sketches(merged, ["lang"], "c")["en"]
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    exact = (df.select(F.explode(toks).alias("t")).groupBy("t").count().collect())
+    for r in exact:
+        assert cms.query_batch([r["t"]])[0] >= r["count"], r
+    assert cms.total == sum(r["count"] for r in exact)
