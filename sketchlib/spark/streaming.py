@@ -79,3 +79,96 @@ def streaming_build(stream_df: DataFrame, group_cols: list[str],
     return (stream_df.groupBy(*group_cols)
             .applyInPandasWithState(fn, out_schema, state_schema,
                                     "update", GroupStateTimeout.NoTimeout))
+
+
+def streaming_windowed_build(stream_df: DataFrame, ts_col: str,
+                             group_cols: list[str], specs: list[SketchSpec],
+                             window: str = "1 day",
+                             watermark: str = "1 hour") -> DataFrame:
+    """Event-time tumbling-window sketches with late-data handling.
+
+    ``withWatermark`` bounds state and drops rows later than
+    ``watermark``; a state timeout at (window_end + watermark) emits the
+    window's final sketch row (is_final=true) and evicts its state —
+    the Structured-Streaming-native version of closing a day's
+    per-group sketch.
+
+    Output per update: (win_start, win_end, group_cols..., sketch_name,
+    sketch, n_rows, is_final).
+    """
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import BooleanType, TimestampType
+
+    names = [s.name for s in specs]
+    src = (stream_df.withWatermark(ts_col, watermark)
+           .withColumn("_win", F.window(ts_col, window))
+           .withColumn("win_start", F.col("_win.start"))
+           .withColumn("win_end", F.col("_win.end"))
+           .drop("_win"))
+    keys = ["win_start", "win_end", *group_cols]
+    out_schema = StructType(
+        [StructField("win_start", TimestampType(), False),
+         StructField("win_end", TimestampType(), False)]
+        + _group_fields(stream_df, group_cols) + [
+            StructField("sketch_name", StringType(), False),
+            StructField("sketch", BinaryType(), False),
+            StructField("n_rows", LongType(), False),
+            StructField("is_final", BooleanType(), False),
+        ])
+    state_schema = StructType(
+        [StructField(f"s{i}", BinaryType(), True) for i in range(len(specs))]
+        + [StructField("n_rows", LongType(), True)])
+    n_extra = 2  # win_start, win_end prefix in the key
+
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        gkey_vals = key[n_extra:]
+        gkey = gkey_vals if len(gkey_vals) > 1 else gkey_vals[0]
+        if state.hasTimedOut:
+            stored = state.get
+            blobs = [bytes(b) for b in stored[:-1]]
+            n_rows = int(stored[-1])
+            state.remove()
+            yield pd.DataFrame({
+                "win_start": [key[0]] * len(specs),
+                "win_end": [key[1]] * len(specs),
+                **{c: [gkey_vals[i]] * len(specs)
+                   for i, c in enumerate(group_cols)},
+                "sketch_name": names,
+                "sketch": blobs,
+                "n_rows": [n_rows] * len(specs),
+                "is_final": [True] * len(specs),
+            })
+            return
+        if state.exists:
+            stored = state.get
+            sketches = [sketch_from_bytes(bytes(b)) for b in stored[:-1]]
+            n_rows = int(stored[-1])
+        else:
+            sketches = [spec.make(gkey) for spec in specs]
+            n_rows = 0
+        for pdf in pdfs:
+            for si, spec in enumerate(specs):
+                vals = _values_for(spec, pdf)
+                if len(vals):
+                    sketches[si].update_batch(vals)
+            n_rows += len(pdf)
+        blobs = [sk.to_bytes() for sk in sketches]
+        state.update(tuple(blobs) + (n_rows,))
+        # close the window `watermark` after its end passes the clock
+        win_end_ms = int(key[1].timestamp() * 1000)
+        state.setTimeoutTimestamp(win_end_ms)
+        yield pd.DataFrame({
+            "win_start": [key[0]] * len(specs),
+            "win_end": [key[1]] * len(specs),
+            **{c: [gkey_vals[i]] * len(specs)
+               for i, c in enumerate(group_cols)},
+            "sketch_name": names,
+            "sketch": blobs,
+            "n_rows": [n_rows] * len(specs),
+            "is_final": [False] * len(specs),
+        })
+
+    return (src.groupBy(*keys)
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "append", GroupStateTimeout.EventTimeTimeout))
