@@ -88,6 +88,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_membership": _wrap(Q.q_bloom_membership),
         "ann_lsh_topk": _wrap(Q.q_ann_lsh_topk),
         "cms_heavy_hitters_scale": _wrap(Q.q_cms_heavy_hitters_scale),
+        "embedding_neardup_pairs": _wrap(Q.q_embedding_neardup_pairs),
+        "embedding_neardup_lsh": _wrap(Q.q_embedding_neardup_lsh),
     }
 
 
@@ -185,5 +187,19 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
             "GROUP BY l_returnflag, l_linestatus",
         "langid_heuristic": _langid_oracle(),
+        "embedding_neardup_pairs":
+            "WITH norms AS (SELECT vec_id, sqrt(sum(x * x)) AS norm FROM ("
+            "SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x "
+            "FROM embeddings) GROUP BY vec_id), "
+            "dots AS (SELECT a_id, b_id, sum(xa * xb) AS dot FROM ("
+            "SELECT a.vec_id AS a_id, b.vec_id AS b_id, "
+            "CAST(unnest(a.embedding) AS DOUBLE) AS xa, "
+            "CAST(unnest(b.embedding) AS DOUBLE) AS xb "
+            "FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id) "
+            "GROUP BY a_id, b_id) "
+            "SELECT a_id, b_id, round(dot / (na.norm * nb.norm), 3) AS score "
+            "FROM dots JOIN norms na ON na.vec_id = a_id "
+            "JOIN norms nb ON nb.vec_id = b_id "
+            "WHERE dot / (na.norm * nb.norm) >= 0.4",
         # sketch queries intentionally omitted -> rows-only driver check
     }

@@ -96,3 +96,66 @@ def ann_lsh_topk(df: DataFrame, id_col: str, vec_col: str, dim: int,
     return (scored.withColumn("rnk", F.row_number().over(w))
             .filter(F.col("rnk") <= k)
             .select("q_id", "nbr_id", "rnk", F.round("score", 3).alias("score")))
+
+
+def cosine_pairs(df: DataFrame, id_col: str, vec_col: str,
+                 threshold: float) -> DataFrame:
+    """Exact embedding near-dup pairs: all (a,b) with cosine >= threshold.
+
+    The oracle-checkable baseline — quadratic in group size, meant for
+    validation scale; ``lsh_cosine_pairs`` is the 10^9-vector path.
+    """
+    norms = df.select(
+        F.col(id_col).cast("long").alias("vid"),
+        F.col(vec_col).alias("emb"),
+        F.sqrt(F.aggregate(F.transform(vec_col,
+                                       lambda x: x.cast("double") * x.cast("double")),
+                           F.lit(0.0), lambda a, v: a + v)).alias("norm"))
+    a = norms.select(F.col("vid").alias("a_id"), F.col("emb").alias("a_emb"),
+                     F.col("norm").alias("a_norm"))
+    b = norms.select(F.col("vid").alias("b_id"), F.col("emb").alias("b_emb"),
+                     F.col("norm").alias("b_norm"))
+    dot = F.aggregate(
+        F.zip_with("a_emb", "b_emb",
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
+    return (a.join(b, F.col("a_id") < F.col("b_id"))
+            .withColumn("score", dot / (F.col("a_norm") * F.col("b_norm")))
+            .filter(F.col("score") >= threshold)
+            .select("a_id", "b_id", F.round("score", 3).alias("score")))
+
+
+def lsh_cosine_pairs(df: DataFrame, id_col: str, vec_col: str, dim: int,
+                     threshold: float, bands: int = 32,
+                     bits_per_band: int = 4, seed: int = 17) -> DataFrame:
+    """Near-dup pairs at scale: SRP-banded candidates, exact cosine
+    verify — same output shape as ``cosine_pairs`` so recall is directly
+    measurable."""
+    sigs = srp_signatures(df, id_col, vec_col, dim, bands, bits_per_band,
+                          seed)
+    banded = sigs.select("vid", F.posexplode("bands").alias("band", "bucket"))
+    cand = (banded.alias("x").join(
+                banded.alias("y"),
+                (F.col("x.band") == F.col("y.band"))
+                & (F.col("x.bucket") == F.col("y.bucket"))
+                & (F.col("x.vid") < F.col("y.vid")))
+            .select(F.col("x.vid").alias("a_id"), F.col("y.vid").alias("b_id"))
+            .distinct())
+    norms = df.select(
+        F.col(id_col).cast("long").alias("vid"),
+        F.col(vec_col).alias("emb"),
+        F.sqrt(F.aggregate(F.transform(vec_col,
+                                       lambda x: x.cast("double") * x.cast("double")),
+                           F.lit(0.0), lambda a, v: a + v)).alias("norm"))
+    na = norms.select(F.col("vid").alias("a_id"), F.col("emb").alias("a_emb"),
+                      F.col("norm").alias("a_norm"))
+    nb = norms.select(F.col("vid").alias("b_id"), F.col("emb").alias("b_emb"),
+                      F.col("norm").alias("b_norm"))
+    dot = F.aggregate(
+        F.zip_with("a_emb", "b_emb",
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
+    return (cand.join(na, "a_id").join(nb, "b_id")
+            .withColumn("score", dot / (F.col("a_norm") * F.col("b_norm")))
+            .filter(F.col("score") >= threshold)
+            .select("a_id", "b_id", F.round("score", 3).alias("score")))

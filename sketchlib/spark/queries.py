@@ -296,3 +296,20 @@ def q_cms_heavy_hitters_scale(spark, sf_dir):
     from sketchlib.spark.heavyhitters import cms_heavy_hitters
     return cms_heavy_hitters(load(spark, sf_dir, "documents"),
                              ["lang"], "text", k=10)
+
+
+def q_embedding_neardup_pairs(spark, sf_dir):
+    """Exact embedding near-dup pairs (cosine >= 0.4) — oracle-checked
+    baseline of the LSH scale path."""
+    from sketchlib.spark import annops
+    return annops.cosine_pairs(load(spark, sf_dir, "embeddings"),
+                               "vec_id", "embedding", threshold=0.4)
+
+
+def q_embedding_neardup_lsh(spark, sf_dir):
+    """SRP-LSH near-dup pairs (rows-only; exact companion above)."""
+    from sketchlib.spark import annops
+    emb = load(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    return annops.lsh_cosine_pairs(emb, "vec_id", "embedding", dim,
+                                   threshold=0.4)

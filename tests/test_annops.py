@@ -50,3 +50,15 @@ def test_srp_signatures_deterministic(spark, emb):
     b = {r["vid"]: r["bands"] for r in
          annops.srp_signatures(emb, "vec_id", "embedding", dim).collect()}
     assert a == b and len(a) == emb.count()
+
+
+def test_embedding_neardup_lsh_recall(spark, emb):
+    from sketchlib.spark import annops
+    dim = len(emb.first()["embedding"])
+    exact = {(r["a_id"], r["b_id"]) for r in
+             annops.cosine_pairs(emb, "vec_id", "embedding", 0.4).collect()}
+    lsh = {(r["a_id"], r["b_id"]) for r in
+           annops.lsh_cosine_pairs(emb, "vec_id", "embedding", dim, 0.4).collect()}
+    assert exact, "threshold should yield pairs on this fixture"
+    assert lsh <= exact or all(p in exact for p in lsh)  # verify step exact
+    assert len(exact & lsh) / len(exact) >= 0.9
