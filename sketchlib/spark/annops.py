@@ -21,6 +21,25 @@ import pyspark.sql.functions as F
 from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
 
+def with_norm(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(vid, emb, norm) — shared by every cosine path so precision /
+    zero-norm fixes apply everywhere at once."""
+    return df.select(
+        F.col(id_col).cast("long").alias("vid"),
+        F.col(vec_col).alias("emb"),
+        F.sqrt(F.aggregate(F.transform(vec_col,
+                                       lambda x: x.cast("double") * x.cast("double")),
+                           F.lit(0.0), lambda a, v: a + v)).alias("norm"))
+
+
+def dot_expr(a_col: str, b_col: str):
+    """Elementwise double-precision dot product of two array columns."""
+    return F.aggregate(
+        F.zip_with(a_col, b_col,
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
+
+
 def srp_signatures(df: DataFrame, id_col: str, vec_col: str, dim: int,
                    bands: int = 32, bits_per_band: int = 4,
                    seed: int = 17) -> DataFrame:
@@ -59,16 +78,10 @@ def ann_lsh_topk(df: DataFrame, id_col: str, vec_col: str, dim: int,
     baseline so recall is directly comparable.
     """
     sigs = srp_signatures(df, id_col, vec_col, dim, bands, bits_per_band,
-                          seed).cache()
+                          seed)
     banded = sigs.select(
         "vid", F.posexplode("bands").alias("band", "bucket"))
-    base = df.select(F.col(id_col).cast("long").alias("vid"),
-                     F.col(vec_col).alias("emb"))
-    norms = base.select(
-        "vid", "emb",
-        F.sqrt(F.aggregate(F.transform("emb",
-                                       lambda x: x.cast("double") * x.cast("double")),
-                           F.lit(0.0), lambda a, v: a + v)).alias("norm"))
+    norms = with_norm(df, id_col, vec_col)
     q_ids = df.filter(query_filter).select(
         F.col(id_col).cast("long").alias("q_id"))
     qb = (banded.join(F.broadcast(q_ids),
@@ -82,14 +95,14 @@ def ann_lsh_topk(df: DataFrame, id_col: str, vec_col: str, dim: int,
             .select(F.col("q.q_id").alias("q_id"),
                     F.col("n.vid").alias("nbr_id"))
             .distinct())
-    qn = norms.select(F.col("vid").alias("q_id"), F.col("emb").alias("q_emb"),
-                      F.col("norm").alias("q_norm"))
+    # broadcast ONLY the query rows' norms — broadcasting the full norms
+    # table would collect every embedding to the driver
+    qn = (norms.join(F.broadcast(q_ids), norms["vid"] == q_ids["q_id"])
+          .select(F.col("q_id"), F.col("emb").alias("q_emb"),
+                  F.col("norm").alias("q_norm")))
     nn = norms.select(F.col("vid").alias("nbr_id"), F.col("emb").alias("n_emb"),
                       F.col("norm").alias("n_norm"))
-    dot = F.aggregate(
-        F.zip_with("q_emb", "n_emb",
-                   lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0), lambda a, v: a + v)
+    dot = dot_expr("q_emb", "n_emb")
     scored = (cand.join(F.broadcast(qn), "q_id").join(nn, "nbr_id")
               .withColumn("score", dot / (F.col("q_norm") * F.col("n_norm"))))
     w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("nbr_id"))
@@ -105,20 +118,12 @@ def cosine_pairs(df: DataFrame, id_col: str, vec_col: str,
     The oracle-checkable baseline — quadratic in group size, meant for
     validation scale; ``lsh_cosine_pairs`` is the 10^9-vector path.
     """
-    norms = df.select(
-        F.col(id_col).cast("long").alias("vid"),
-        F.col(vec_col).alias("emb"),
-        F.sqrt(F.aggregate(F.transform(vec_col,
-                                       lambda x: x.cast("double") * x.cast("double")),
-                           F.lit(0.0), lambda a, v: a + v)).alias("norm"))
+    norms = with_norm(df, id_col, vec_col)
     a = norms.select(F.col("vid").alias("a_id"), F.col("emb").alias("a_emb"),
                      F.col("norm").alias("a_norm"))
     b = norms.select(F.col("vid").alias("b_id"), F.col("emb").alias("b_emb"),
                      F.col("norm").alias("b_norm"))
-    dot = F.aggregate(
-        F.zip_with("a_emb", "b_emb",
-                   lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0), lambda acc, v: acc + v)
+    dot = dot_expr("a_emb", "b_emb")
     return (a.join(b, F.col("a_id") < F.col("b_id"))
             .withColumn("score", dot / (F.col("a_norm") * F.col("b_norm")))
             .filter(F.col("score") >= threshold)
@@ -141,20 +146,12 @@ def lsh_cosine_pairs(df: DataFrame, id_col: str, vec_col: str, dim: int,
                 & (F.col("x.vid") < F.col("y.vid")))
             .select(F.col("x.vid").alias("a_id"), F.col("y.vid").alias("b_id"))
             .distinct())
-    norms = df.select(
-        F.col(id_col).cast("long").alias("vid"),
-        F.col(vec_col).alias("emb"),
-        F.sqrt(F.aggregate(F.transform(vec_col,
-                                       lambda x: x.cast("double") * x.cast("double")),
-                           F.lit(0.0), lambda a, v: a + v)).alias("norm"))
+    norms = with_norm(df, id_col, vec_col)
     na = norms.select(F.col("vid").alias("a_id"), F.col("emb").alias("a_emb"),
                       F.col("norm").alias("a_norm"))
     nb = norms.select(F.col("vid").alias("b_id"), F.col("emb").alias("b_emb"),
                       F.col("norm").alias("b_norm"))
-    dot = F.aggregate(
-        F.zip_with("a_emb", "b_emb",
-                   lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0), lambda acc, v: acc + v)
+    dot = dot_expr("a_emb", "b_emb")
     return (cand.join(na, "a_id").join(nb, "b_id")
             .withColumn("score", dot / (F.col("a_norm") * F.col("b_norm")))
             .filter(F.col("score") >= threshold)

@@ -16,10 +16,14 @@ so a resumed run:
 For the lossless sketches (Bloom/HLL/CMS) the resumed result is
 bitwise-identical to an uninterrupted run (test-enforced).
 
-Storage: Iceberg when the runtime is on the classpath (feature-
-detected), else parquet + a JSON manifest with the same semantics.
-The manifest records the spec fingerprint so a resume against changed
-specs or input is refused instead of silently mixing states.
+Storage: a parquet partial table + a single-row JSON manifest, both
+written through Spark IO so any Hadoop-compatible filesystem works
+(file://, hdfs://, s3a://). ``iceberg_available()`` probes whether an
+Iceberg catalog is usable so callers can layer an Iceberg table on
+top; this sandbox has no Iceberg runtime, so the shipped store is the
+parquet one. The manifest records the spec fingerprint so a resume
+against changed specs or input is refused instead of silently mixing
+states.
 """
 
 from __future__ import annotations
@@ -35,6 +39,12 @@ from sketchlib.spark.build import build_partials, merge_partials
 from sketchlib.spark.specs import SketchSpec
 
 _ICEBERG_STATE: dict = {}
+
+
+def _is_path_missing(e: Exception) -> bool:
+    msg = str(e)
+    return ("PATH_NOT_FOUND" in msg or "Path does not exist" in msg
+            or "FileNotFoundException" in msg)
 
 
 def iceberg_available(spark: SparkSession) -> bool:
@@ -72,24 +82,35 @@ class PartialCheckpoint:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
-        self.data_path = os.path.join(path, "partials")
-        self.manifest_path = os.path.join(path, "MANIFEST.json")
+        self.data_path = path.rstrip("/") + "/partials"
+        # manifest goes through Spark text IO so remote checkpoint
+        # paths (hdfs://, s3a://) work the same as local ones
+        self.manifest_path = path.rstrip("/") + "/MANIFEST"
 
     def manifest(self) -> dict | None:
-        if not os.path.exists(self.manifest_path):
-            return None
-        with open(self.manifest_path) as f:
-            return json.load(f)
+        try:
+            rows = self.spark.read.text(self.manifest_path).collect()
+        except Exception as e:
+            if _is_path_missing(e):
+                return None
+            raise
+        return json.loads("".join(r["value"] for r in rows))
 
     def completed_partitions(self) -> list[int]:
+        """Partition ids with stored partials. A missing store is empty;
+        any other read error propagates — treating a corrupt store as
+        'nothing done' would append duplicate partials and silently
+        double-count every merge thereafter."""
         if self.manifest() is None:
             return []
         try:
             rows = (self.spark.read.parquet(self.data_path)
                     .select("partition_id").distinct().collect())
-            return sorted(r["partition_id"] for r in rows)
-        except Exception:
-            return []
+        except Exception as e:
+            if _is_path_missing(e):
+                return []
+            raise
+        return sorted(r["partition_id"] for r in rows)
 
     def write(self, partials: DataFrame, fingerprint: str,
               append: bool = False) -> dict:
@@ -113,8 +134,8 @@ class PartialCheckpoint:
             "format": "parquet",
             "counters": counters,
         }
-        with open(self.manifest_path, "w") as f:
-            json.dump(man, f, indent=1)
+        (self.spark.createDataFrame([(json.dumps(man),)], "value string")
+         .coalesce(1).write.mode("overwrite").text(self.manifest_path))
         return man
 
 

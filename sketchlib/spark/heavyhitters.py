@@ -69,7 +69,6 @@ def cms_heavy_hitters(df: DataFrame, group_cols: list[str], text_col: str,
                 if len(local) > 64 * candidates_per_partition:
                     keep = sorted(local.items(), key=lambda kv: -kv[1])
                     slot[1] = dict(keep[:16 * candidates_per_partition])
-                    acc[gkey][1] = slot[1]
         rows = []
         for gkey, (cms, local) in acc.items():
             top = sorted(local.items(), key=lambda kv: (-kv[1], kv[0]))

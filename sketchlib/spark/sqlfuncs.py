@@ -35,6 +35,9 @@ def _make_udfs() -> dict:
         total weight."""
         out = []
         for b in blobs:
+            if b is None:
+                out.append(float("nan"))
+                continue
             sk = sketch_from_bytes(bytes(b))
             if isinstance(sk, (HyperLogLog, BloomFilter)):
                 out.append(float(sk.estimate()))

@@ -100,12 +100,17 @@ def streaming_windowed_build(stream_df: DataFrame, ts_col: str,
     from pyspark.sql.types import BooleanType, TimestampType
 
     names = [s.name for s in specs]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate spec names: {names}")
     src = (stream_df.withWatermark(ts_col, watermark)
            .withColumn("_win", F.window(ts_col, window))
            .withColumn("win_start", F.col("_win.start"))
            .withColumn("win_end", F.col("_win.end"))
+           # epoch ms computed JVM-side: the pandas key timestamps are
+           # session-tz-naive and .timestamp() would misread them as UTC
+           .withColumn("win_end_ms", F.unix_millis(F.col("win_end")))
            .drop("_win"))
-    keys = ["win_start", "win_end", *group_cols]
+    keys = ["win_start", "win_end", "win_end_ms", *group_cols]
     out_schema = StructType(
         [StructField("win_start", TimestampType(), False),
          StructField("win_end", TimestampType(), False)]
@@ -118,7 +123,7 @@ def streaming_windowed_build(stream_df: DataFrame, ts_col: str,
     state_schema = StructType(
         [StructField(f"s{i}", BinaryType(), True) for i in range(len(specs))]
         + [StructField("n_rows", LongType(), True)])
-    n_extra = 2  # win_start, win_end prefix in the key
+    n_extra = 3  # win_start, win_end, win_end_ms prefix in the key
 
     def fn(key: tuple, pdfs: Iterator[pd.DataFrame],
            state: GroupState) -> Iterator[pd.DataFrame]:
@@ -155,9 +160,8 @@ def streaming_windowed_build(stream_df: DataFrame, ts_col: str,
             n_rows += len(pdf)
         blobs = [sk.to_bytes() for sk in sketches]
         state.update(tuple(blobs) + (n_rows,))
-        # close the window `watermark` after its end passes the clock
-        win_end_ms = int(key[1].timestamp() * 1000)
-        state.setTimeoutTimestamp(win_end_ms)
+        # close the window once the watermark passes its end
+        state.setTimeoutTimestamp(int(key[2]))
         yield pd.DataFrame({
             "win_start": [key[0]] * len(specs),
             "win_end": [key[1]] * len(specs),

@@ -160,7 +160,10 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
         raise ValueError("bands must divide n_hashes")
     rows_per_band = n_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n, seed)
-    sigs = sigs.withColumnRenamed("doc_id_mh", "doc").cache()
+    # pure plan, no hidden .cache(): a hidden persist can never be
+    # unpersisted by the caller and pins executor memory for the session;
+    # persist the signatures yourself if running many queries over them
+    sigs = sigs.withColumnRenamed("doc_id_mh", "doc")
 
     band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
     banded = (sigs.select("doc", "sig", band_idx)
@@ -247,7 +250,7 @@ def simhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
     agree exactly on at least one chunk (pigeonhole), so candidates come
     from 4 equi-joins, never a cross join.
     """
-    sh = simhash(df, id_col, text_col, seed).cache()
+    sh = simhash(df, id_col, text_col, seed)
     chunks = sh.select(
         "doc", "simhash",
         F.explode(F.array(*[

@@ -25,7 +25,8 @@ def test_full_run_then_resume_is_noop(spark, pages_tiny, tmp_path):
     ckpt = str(tmp_path / "ck1")
     first = _sketch_bytes(build_sketches_checkpointed(
         pages_tiny, ["lang"], SPECS, ckpt))
-    man = json.load(open(os.path.join(ckpt, "MANIFEST.json")))
+    from sketchlib.spark.checkpoint import PartialCheckpoint
+    man = PartialCheckpoint(spark, ckpt).manifest()
     assert man["counters"]["n_rows"] == pages_tiny.count()
     resumed = _sketch_bytes(build_sketches_checkpointed(
         pages_tiny, ["lang"], SPECS, ckpt))

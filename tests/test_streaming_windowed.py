@@ -65,3 +65,27 @@ def test_windowed_finalization_and_late_drop(spark, stream_src, tmp_path):
     assert round(d1.estimate()) == 10
     assert finals["2024-01-02"]["n_rows"] == 8
     assert round(d2.estimate()) == 8
+
+
+def test_windowed_nonutc_session_timezone(spark, stream_src, tmp_path):
+    """Regression: timeout epoch must come from JVM-side unix_millis —
+    pandas .timestamp() on session-local naive keys broke non-UTC tz."""
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try:
+        schema = "ts timestamp, lang string, key string"
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(stream_src))
+        out = streaming_windowed_build(stream, "ts", ["lang"], SPECS,
+                                       window="1 day", watermark="1 hour")
+        q = (out.writeStream.format("memory").queryName("win_tz")
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "ck_tz"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        assert q.exception() is None, q.exception()
+        rows = spark.sql("SELECT * FROM win_tz").collect()
+        finals = [r for r in rows if r["is_final"]]
+        assert len(finals) >= 2  # day windows still finalize
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
