@@ -1,0 +1,160 @@
+"""CLI — the reference's entry-point UX, Spark-first.
+
+Reference: ``spark-submit main.py <dataset> <fpr>``
+(/root/reference/spark/main.py:76-82) ran calibrate -> build ->
+validate and printed per-class m/k/n and measured FPR. Same workflow:
+
+    spark-submit --py-files sketchlib.zip -m sketchlib pipeline \\
+        --input pages.parquet --group lang --key url --fpr 0.01
+    python -m sketchlib pipeline --input ... --group lang --key url
+    python -m sketchlib build --input ... --group lang \\
+        --sketch hll:url:b=14 --sketch kll:n_chars:k=200 --out sketches/
+    python -m sketchlib estimate --sketches sketches/
+
+Exit code 1 if validation finds any false negative (must be zero).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _parse_sketch(spec_str: str):
+    """kind:value_col[:k=v,k=v...] -> SketchSpec."""
+    from sketchlib.spark.specs import SketchSpec
+    parts = spec_str.split(":")
+    if len(parts) < 2:
+        raise SystemExit(f"bad --sketch {spec_str!r}; use kind:value_col[:k=v,...]")
+    kind, col = parts[0], parts[1]
+    params = {}
+    if len(parts) > 2:
+        for kv in parts[2].split(","):
+            k, v = kv.split("=")
+            params[k] = float(v) if "." in v else int(v)
+    name = f"{col}_{kind}"
+    return SketchSpec(name, kind, col, params)
+
+
+def cmd_pipeline(args) -> int:
+    from sketchlib.spark.session import get_spark
+    from sketchlib.spark.specs import SketchSpec
+    from sketchlib.spark.build import (calibrate, bloom_params_by_group,
+                                       build_sketches)
+    from sketchlib.spark.validate import collect_sketches, bloom_validate
+
+    spark = get_spark("sketchlib-pipeline", cpus=args.cpus)
+    df = spark.read.parquet(args.input)
+    calib = calibrate(df, [args.group])
+    bp = bloom_params_by_group(calib, args.fpr)
+    print(f"calibration (p={args.fpr}):")
+    for g, mk in sorted(bp.items(), key=lambda kv: str(kv[0])):
+        print(f"  {g}: m={mk['m']:,} k={mk['k']}")
+    merged = build_sketches(
+        df, [args.group],
+        [SketchSpec("bloom", "bloom", args.key, per_group_params=bp)],
+        fanout=args.fanout)
+    if args.out:
+        merged.write.mode("overwrite").parquet(args.out)
+        print(f"sketch table -> {args.out}")
+    filters = collect_sketches(merged, [args.group], "bloom")
+    rows = bloom_validate(df, filters, [args.group], args.key,
+                          args.fpr).orderBy(args.group).collect()
+    print(f"{'group':<12} {'n_keys':>10} {'false_neg':>10} "
+          f"{'measured_fpr':>13} {'designed_p':>11}")
+    bad = 0
+    for r in rows:
+        print(f"{str(r[args.group]):<12} {r['n_keys']:>10,} "
+              f"{r['false_negatives']:>10} {r['measured_fpr']:>13.4f} "
+              f"{r['designed_p']:>11.4f}")
+        bad += r["false_negatives"]
+    spark.stop()
+    return 1 if bad else 0
+
+
+def cmd_build(args) -> int:
+    from sketchlib.spark.session import get_spark
+    from sketchlib.spark.build import build_sketches
+    from sketchlib.spark.checkpoint import build_sketches_checkpointed
+
+    import pyspark.sql.functions as F
+
+    spark = get_spark("sketchlib-build", cpus=args.cpus)
+    df = spark.read.parquet(args.input)
+    for d in args.derive or []:
+        name, expr = d.split("=", 1)
+        df = df.withColumn(name.strip(), F.expr(expr))
+    specs = [_parse_sketch(s) for s in args.sketch]
+    if args.checkpoint:
+        merged = build_sketches_checkpointed(df, [args.group], specs,
+                                             args.checkpoint,
+                                             fanout=args.fanout)
+    else:
+        merged = build_sketches(df, [args.group], specs, fanout=args.fanout)
+    merged.write.mode("overwrite").parquet(args.out)
+    n = spark.read.parquet(args.out).count()
+    print(f"{n} sketch rows -> {args.out}")
+    spark.stop()
+    return 0
+
+
+def cmd_estimate(args) -> int:
+    from sketchlib.spark.session import get_spark
+    from sketchlib.spark.sqlfuncs import register_sql_functions
+
+    spark = get_spark("sketchlib-estimate", cpus=args.cpus)
+    register_sql_functions(spark)
+    df = spark.read.parquet(args.sketches)
+    df.createOrReplaceTempView("sketches")
+    group_cols = [c for c in df.columns
+                  if c not in ("sketch_name", "sketch", "n_rows", "n_partials")]
+    sel = ", ".join(group_cols)
+    spark.sql(
+        f"SELECT {sel}, sketch_name, n_rows, "
+        "round(sketch_estimate(sketch), 1) AS estimate "
+        f"FROM sketches ORDER BY {sel}, sketch_name"
+    ).show(200, truncate=False)
+    spark.stop()
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="sketchlib")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("pipeline", help="calibrate -> Bloom build -> validate "
+                       "(the reference's 3-stage workflow)")
+    p.add_argument("--input", required=True)
+    p.add_argument("--group", required=True)
+    p.add_argument("--key", required=True)
+    p.add_argument("--fpr", type=float, default=0.01)
+    p.add_argument("--out", default=None)
+    p.add_argument("--fanout", type=int, default=None)
+    p.add_argument("--cpus", default="*")
+    p.set_defaults(fn=cmd_pipeline)
+
+    b = sub.add_parser("build", help="build arbitrary sketches to a table")
+    b.add_argument("--input", required=True)
+    b.add_argument("--group", required=True)
+    b.add_argument("--sketch", action="append", required=True,
+                   help="kind:value_col[:k=v,...], repeatable")
+    b.add_argument("--derive", action="append", default=None,
+                   help="name=SQL_EXPR derived column, e.g. "
+                        "html_len=CAST(length(html) AS DOUBLE); repeatable")
+    b.add_argument("--out", required=True)
+    b.add_argument("--checkpoint", default=None)
+    b.add_argument("--fanout", type=int, default=None)
+    b.add_argument("--cpus", default="*")
+    b.set_defaults(fn=cmd_build)
+
+    e = sub.add_parser("estimate", help="print estimates from a sketch table")
+    e.add_argument("--sketches", required=True)
+    e.add_argument("--cpus", default="*")
+    e.set_defaults(fn=cmd_estimate)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
