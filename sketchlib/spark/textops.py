@@ -147,7 +147,8 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       n_hashes: int = 128, bands: int = 32,
                       shingle_n: int = 3, threshold: float = 0.5,
-                      seed: int = 7) -> DataFrame:
+                      seed: int = 7,
+                      signatures: DataFrame | None = None) -> DataFrame:
     """Near-dup candidate pairs via banded LSH, verified by signature
     Jaccard estimate >= threshold.
 
@@ -155,15 +156,19 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     equi-join on (band index, band hash), i.e. a hash-partitioned
     shuffle on small keys. est_jaccard = fraction of equal signature
     components (unbiased estimator of true Jaccard).
+
+    The signature plan feeds three join sides; by default it is cached
+    for the session (signatures are 8*n_hashes bytes/doc). At pipeline
+    scale, materialize ``minhash_signatures`` to a table yourself and
+    pass it via ``signatures`` — no hidden cache is created then.
     """
     if n_hashes % bands:
         raise ValueError("bands must divide n_hashes")
     rows_per_band = n_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n, seed)
-    # pure plan, no hidden .cache(): a hidden persist can never be
-    # unpersisted by the caller and pins executor memory for the session;
-    # persist the signatures yourself if running many queries over them
-    sigs = sigs.withColumnRenamed("doc_id_mh", "doc")
+    if signatures is None:
+        signatures = minhash_signatures(df, id_col, text_col, n_hashes,
+                                        shingle_n, seed).cache()
+    sigs = signatures.withColumnRenamed("doc_id_mh", "doc")
 
     band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
     banded = (sigs.select("doc", "sig", band_idx)
@@ -243,14 +248,18 @@ def simhash(df: DataFrame, id_col: str, text_col: str, seed: int = 11) -> DataFr
 
 
 def simhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
-                            max_hamming: int = 3, seed: int = 11) -> DataFrame:
+                            max_hamming: int = 3, seed: int = 11,
+                            signatures: DataFrame | None = None) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming.
 
     Banding on 4 x 16-bit chunks: two signatures within hamming 3 must
     agree exactly on at least one chunk (pigeonhole), so candidates come
-    from 4 equi-joins, never a cross join.
+    from 4 equi-joins, never a cross join. Signatures are cached by
+    default (8 bytes/doc); pass a materialized ``signatures`` table at
+    pipeline scale to avoid the hidden cache.
     """
-    sh = simhash(df, id_col, text_col, seed)
+    sh = signatures if signatures is not None else simhash(
+        df, id_col, text_col, seed).cache()
     chunks = sh.select(
         "doc", "simhash",
         F.explode(F.array(*[
