@@ -90,6 +90,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters_scale": _wrap(Q.q_cms_heavy_hitters_scale),
         "embedding_neardup_pairs": _wrap(Q.q_embedding_neardup_pairs),
         "embedding_neardup_lsh": _wrap(Q.q_embedding_neardup_lsh),
+        "user_overlap_exact": _wrap(Q.q_user_overlap_exact),
+        "theta_user_overlap": _wrap(Q.q_theta_user_overlap),
     }
 
 
@@ -187,6 +189,12 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
             "GROUP BY l_returnflag, l_linestatus",
         "langid_heuristic": _langid_oracle(),
+        "user_overlap_exact":
+            "SELECT a.event_type AS type_a, b.event_type AS type_b, "
+            "count(DISTINCT a.user_id) AS n_shared "
+            "FROM events a JOIN events b ON a.user_id = b.user_id "
+            "AND a.event_type < b.event_type "
+            "GROUP BY a.event_type, b.event_type",
         "embedding_neardup_pairs":
             "WITH norms AS (SELECT vec_id, sqrt(sum(x * x)) AS norm FROM ("
             "SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x "

@@ -17,6 +17,7 @@ from sketchlib.core.hll import HyperLogLog
 from sketchlib.core.cms import CountMinSketch
 from sketchlib.core.tdigest import TDigest
 from sketchlib.core.kll import KLL
+from sketchlib.core.theta import ThetaSketch
 from sketchlib.core.serde import sketch_from_bytes
 
 __version__ = "0.1.0"
@@ -27,5 +28,6 @@ __all__ = [
     "CountMinSketch",
     "TDigest",
     "KLL",
+    "ThetaSketch",
     "sketch_from_bytes",
 ]

@@ -313,3 +313,36 @@ def q_embedding_neardup_lsh(spark, sf_dir):
     dim = len(emb.select("embedding").first()["embedding"])
     return annops.lsh_cosine_pairs(emb, "vec_id", "embedding", dim,
                                    threshold=0.4)
+
+
+def q_user_overlap_exact(spark, sf_dir):
+    """Exact shared-user counts between event_type pairs (theta
+    companion)."""
+    ev = load(spark, sf_dir, "events").select("event_type", "user_id")
+    a = ev.alias("a")
+    b = ev.alias("b")
+    return (a.join(b, (F.col("a.user_id") == F.col("b.user_id"))
+                   & (F.col("a.event_type") < F.col("b.event_type")))
+            .groupBy(F.col("a.event_type").alias("type_a"),
+                     F.col("b.event_type").alias("type_b"))
+            .agg(F.countDistinct(F.col("a.user_id")).alias("n_shared")))
+
+
+def q_theta_user_overlap(spark, sf_dir):
+    """Theta-sketch estimated shared users / Jaccard between event_type
+    pairs — set algebra register sketches can't do (rows-only; exact
+    companion q_user_overlap_exact)."""
+    ev = (load(spark, sf_dir, "events")
+          .withColumn("uid", F.col("user_id").cast("string")))
+    merged = build_sketches(ev, ["event_type"],
+                            [SketchSpec("t", "theta", "uid", {"k": 4096})])
+    sketches = collect_sketches(merged, ["event_type"], "t")
+    rows = []
+    for ta in sorted(sketches):
+        for tb in sorted(sketches):
+            if ta < tb:
+                rows.append((ta, tb,
+                             float(sketches[ta].intersect_estimate(sketches[tb])),
+                             float(round(sketches[ta].jaccard_estimate(sketches[tb]), 4))))
+    return spark.createDataFrame(
+        rows, "type_a string, type_b string, n_shared_est double, jaccard_est double")

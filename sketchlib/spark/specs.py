@@ -17,8 +17,9 @@ from sketchlib.core.hll import HyperLogLog
 from sketchlib.core.cms import CountMinSketch
 from sketchlib.core.tdigest import TDigest
 from sketchlib.core.kll import KLL
+from sketchlib.core.theta import ThetaSketch
 
-KINDS = {"bloom", "hll", "cms", "tdigest", "kll"}
+KINDS = {"bloom", "hll", "cms", "tdigest", "kll", "theta"}
 _NUMERIC_KINDS = {"tdigest", "kll"}
 
 
@@ -54,7 +55,7 @@ class SketchSpec:
             key = group_key if not (isinstance(group_key, tuple) and len(group_key) == 1) else group_key[0]
             kwargs.update(self.per_group_params.get(key, {}))
         ctor = {"bloom": BloomFilter, "hll": HyperLogLog, "cms": CountMinSketch,
-                "tdigest": TDigest, "kll": KLL}[self.kind]
+                "tdigest": TDigest, "kll": KLL, "theta": ThetaSketch}[self.kind]
         return ctor(**kwargs)
 
     @property

@@ -203,3 +203,34 @@ class TestKLL:
         assert k2.n == kll.n
         assert k2.quantile(0.5) == pytest.approx(kll.quantile(0.5), rel=0.05)
         assert sketch_from_bytes(blob).n == kll.n
+
+
+# ---------------- Theta (bottom-k) ----------------
+
+class TestTheta:
+    def test_estimate_within_bound(self):
+        from sketchlib.core.theta import ThetaSketch
+        for true_n in (100, 10_000, 300_000):
+            t = ThetaSketch(k=4096)
+            t.update_batch(_keys(true_n))
+            if true_n < t.k:
+                assert t.estimate() == true_n  # exact below saturation
+            else:
+                assert abs(t.estimate() - true_n) / true_n < 4 * t.rel_error()
+
+    def test_intersection_and_jaccard(self):
+        from sketchlib.core.theta import ThetaSketch
+        a = ThetaSketch(k=4096).update_batch(_keys(50_000, "x"))
+        shared = _keys(20_000, "x")  # first 20k of a
+        b = ThetaSketch(k=4096).update_batch(shared + _keys(30_000, "y"))
+        est = a.intersect_estimate(b)
+        assert est == pytest.approx(20_000, rel=0.1)
+        assert a.jaccard_estimate(b) == pytest.approx(20_000 / 80_000, rel=0.15)
+
+    def test_serde_roundtrip(self):
+        from sketchlib.core.theta import ThetaSketch
+        from sketchlib.core.serde import sketch_from_bytes
+        t = ThetaSketch(k=64).update_batch(_keys(1000))
+        blob = t.to_bytes()
+        assert sketch_from_bytes(blob) == t
+        assert sketch_from_bytes(blob).to_bytes() == blob
