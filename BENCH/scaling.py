@@ -225,6 +225,10 @@ def main() -> None:
         f"at local[{best['cpus']}].",
         "",
     ]
+    extra = os.path.join(REPO, "BENCH", "EXTRA.md")
+    if os.path.exists(extra):
+        with open(extra) as f:
+            md += ["", "---", "", f.read()]
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
     with open(path, "w") as f:
         f.write("\n".join(md))
