@@ -160,8 +160,12 @@ def streaming_windowed_build(stream_df: DataFrame, ts_col: str,
             n_rows += len(pdf)
         blobs = [sk.to_bytes() for sk in sketches]
         state.update(tuple(blobs) + (n_rows,))
-        # close the window once the watermark passes its end
-        state.setTimeoutTimestamp(int(key[2]))
+        # close the window once the watermark passes its end; if this
+        # batch itself advanced the watermark beyond the window end the
+        # raw value would be rejected — clamp so the timeout fires on
+        # the next batch instead
+        state.setTimeoutTimestamp(max(int(key[2]),
+                                      state.getCurrentWatermarkMs() + 1))
         yield pd.DataFrame({
             "win_start": [key[0]] * len(specs),
             "win_end": [key[1]] * len(specs),

@@ -15,13 +15,18 @@ SPECS = [SketchSpec("h", "hll", "key", {"b": 10})]
 T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
 
 
-def _write_batch(path, rows):
+def _write_batch(path, rows, order):
     tbl = pa.table({
         "ts": pa.array([r[0] for r in rows], type=pa.timestamp("us")),
         "lang": pa.array([r[1] for r in rows], type=pa.string()),
         "key": pa.array([r[2] for r in rows], type=pa.string()),
     })
     pq.write_table(tbl, path)
+    # the file source processes by modification time; quick writes tie
+    # on mtime and scramble micro-batch order — force distinct mtimes
+    import os
+    base = 1_700_000_000
+    os.utime(path, (base + order, base + order))
 
 
 @pytest.fixture(scope="module")
@@ -30,15 +35,15 @@ def stream_src(tmp_path_factory):
     h = dt.timedelta(hours=1)
     # batch 0: day-1 data
     _write_batch(str(out / "b0.parquet"),
-                 [(T0 + i * h, "en", f"d1-{i}") for i in range(10)])
+                 [(T0 + i * h, "en", f"d1-{i}") for i in range(10)], order=0)
     # batch 1: day-2 data (advances watermark past day-1 end)
     _write_batch(str(out / "b1.parquet"),
                  [(T0 + dt.timedelta(days=1, hours=13) + i * h, "en", f"d2-{i}")
-                  for i in range(8)])
+                  for i in range(8)], order=1)
     # batch 2: far future (closes day 2) + a LATE day-1 row (behind watermark)
     _write_batch(str(out / "b2.parquet"),
                  [(T0 + dt.timedelta(days=3, hours=2), "en", "d3-0"),
-                  (T0 + dt.timedelta(hours=2), "en", "LATE-d1")])
+                  (T0 + dt.timedelta(hours=2), "en", "LATE-d1")], order=2)
     return str(out)
 
 
