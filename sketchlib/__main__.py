@@ -20,18 +20,31 @@ import argparse
 import sys
 
 
+def _parse_fanout(v: str):
+    return None if v == "none" else v if v == "auto" else int(v)
+
+
 def _parse_sketch(spec_str: str):
     """kind:value_col[:k=v,k=v...] -> SketchSpec."""
     from sketchlib.spark.specs import SketchSpec
-    parts = spec_str.split(":")
+    parts = spec_str.split(":", 2)
     if len(parts) < 2:
         raise SystemExit(f"bad --sketch {spec_str!r}; use kind:value_col[:k=v,...]")
     kind, col = parts[0], parts[1]
     params = {}
     if len(parts) > 2:
         for kv in parts[2].split(","):
-            k, v = kv.split("=")
-            params[k] = float(v) if "." in v else int(v)
+            if "=" not in kv:
+                raise SystemExit(f"bad --sketch param {kv!r} in {spec_str!r}; "
+                                 "use k=v[,k=v...]")
+            k, v = kv.split("=", 1)
+            try:
+                params[k] = int(v)
+            except ValueError:
+                try:
+                    params[k] = float(v)
+                except ValueError:
+                    raise SystemExit(f"bad --sketch param value {kv!r}")
     name = f"{col}_{kind}"
     return SketchSpec(name, kind, col, params)
 
@@ -57,6 +70,7 @@ def cmd_pipeline(args) -> int:
     if args.out:
         merged.write.mode("overwrite").parquet(args.out)
         print(f"sketch table -> {args.out}")
+        merged = spark.read.parquet(args.out)  # don't rebuild for validate
     filters = collect_sketches(merged, [args.group], "bloom")
     rows = bloom_validate(df, filters, [args.group], args.key,
                           args.fpr).orderBy(args.group).collect()
@@ -64,8 +78,10 @@ def cmd_pipeline(args) -> int:
           f"{'measured_fpr':>13} {'designed_p':>11}")
     bad = 0
     for r in rows:
+        fpr = ("         n/a" if r["measured_fpr"] is None
+               else f"{r['measured_fpr']:>13.4f}")
         print(f"{str(r[args.group]):<12} {r['n_keys']:>10,} "
-              f"{r['false_negatives']:>10} {r['measured_fpr']:>13.4f} "
+              f"{r['false_negatives']:>10} {fpr} "
               f"{r['designed_p']:>11.4f}")
         bad += r["false_negatives"]
     spark.stop()
@@ -129,7 +145,8 @@ def main(argv=None) -> int:
     p.add_argument("--key", required=True)
     p.add_argument("--fpr", type=float, default=0.01)
     p.add_argument("--out", default=None)
-    p.add_argument("--fanout", type=int, default=None)
+    p.add_argument("--fanout", type=_parse_fanout, default="auto",
+                   help="merge-tree fan-in: int, 'auto' (default), or 'none'")
     p.add_argument("--cpus", default="*")
     p.set_defaults(fn=cmd_pipeline)
 
@@ -143,7 +160,8 @@ def main(argv=None) -> int:
                         "html_len=CAST(length(html) AS DOUBLE); repeatable")
     b.add_argument("--out", required=True)
     b.add_argument("--checkpoint", default=None)
-    b.add_argument("--fanout", type=int, default=None)
+    b.add_argument("--fanout", type=_parse_fanout, default="auto",
+                   help="merge-tree fan-in: int, 'auto' (default), or 'none'")
     b.add_argument("--cpus", default="*")
     b.set_defaults(fn=cmd_build)
 

@@ -27,6 +27,7 @@ TYPE_HLL = 2
 TYPE_CMS = 3
 TYPE_TDIGEST = 4
 TYPE_KLL = 5
+TYPE_THETA = 6
 
 _REGISTRY: dict[int, type] = {}
 

@@ -27,8 +27,6 @@ from sketchlib.core import serde
 
 _MAX_U64 = float(2 ** 64)
 
-serde.TYPE_THETA = 6
-
 
 @serde.register_sketch(serde.TYPE_THETA)
 class ThetaSketch:
@@ -83,10 +81,16 @@ class ThetaSketch:
         if (other.k, other.seed) != (self.k, self.seed):
             raise ValueError("sketches must share (k,seed)")
         raw = min(self._theta_raw(), other._theta_raw())
-        # integer threshold avoids float->uint64 overflow at theta == 1
-        cut = np.uint64(min(raw, 2 ** 64 - 1))
-        a = self.hashes[self.hashes <= cut]
-        b = other.hashes[other.hashes <= cut]
+        # entries strictly below the threshold are the valid sample —
+        # the k-th smallest hash IS the threshold, not a sample (the
+        # cardinality estimator counts k-1 for the same reason); <=
+        # would bias intersections up and push self-Jaccard above 1
+        if raw >= 2 ** 64:
+            a, b = self.hashes, other.hashes
+        else:
+            cut = np.uint64(raw)
+            a = self.hashes[self.hashes < cut]
+            b = other.hashes[other.hashes < cut]
         common = np.intersect1d(a, b)
         return len(common) / (raw / _MAX_U64)
 

@@ -27,6 +27,7 @@ from sketchlib.core.serde import sketch_from_bytes
 from sketchlib.core.bloom import BloomFilter
 from sketchlib.core.cms import CountMinSketch
 from sketchlib.core.hll import HyperLogLog
+from sketchlib.core.theta import ThetaSketch
 
 
 def _make_udfs() -> dict:
@@ -39,7 +40,7 @@ def _make_udfs() -> dict:
                 out.append(float("nan"))
                 continue
             sk = sketch_from_bytes(bytes(b))
-            if isinstance(sk, (HyperLogLog, BloomFilter)):
+            if isinstance(sk, (HyperLogLog, BloomFilter, ThetaSketch)):
                 out.append(float(sk.estimate()))
             elif isinstance(sk, CountMinSketch):
                 out.append(float(sk.total))

@@ -234,3 +234,9 @@ class TestTheta:
         blob = t.to_bytes()
         assert sketch_from_bytes(blob) == t
         assert sketch_from_bytes(blob).to_bytes() == blob
+
+    def test_self_jaccard_is_one_when_saturated(self):
+        from sketchlib.core.theta import ThetaSketch
+        t = ThetaSketch(k=16).update_batch(_keys(100))
+        assert t.jaccard_estimate(t) == pytest.approx(1.0)
+        assert t.intersect_estimate(t) == pytest.approx(t.estimate())
