@@ -26,7 +26,9 @@ class BloomFilter:
 
     def __init__(self, m: int, k: int, seed: int = 0):
         if m < 8:
-            m = 8
+            raise ValueError(f"bit-array size m must be >= 8, got {m}")
+        if k < 1:
+            raise ValueError(f"hash count k must be >= 1, got {k}")
         self.m = int(m)
         self.k = int(k)
         self.seed = int(seed)

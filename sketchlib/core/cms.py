@@ -24,6 +24,11 @@ class CountMinSketch:
     __slots__ = ("w", "d", "seed", "total", "table")
 
     def __init__(self, w: int, d: int, seed: int = 0):
+        if w < 1 or d < 1:
+            raise ValueError(f"w and d must be >= 1, got w={w}, d={d}")
+        if w * d > 0xFFFFFFFF:
+            # sparse serialization stores flat indices as uint32
+            raise ValueError(f"w*d = {w * d} exceeds 2^32-1 cells")
         self.w = int(w)
         self.d = int(d)
         self.seed = int(seed)
@@ -42,8 +47,23 @@ class CountMinSketch:
         with np.errstate(over="ignore"):
             return (h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(self.w)
 
-    def update_batch(self, values, counts=None) -> "CountMinSketch":
-        """Add a batch of keys; optional per-key counts (weighted update)."""
+    def update_batch(self, values, counts=None,
+                     conservative: bool = False) -> "CountMinSketch":
+        """Add a batch of keys; optional per-key counts (weighted update).
+
+        ``conservative=True`` applies conservative update (Estan &
+        Varghese 2002): each key's cells are raised only to
+        ``current_estimate + count`` instead of incremented, which
+        markedly tightens overestimates on heavy-tailed streams.
+        The overestimate-only guarantee is preserved — per row, a cell
+        is only ever maxed with est+c where est >= the key's true count
+        before the increment. NOTE: conservative update is an
+        *update-path* option only; ``merge`` stays elementwise add
+        (still overestimate-only, but looser than a single-sketch CU
+        stream — pure-add merge of CU states cannot reproduce the
+        global CU stream). Keys duplicated within one batch are
+        pre-aggregated so each reads a consistent estimate.
+        """
         n = len(values)
         if n == 0:
             return self
@@ -52,8 +72,21 @@ class CountMinSketch:
         else:
             counts = np.asarray(counts, dtype=np.int64)
         idx = self._row_indices(values)
-        for r in range(self.d):
-            np.add.at(self.table[r], idx[:, r].astype(np.int64), counts)
+        if conservative:
+            # pre-aggregate duplicate keys (identified by their d-row
+            # index signature — exact for the sketch's purposes)
+            uniq, inv = np.unique(idx, axis=0, return_inverse=True)
+            agg = np.zeros(len(uniq), dtype=np.int64)
+            np.add.at(agg, inv, counts)
+            uidx = uniq.astype(np.int64)
+            est = np.stack([self.table[r][uidx[:, r]]
+                            for r in range(self.d)], axis=1).min(axis=1)
+            newval = est + agg
+            for r in range(self.d):
+                np.maximum.at(self.table[r], uidx[:, r], newval)
+        else:
+            for r in range(self.d):
+                np.add.at(self.table[r], idx[:, r].astype(np.int64), counts)
         self.total += int(counts.sum())
         return self
 

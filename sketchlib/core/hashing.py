@@ -23,6 +23,7 @@ hashes per key yet preserves the Bloom false-positive guarantee
 from __future__ import annotations
 
 import numpy as np
+import pyarrow as pa
 
 _C1 = np.uint32(0xCC9E2D51)
 _C2 = np.uint32(0x1B873593)
@@ -74,30 +75,66 @@ def to_bytes_matrix(values) -> tuple[np.ndarray, np.ndarray]:
     vectorized digest (deterministic per key contents, so Bloom/HLL/CMS
     semantics are unchanged; only the hash family differs for long keys).
 
-    Limitation (documented): keys may not contain NUL bytes — numpy 'S'
-    storage is NUL-padded. Web urls / extracted text never do.
+    Binary-safe: encoding goes through a pyarrow large_binary array
+    (utf-8 for str, raw bytes for bytes, per-element for mixed batches),
+    so keys may contain embedded or trailing NUL bytes — length is part
+    of the murmur finalizer, so b"a" and b"a\\x00" hash differently.
+    The ragged->padded scatter is pure vectorized numpy over the arrow
+    offsets buffer; no per-key Python loop.
     """
-    arr = np.asarray(values, dtype=object)
+    if isinstance(values, np.ndarray) and values.dtype.kind not in ("O", "U", "S"):
+        raise TypeError(f"hashable keys must be str/bytes, got {values.dtype}")
+    try:
+        arr = pa.array(values, type=pa.large_binary())
+    except pa.ArrowNotImplementedError:
+        # numpy '<U'/'S' arrays: let arrow infer (large_)string, then cast
+        arr = pa.array(values).cast(pa.large_binary())
+    if isinstance(arr, pa.ChunkedArray):
+        # >2 GB batches arrive chunked; large_binary offsets are 64-bit
+        # so a single combined array is always representable
+        arr = arr.combine_chunks()
     n = len(arr)
     if n == 0:
         return np.zeros((0, 4), dtype=np.uint8), np.zeros(0, dtype=np.int64)
-    first = arr[0]
-    if isinstance(first, str):
-        # encode utf-8; object loop happens in C inside np.char for the
-        # common case, but mixed content needs the explicit encode
-        enc_list = [s.encode("utf-8") for s in arr]
+    if arr.null_count:
+        arr = arr.fill_null(b"")
+    bufs = arr.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=np.int64)[arr.offset:arr.offset + n + 1]
+    data = (np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None
+            else np.zeros(0, dtype=np.uint8))
+    starts = offsets[:-1]
+    lengths = np.diff(offsets)
+    long_rows = np.flatnonzero(lengths > LONG_KEY_THRESHOLD)
+    if len(long_rows):
+        eff_lengths = lengths.copy()
+        eff_lengths[long_rows] = 16
     else:
-        enc_list = list(arr)
-    if any(len(b) > LONG_KEY_THRESHOLD for b in enc_list):
-        enc_list = [b if len(b) <= LONG_KEY_THRESHOLD else _digest16(b)
-                    for b in enc_list]
-    enc = np.array(enc_list, dtype=bytes)
-    L = enc.dtype.itemsize
-    lengths = np.char.str_len(enc).astype(np.int64)
-    L4 = max(4, ((L + 3) // 4) * 4)
+        eff_lengths = lengths
+    L4 = max(4, int(-(-eff_lengths.max() // 4)) * 4)
     mat = np.zeros((n, L4), dtype=np.uint8)
-    mat[:, :L] = enc.view(np.uint8).reshape(n, L)
-    return mat, lengths
+    if len(long_rows):
+        short = np.ones(n, dtype=bool)
+        short[long_rows] = False
+        s_lens = lengths[short]
+        total = int(s_lens.sum())
+        if total:
+            rows = np.flatnonzero(short)
+            cum = np.concatenate(([0], np.cumsum(s_lens)))
+            intra = np.arange(total, dtype=np.int64) - np.repeat(cum[:-1], s_lens)
+            src = np.repeat(starts[short], s_lens) + intra
+            mat.reshape(-1)[np.repeat(rows * L4, s_lens) + intra] = data[src]
+        for i in long_rows:
+            dig = _digest16(data[starts[i]:starts[i] + lengths[i]].tobytes())
+            mat[i, :16] = np.frombuffer(dig, dtype=np.uint8)
+    else:
+        total = int(lengths.sum())
+        if total:
+            cum = np.concatenate(([0], np.cumsum(lengths)))
+            intra = np.arange(total, dtype=np.int64) - np.repeat(cum[:-1], lengths)
+            src = np.repeat(starts, lengths) + intra
+            mat.reshape(-1)[np.repeat(np.arange(n, dtype=np.int64) * L4, lengths)
+                            + intra] = data[src]
+    return mat, eff_lengths.astype(np.int64)
 
 
 def murmur3_32_mat(mat: np.ndarray, lengths: np.ndarray, seed: int) -> np.ndarray:

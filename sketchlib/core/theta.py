@@ -94,6 +94,22 @@ class ThetaSketch:
         common = np.intersect1d(a, b)
         return len(common) / (raw / _MAX_U64)
 
+    def difference_estimate(self, other: "ThetaSketch") -> float:
+        """Estimated |A \\ B| (a-not-b) — same threshold logic as
+        intersection: valid samples are the hashes strictly below the
+        shared theta; A-not-B samples are those absent from B's set."""
+        if (other.k, other.seed) != (self.k, self.seed):
+            raise ValueError("sketches must share (k,seed)")
+        raw = min(self._theta_raw(), other._theta_raw())
+        if raw >= 2 ** 64:
+            a, b = self.hashes, other.hashes
+        else:
+            cut = np.uint64(raw)
+            a = self.hashes[self.hashes < cut]
+            b = other.hashes[other.hashes < cut]
+        only = np.setdiff1d(a, b, assume_unique=True)
+        return len(only) / (raw / _MAX_U64)
+
     def union_estimate(self, other: "ThetaSketch") -> float:
         tmp = ThetaSketch(self.k, self.seed)
         tmp.hashes = self.hashes.copy()
