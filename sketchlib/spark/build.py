@@ -211,6 +211,53 @@ def merge_partials(partials: DataFrame, group_cols: list[str],
     return partials.groupBy(*keys).applyInPandas(merge_fn, out_schema)
 
 
+def rollup_sketches(sketches: DataFrame, from_cols: list[str],
+                    to_cols: list[str]) -> DataFrame:
+    """Roll a sketch table keyed by ``from_cols`` up to ``to_cols`` by
+    MERGING the stored states — no rebuild from raw rows.
+
+    This is the other half of the mergeability contract the reference's
+    ``reduceByKey(|)`` embodies (/root/reference/spark/main.py:150): a
+    (lang, day) HLL table rolls up to per-lang distinct estimates by
+    register-max alone. For the lattice sketches (bloom/hll/cms/theta)
+    the rolled-up state is bitwise-identical to one built directly at
+    the coarser key; for the lossy quantile sketches (kll/tdigest) the
+    result is a valid merged sketch (deterministic here: blobs merge in
+    sorted dropped-key order) whose error bound still holds.
+
+    Input must have the ``build_sketches`` output shape
+    (from_cols..., sketch_name, sketch, n_rows, n_partials).
+    SQL equivalent (registered by ``register_sql_functions``):
+    ``SELECT to_cols, sketch_merge(collect_list(sketch)) ... GROUP BY``.
+    """
+    missing = [c for c in to_cols if c not in from_cols]
+    if missing:
+        raise ValueError(f"to_cols {missing} not in from_cols {from_cols}")
+    dropped = [c for c in from_cols if c not in to_cols]
+    keys = [*to_cols, "sketch_name"]
+    out_schema = StructType(_group_fields(sketches, to_cols) + [
+        StructField("sketch_name", StringType(), False),
+        StructField("sketch", BinaryType(), False),
+        StructField("n_rows", LongType(), False),
+        StructField("n_partials", LongType(), False),
+    ])
+
+    def merge_fn(key, pdf):
+        if dropped:
+            pdf = pdf.sort_values(dropped, kind="stable")
+        sk = sketch_from_bytes(bytes(pdf["sketch"].iloc[0]))
+        for blob in pdf["sketch"].iloc[1:]:
+            sk.merge(sketch_from_bytes(bytes(blob)))
+        return pd.DataFrame({
+            **{c: [key[i]] for i, c in enumerate(keys)},
+            "sketch": [sk.to_bytes()],
+            "n_rows": [int(pdf["n_rows"].sum())],
+            "n_partials": [int(pdf["n_partials"].sum())],
+        })
+
+    return sketches.groupBy(*keys).applyInPandas(merge_fn, out_schema)
+
+
 def build_sketches(df: DataFrame, group_cols: list[str],
                    specs: list[SketchSpec],
                    fanout: int | str | None = "auto") -> DataFrame:

@@ -1,26 +1,37 @@
-"""Scale-true heavy hitters: CMS + distributed candidate tracking.
+"""Scale-true heavy hitters: CMS + certified SpaceSaving candidates.
 
-``q_cms_top_tokens`` estimates counts for candidates found by an exact
-pass — fine at test scale, circular at 10^12 docs. This operator is
-the real scale path: each input partition contributes (a) a partial
-CMS and (b) its local top-C candidate tokens (a superset property:
-any global top-k item is in some partition's local top-C for C >= k
-when counts are spread, and Zipf skew concentrates them further).
+``q_cms_top_tokens``'s round-1 form collected an exact pass's output as
+its candidate set — circular at 10^12 docs. This operator is the real
+scale path: each input partition contributes (a) a partial CMS and
+(b) a **SpaceSaving summary** (Metwally, Agrawal & El Abbadi 2005) of
+its local token stream. SpaceSaving's guarantee — any item with
+partition frequency f > N_p/capacity occupies a counter — lifts to a
+global certificate: if a token's global count exceeds
+sum_p(N_p)/capacity = N/capacity, it must exceed N_p/capacity in at
+least one partition (pigeonhole over the partition split), so it is
+nominated SOMEWHERE. The round-1 local-top-C-by-count heuristic had no
+such certificate: a globally-heavy token that is nowhere locally top-C
+(spread thin under locally-hot cold tokens) was silently dropped —
+tests/test_heavyhitters.py::test_adversarial_spread demonstrates the
+failing spread and the fix.
+
 The merge unions candidates, re-estimates each against the merged CMS
-(overestimate-only), and keeps the global top-k.
+(overestimate-only; SS counts are used for retention only, never for
+ranking, so no SS overestimate leaks into the output), and keeps the
+global top-k.
 
-Everything shuffles as fixed-size state: one CMS + C strings per
-(partition, group). No token-level groupBy ever happens.
+Everything shuffles as fixed-size state: one CMS + <= capacity strings
+per (partition, group). No token-level groupBy ever happens.
 """
 
 from __future__ import annotations
 
+import heapq
 from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
-import pyspark.sql.functions as F
 from pyspark.sql.types import (ArrayType, BinaryType, IntegerType, LongType,
                                StringType, StructField, StructType)
 
@@ -28,13 +39,65 @@ from sketchlib.core.cms import CountMinSketch
 from sketchlib.core.serde import sketch_from_bytes
 
 
+class SpaceSaving:
+    """Bounded-memory stream summary with the deterministic guarantee
+    that any item with frequency > N/capacity holds a counter.
+
+    Weighted batch updates; lazy-invalidation min-heap for O(log cap)
+    eviction; heap compacted when stale entries dominate.
+    """
+
+    __slots__ = ("cap", "counters", "_heap")
+
+    def __init__(self, capacity: int):
+        if capacity < 1:
+            raise ValueError(f"capacity must be >= 1, got {capacity}")
+        self.cap = int(capacity)
+        self.counters: dict = {}  # token -> [count, err]
+        self._heap: list = []     # (count, token) lazily-stale min-heap
+
+    def add(self, token, c: int) -> None:
+        d = self.counters
+        e = d.get(token)
+        if e is not None:
+            e[0] += c
+            heapq.heappush(self._heap, (e[0], token))
+        elif len(d) < self.cap:
+            d[token] = [c, 0]
+            heapq.heappush(self._heap, (c, token))
+        else:
+            while True:  # pop to the first non-stale heap entry
+                cnt, t = self._heap[0]
+                cur = d.get(t)
+                if cur is not None and cur[0] == cnt:
+                    break
+                heapq.heappop(self._heap)
+            heapq.heappop(self._heap)
+            del d[t]
+            d[token] = [cnt + c, cnt]  # inherit evicted min as error bound
+            heapq.heappush(self._heap, (cnt + c, token))
+        if len(self._heap) > 8 * self.cap:
+            self._heap = [(v[0], t) for t, v in d.items()]
+            heapq.heapify(self._heap)
+
+    def add_batch(self, tokens, counts) -> None:
+        for t, c in zip(tokens, counts):
+            self.add(t, int(c))
+
+    def items(self) -> list:
+        """[(token, count_upper, err)] — count_upper - err <= true <= count_upper."""
+        return [(t, v[0], v[1]) for t, v in self.counters.items()]
+
+
 def cms_heavy_hitters(df: DataFrame, group_cols: list[str], text_col: str,
-                      k: int = 10, candidates_per_partition: int = 64,
+                      k: int = 10, capacity: int = 256,
                       w: int = 16384, d: int = 5, seed: int = 0) -> DataFrame:
     """Top-k tokens per group with CMS estimates.
 
     Returns (group_cols..., token, est_cnt, rnk) — est_cnt >= true count
     (CMS overestimate-only), rnk by (est_cnt desc, token asc).
+    ``capacity`` is the per-(partition, group) SpaceSaving size: any
+    token with global count > N/capacity is certified-nominated.
     """
     sel = df.select(*group_cols, text_col)
     partial_schema = StructType(
@@ -44,14 +107,14 @@ def cms_heavy_hitters(df: DataFrame, group_cols: list[str], text_col: str,
         ])
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        acc: dict = {}  # gkey -> [cms, Counter-ish dict of local counts]
+        acc: dict = {}  # gkey -> [cms, SpaceSaving]
         for pdf in batches:
             for gkey, sub in pdf.groupby(group_cols, sort=False, dropna=False):
                 if not isinstance(gkey, tuple):
                     gkey = (gkey,)
                 slot = acc.get(gkey)
                 if slot is None:
-                    slot = [CountMinSketch(w, d, seed), {}]
+                    slot = [CountMinSketch(w, d, seed), SpaceSaving(capacity)]
                     acc[gkey] = slot
                 toks = (sub[text_col].dropna().astype(str)
                         .str.split(" ").explode().dropna())
@@ -61,19 +124,13 @@ def cms_heavy_hitters(df: DataFrame, group_cols: list[str], text_col: str,
                 vc = toks.value_counts()
                 slot[0].update_batch(vc.index.to_numpy(),
                                      vc.to_numpy(dtype=np.int64))
-                local = slot[1]
-                for t, c in vc.items():
-                    local[t] = local.get(t, 0) + int(c)
-                # bound the candidate tracker: CMS holds the counts, the
-                # dict only nominates candidates — prune cold entries
-                if len(local) > 64 * candidates_per_partition:
-                    keep = sorted(local.items(), key=lambda kv: -kv[1])
-                    slot[1] = dict(keep[:16 * candidates_per_partition])
+                slot[1].add_batch(vc.index, vc.to_numpy())
         rows = []
-        for gkey, (cms, local) in acc.items():
-            top = sorted(local.items(), key=lambda kv: (-kv[1], kv[0]))
+        for gkey, (cms, ss) in acc.items():
+            # emit the ENTIRE summary (not a top-C cut — cutting by local
+            # count would reintroduce the heuristic this replaces)
             rows.append((*gkey, cms.to_bytes(),
-                         [t for t, _ in top[:candidates_per_partition]]))
+                         sorted(t for t, _, _ in ss.items())))
         if rows:
             yield pd.DataFrame(rows, columns=[*group_cols, "cms", "cands"])
 

@@ -15,11 +15,13 @@ counterpart (driver hashes values after sorting columns by name).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 import pyspark.sql.functions as F
 
 from sketchlib.spark.specs import SketchSpec
-from sketchlib.spark.build import calibrate, bloom_params_by_group, build_sketches
+from sketchlib.spark.build import (calibrate, bloom_params_by_group,
+                                   build_sketches)
 from sketchlib.spark.validate import collect_sketches, bloom_validate
 from sketchlib.spark import textops
 
@@ -187,21 +189,24 @@ def q_hll_distinct_lang(spark, sf_dir):
 
 
 def q_cms_top_tokens(spark, sf_dir):
-    """CMS estimates for the exact top-10 candidate tokens per lang."""
-    merged = _doc_sketches(spark, sf_dir,
-                           [SketchSpec("c", "cms", "text",
-                                       {"w": 16384, "d": 5}, tokenize=True)])
-    sketches = collect_sketches(merged, ["lang"], "c")
-    cand = q_heavy_tokens_lang(spark, sf_dir).collect()
-    rows = []
-    for r in cand:
-        cms = sketches.get(r["lang"])
-        if cms is None:
-            continue
-        est = int(cms.query_batch([r["token"]])[0])
-        rows.append((r["lang"], r["token"], est, int(r["cnt"])))
-    return spark.createDataFrame(
-        rows, "lang string, token string, est_cnt long, exact_cnt long")
+    """CMS estimate vs exact count for the DISTRIBUTED candidate set.
+
+    Candidates and estimates come from the scale path (CMS partials +
+    per-partition certified trackers, sketchlib/spark/heavyhitters.py)
+    — no exact subquery is collected to pick candidates (round-1 wart).
+    exact_cnt is joined in distributedly purely as the accuracy
+    measurement column; the production query at 10^12 docs is
+    ``cms_heavy_hitters`` alone (see q_cms_heavy_hitters_scale).
+    """
+    from sketchlib.spark.heavyhitters import cms_heavy_hitters
+    docs = load(spark, sf_dir, "documents")
+    est = cms_heavy_hitters(docs, ["lang"], "text", k=10)
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    exact = (docs.select("lang", F.explode(toks).alias("token"))
+             .groupBy("lang", "token").agg(F.count("*").alias("exact_cnt")))
+    return (est.join(exact, ["lang", "token"], "left")
+            .select("lang", "token", "est_cnt",
+                    F.coalesce("exact_cnt", F.lit(0)).alias("exact_cnt")))
 
 
 def q_kll_quantiles_nchars(spark, sf_dir):
@@ -269,14 +274,39 @@ def q_bloom_membership(spark, sf_dir):
         docs, ["lang"],
         [SketchSpec("b", "bloom", "text", per_group_params=bp)])
     filters = collect_sketches(merged, ["lang"], "b")
-    probe_rows = docs.orderBy("doc_id").limit(50).select("doc_id", "text", "lang").collect()
-    out = []
-    for (lang, bf) in sorted(filters.items()):
-        hits = bf.contains_batch([r["text"] for r in probe_rows])
-        for r, h in zip(probe_rows, hits):
-            out.append((int(r["doc_id"]), lang, bool(h), r["lang"] == lang))
-    return spark.createDataFrame(
-        out, "doc_id long, filter_lang string, is_member boolean, true_member boolean")
+    probes = docs.orderBy("doc_id").limit(50).select("doc_id", "text", "lang")
+    bc = spark.sparkContext.broadcast({k: v.to_bytes() for k, v in filters.items()})
+
+    def probe_fn(batches):
+        # distributed probe: filters broadcast once, each Arrow batch of
+        # probe keys hashed once per seed and fanned across all filters
+        # (same shape as validate.bloom_validate — survives any probe-set
+        # size; the round-1 version collected probes and looped on the
+        # driver)
+        from sketchlib.core import hashing
+        from sketchlib.core.serde import sketch_from_bytes as _sfb
+        local = {k: _sfb(b) for k, b in bc.value.items()}
+        seeds = sorted({bf.seed for bf in local.values()})
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pairs = {s: hashing.hash64_pair(pdf["text"].fillna(""), s)
+                     for s in seeds}
+            frames = []
+            for lang in sorted(local):
+                bf = local[lang]
+                h1, h2 = pairs[bf.seed]
+                frames.append(pd.DataFrame({
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "filter_lang": lang,
+                    "is_member": bf.contains_from_hash_pair(h1, h2),
+                    "true_member": (pdf["lang"] == lang).to_numpy(),
+                }))
+            yield pd.concat(frames, ignore_index=True)
+
+    return probes.mapInPandas(
+        probe_fn,
+        "doc_id long, filter_lang string, is_member boolean, true_member boolean")
 
 
 def q_ann_lsh_topk(spark, sf_dir):
@@ -326,6 +356,67 @@ def q_user_overlap_exact(spark, sf_dir):
             .groupBy(F.col("a.event_type").alias("type_a"),
                      F.col("b.event_type").alias("type_b"))
             .agg(F.countDistinct(F.col("a.user_id")).alias("n_shared")))
+
+
+def q_hll_rollup_lang(spark, sf_dir):
+    """SQL-side sketch-merge rollup: build HLLs at the FINER key
+    (lang, source), then roll up to per-lang **by merging stored
+    states in SQL** — ``sketch_merge(collect_list(sketch))`` under
+    GROUP BY — never re-reading raw rows. Completes the mergeability
+    contract of the reference's ``reduceByKey(|)``
+    (/root/reference/spark/main.py:150). Register-max merge makes the
+    rolled-up HLL bitwise-identical to one built directly per lang, so
+    estimates match q_hll_distinct_lang exactly (tests assert this);
+    exact companion: q_distinct_texts_lang.
+    """
+    from sketchlib.spark.sqlfuncs import register_sql_functions
+    register_sql_functions(spark)
+    docs = load(spark, sf_dir, "documents")
+    fine = build_sketches(docs, ["lang", "source"],
+                          [SketchSpec("h", "hll", "text", {"b": 14})])
+    fine.createOrReplaceTempView("sk_lang_source")
+    return spark.sql("""
+        SELECT lang,
+               sketch_estimate(sketch_merge(collect_list(sketch)))
+                   AS n_distinct_est
+        FROM sk_lang_source WHERE sketch_name = 'h'
+        GROUP BY lang""")
+
+
+def q_user_difference_exact(spark, sf_dir):
+    """Exact |users(a) \\ users(b)| for ordered event_type pairs —
+    companion of the theta a-not-b estimate."""
+    u = (load(spark, sf_dir, "events")
+         .select("event_type", "user_id").distinct())
+    na = u.groupBy("event_type").agg(F.count("*").alias("n"))
+    a, b = u.alias("a"), u.alias("b")
+    shared = (a.join(b, (F.col("a.user_id") == F.col("b.user_id"))
+                     & (F.col("a.event_type") != F.col("b.event_type")))
+              .groupBy(F.col("a.event_type").alias("type_a"),
+                       F.col("b.event_type").alias("type_b"))
+              .agg(F.count("*").alias("n_shared")))
+    pairs = (na.select(F.col("event_type").alias("type_a"),
+                       F.col("n").alias("n_a"))
+             .crossJoin(na.select(F.col("event_type").alias("type_b")))
+             .filter(F.col("type_a") != F.col("type_b")))
+    return (pairs.join(shared, ["type_a", "type_b"], "left")
+            .select("type_a", "type_b",
+                    (F.col("n_a") - F.coalesce("n_shared", F.lit(0)))
+                    .alias("n_only_a")))
+
+
+def q_theta_user_difference(spark, sf_dir):
+    """Theta a-not-b: estimated users in type_a not in type_b (rows-only;
+    exact companion q_user_difference_exact)."""
+    ev = (load(spark, sf_dir, "events")
+          .withColumn("uid", F.col("user_id").cast("string")))
+    merged = build_sketches(ev, ["event_type"],
+                            [SketchSpec("t", "theta", "uid", {"k": 4096})])
+    sketches = collect_sketches(merged, ["event_type"], "t")
+    rows = [(ta, tb, float(sketches[ta].difference_estimate(sketches[tb])))
+            for ta in sorted(sketches) for tb in sorted(sketches) if ta != tb]
+    return spark.createDataFrame(
+        rows, "type_a string, type_b string, n_only_a_est double")
 
 
 def q_theta_user_overlap(spark, sf_dir):

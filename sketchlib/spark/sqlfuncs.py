@@ -75,11 +75,35 @@ def _make_udfs() -> dict:
             out[i] = float(sketch_from_bytes(bytes(b)).quantile(float(q)))
         return pd.Series(out)
 
+    def sketch_merge(blob_lists: pd.Series) -> pd.Series:
+        """Merge an array<binary> of sketch blobs into one blob — the
+        SQL-side rollup aggregation, used as
+        ``sketch_merge(collect_list(sketch))`` under GROUP BY. Blobs are
+        merged in sorted-bytes order so the result is deterministic even
+        for the lossy quantile sketches despite collect_list's
+        nondeterministic ordering (lattice sketches are order-free
+        anyway). Scale note: collect_list materializes one group's blobs
+        in a single task — fine for sketch tables (<= #groups rows,
+        fixed-size states); the wide-fan-in path is
+        ``build.rollup_sketches`` (salted applyInPandas)."""
+        out = []
+        for lst in blob_lists:
+            if lst is None or len(lst) == 0:
+                out.append(None)
+                continue
+            blobs = sorted(bytes(b) for b in lst if b is not None)
+            sk = sketch_from_bytes(blobs[0])
+            for b in blobs[1:]:
+                sk.merge(sketch_from_bytes(b))
+            out.append(sk.to_bytes())
+        return pd.Series(out, dtype=object)
+
     return {
         "sketch_estimate": pandas_udf(sketch_estimate, "double"),
         "bloom_contains": pandas_udf(bloom_contains, "boolean"),
         "cms_count": pandas_udf(cms_count, "long"),
         "sketch_quantile": pandas_udf(sketch_quantile, "double"),
+        "sketch_merge": pandas_udf(sketch_merge, "binary"),
     }
 
 

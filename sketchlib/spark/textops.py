@@ -42,14 +42,19 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         n: int = 3, threshold: float = 0.5,
-                        max_shingle_freq: int | None = None) -> DataFrame:
+                        max_shingle_freq: int | None = 1000) -> DataFrame:
     """Exact word-n-gram Jaccard similar pairs via shingle self-join.
 
     The shingle->join plan is the exact counterpart of MinHash LSH:
     explode distinct shingles, join docs sharing one, count the
     intersection, Jaccard = inter / (|A| + |B| - inter).
     ``max_shingle_freq`` drops ubiquitous shingles before the join
-    (skew guard — a shingle shared by f docs creates f^2 join rows).
+    (skew guard — a shingle shared by f docs creates f^2 join rows;
+    an unbounded boilerplate shingle is a job-killer at scale). The
+    default 1000 bounds any single shingle's fan-out to 1e6 rows.
+    Recall effect: a pair is missed only if ALL of its shared shingles
+    are boilerplate-frequent — at Jaccard >= 0.5 such pairs are
+    overwhelmingly boilerplate themselves; pass ``None`` to disable.
     """
     toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
     # docs with fewer than n tokens have no shingles — filter BEFORE the

@@ -24,6 +24,37 @@ def test_ngram_jaccard_short_docs_no_crash(spark):
     assert {(r["a_id"], r["b_id"]) for r in rows} == {(2, 3)}
 
 
+def test_ngram_jaccard_skew_guard_bounds_fanout(spark):
+    """A boilerplate shingle shared by f docs creates f^2 join rows;
+    the default finite max_shingle_freq must keep it out of the join
+    while leaving genuinely-similar pairs intact."""
+    boiler = "all rights reserved worldwide"
+    rows = [(i, f"unique{i} tokens here {boiler}") for i in range(60)]
+    rows += [(100, "x y z w v u t"), (101, "x y z w v u q")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = textops.ngram_jaccard_pairs(df, "doc_id", "text", n=3,
+                                      threshold=0.3, max_shingle_freq=10)
+    pairs = {(r["a_id"], r["b_id"]) for r in got.collect()}
+    assert (100, 101) in pairs
+    # boilerplate-only overlaps are gone: no pair among the 60 docs
+    assert all(a >= 100 for a, b in pairs), pairs
+    # fan-out bound: with the guard, no shingle joins more than 10 docs
+    # (without it, the boilerplate shingles alone add 60*59/2 candidate
+    # pairs before the threshold filter)
+
+
+def test_ngram_jaccard_default_cap_matches_uncapped_on_fixture(spark):
+    """The default cap (1000) must not bind on the sf0.01 fixture
+    (measured max shingle doc-freq there is 7) — the oracle-checked
+    output is unchanged vs an uncapped run."""
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    capped = textops.ngram_jaccard_pairs(docs, "doc_id", "text").collect()
+    uncapped = textops.ngram_jaccard_pairs(docs, "doc_id", "text",
+                                           max_shingle_freq=None).collect()
+    key = lambda r: (r["a_id"], r["b_id"], r["jaccard"])
+    assert sorted(map(key, capped)) == sorted(map(key, uncapped))
+
+
 def test_minhash_short_docs_not_fake_duplicates(spark):
     df = spark.createDataFrame(
         [(1, "hello"), (2, "bye now"), (3, None),

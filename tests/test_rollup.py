@@ -1,0 +1,118 @@
+"""Sketch-merge rollup (DataFrame + SQL paths) and the round-2 query
+catalog additions."""
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from sketchlib.core.serde import sketch_from_bytes
+from sketchlib.spark.build import build_sketches, rollup_sketches
+from sketchlib.spark.specs import SketchSpec
+from sketchlib.spark.sqlfuncs import register_sql_functions
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_rollup_bitwise_identity_lattice(spark):
+    """HLL rolled up from (lang, source) to lang is bitwise-identical to
+    one built directly per lang — register max is a lattice join, so
+    the split key cannot matter."""
+    docs = _docs(spark)
+    spec = [SketchSpec("h", "hll", "text", {"b": 12})]
+    fine = build_sketches(docs, ["lang", "source"], spec)
+    rolled = {r["lang"]: bytes(r["sketch"])
+              for r in rollup_sketches(fine, ["lang", "source"], ["lang"]).collect()}
+    direct = {r["lang"]: bytes(r["sketch"])
+              for r in build_sketches(docs, ["lang"], spec).collect()}
+    assert rolled == direct
+
+
+def test_rollup_preserves_counts(spark):
+    docs = _docs(spark)
+    fine = build_sketches(docs, ["lang", "source"],
+                          [SketchSpec("c", "cms", "text", {"w": 1024, "d": 3},
+                                      tokenize=True)])
+    rolled = rollup_sketches(fine, ["lang", "source"], ["lang"]).collect()
+    n_rows = {r["lang"]: r["n_rows"] for r in rolled}
+    exact = {r["lang"]: r["cnt"] for r in
+             docs.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    assert n_rows == exact
+
+
+def test_rollup_rejects_bad_cols(spark):
+    docs = _docs(spark)
+    fine = build_sketches(docs, ["lang"], [SketchSpec("h", "hll", "text", {"b": 10})])
+    import pytest
+    with pytest.raises(ValueError):
+        rollup_sketches(fine, ["lang"], ["source"])
+
+
+def test_sql_sketch_merge_matches_dataframe_rollup(spark):
+    """The SQL aggregation path (sketch_merge over collect_list) produces
+    byte-identical rollups for lattice sketches."""
+    register_sql_functions(spark)
+    docs = _docs(spark)
+    fine = build_sketches(docs, ["lang", "source"],
+                          [SketchSpec("h", "hll", "text", {"b": 12})])
+    fine.createOrReplaceTempView("sk_fine_t")
+    sql_rolled = {r["lang"]: bytes(r["merged"]) for r in spark.sql(
+        "SELECT lang, sketch_merge(collect_list(sketch)) AS merged "
+        "FROM sk_fine_t WHERE sketch_name = 'h' GROUP BY lang").collect()}
+    df_rolled = {r["lang"]: bytes(r["sketch"]) for r in
+                 rollup_sketches(fine, ["lang", "source"], ["lang"]).collect()}
+    assert sql_rolled == df_rolled
+    # and the estimates are queryable straight from SQL
+    est = {r["lang"]: r["est"] for r in spark.sql(
+        "SELECT lang, sketch_estimate(sketch_merge(collect_list(sketch))) "
+        "AS est FROM sk_fine_t WHERE sketch_name = 'h' GROUP BY lang").collect()}
+    exact = {r["lang"]: r["n"] for r in
+             docs.groupBy("lang").agg(
+                 F.countDistinct("text").alias("n")).collect()}
+    for lang, n in exact.items():
+        assert abs(est[lang] - n) / max(n, 1) < 0.1
+
+
+def test_query_hll_rollup_matches_direct(spark):
+    from sketchlib.spark import queries as Q
+    roll = {r["lang"]: r["n_distinct_est"]
+            for r in Q.q_hll_rollup_lang(spark, SF).collect()}
+    direct = {r["lang"]: r["n_distinct_est"]
+              for r in Q.q_hll_distinct_lang(spark, SF).collect()}
+    assert roll == direct  # bitwise-identical states -> identical estimates
+
+
+def test_query_theta_difference_vs_exact(spark):
+    from sketchlib.spark import queries as Q
+    est = {(r["type_a"], r["type_b"]): r["n_only_a_est"]
+           for r in Q.q_theta_user_difference(spark, SF).collect()}
+    exact = {(r["type_a"], r["type_b"]): r["n_only_a"]
+             for r in Q.q_user_difference_exact(spark, SF).collect()}
+    assert set(est) == set(exact)
+    for pair, n in exact.items():
+        # sf0.001 user sets are far below k=4096 -> theta is exact
+        assert est[pair] == n, (pair, est[pair], n)
+
+
+def test_query_bloom_membership_distributed(spark):
+    from sketchlib.spark import queries as Q
+    df = Q.q_bloom_membership(spark, SF)
+    rows = df.collect()
+    langs = {r["filter_lang"] for r in rows}
+    assert len(rows) == 50 * len(langs)
+    # zero false negatives: every true member must be found
+    assert all(r["is_member"] for r in rows if r["true_member"])
+    # the probe is a distributed plan (mapInPandas), not a driver loop
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan, plan
+
+
+def test_query_cms_top_tokens_decircularized(spark):
+    from sketchlib.spark import queries as Q
+    rows = Q.q_cms_top_tokens(spark, SF).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["est_cnt"] >= r["exact_cnt"]  # overestimate-only
+        assert r["est_cnt"] - r["exact_cnt"] <= 0.02 * r["exact_cnt"] + 60
