@@ -46,7 +46,14 @@ def _parse_sketch(spec_str: str):
                 except ValueError:
                     raise SystemExit(f"bad --sketch param value {kv!r}")
     name = f"{col}_{kind}"
-    return SketchSpec(name, kind, col, params)
+    try:
+        spec = SketchSpec(name, kind, col, params)
+        spec.make(None)  # probe-construct: missing/invalid kernel params
+    except (TypeError, ValueError) as e:
+        raise SystemExit(f"bad --sketch {spec_str!r}: {e} "
+                         "(e.g. bloom needs m=...,k=..., hll needs b=..., "
+                         "cms needs w=...,d=...)")
+    return spec
 
 
 def cmd_pipeline(args) -> int:

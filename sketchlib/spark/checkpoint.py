@@ -63,10 +63,23 @@ def iceberg_available(spark: SparkSession) -> bool:
 
 def spec_fingerprint(df: DataFrame, group_cols: list[str],
                      specs: list[SketchSpec]) -> str:
-    """Stable identity of (input schema, grouping, sketch params) — a
-    resume against anything else must be refused."""
+    """Stable identity of (input identity, grouping, sketch params) — a
+    resume against anything else must be refused.
+
+    Input identity = schema + partition count + the sorted list of
+    input files (``df.inputFiles()``). Without the file list, replacing
+    the input with same-schema, same-partition-count DIFFERENT data
+    resumed silently and mixed partials from two inputs (round-1 ADVICE
+    finding). Derived DataFrames with no scan files (e.g. in-memory
+    test frames) fall back to the weaker schema+count identity.
+    """
+    try:
+        input_files = sorted(df.inputFiles())
+    except Exception:
+        input_files = []
     payload = json.dumps({
         "schema": df.schema.simpleString(),
+        "input_files": input_files,
         "n_partitions": df.rdd.getNumPartitions(),
         "group_cols": group_cols,
         "specs": [{"name": s.name, "kind": s.kind, "value_col": s.value_col,

@@ -3,11 +3,16 @@
 Image/audio/video content rides as ``binary`` columns next to typed
 metadata (the same posture as ``pages.html``). The Spark-side plumbing
 — schema contracts, Arrow batch shape, partition-friendly UDF
-signatures — is real and tested; the *codec* step is a clearly-marked
-stub (decode libraries are not in this container): ``decode_stub``
-raises NotImplementedError unless ``fake=True``, in which case it
-produces a deterministic fake decode so downstream feature plumbing
-is exercisable end-to-end.
+signatures — is real and tested. Codecs:
+
+- **audio/WAV is REAL** (stdlib ``wave``): ``decode_wav`` parses
+  8/16/32-bit PCM to a mono float32 waveform, ``wav_feature_vector``
+  reduces it to the 64-dim RMS-energy envelope the feature contract
+  specifies. ``encode_wav`` synthesizes fixtures.
+- image / video / non-WAV audio remain a clearly-marked stub
+  (PIL/ffmpeg are not in this container): ``decode_stub`` raises
+  NotImplementedError unless ``fake=True``, which produces a
+  deterministic fake decode so downstream plumbing stays exercisable.
 
 At scale: binary payloads dominate bytes, so every operator here
 column-prunes before the Python boundary and streams per Arrow batch
@@ -16,6 +21,8 @@ column-prunes before the Python boundary and streams per Arrow batch
 
 from __future__ import annotations
 
+import io
+import wave
 from collections.abc import Iterator
 
 import numpy as np
@@ -47,8 +54,63 @@ def media_metadata(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
         F.xxhash64(F.col(payload_col)).alias("payload_xxh64"))
 
 
+FEATURE_DIM = 64
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """Mono float waveform in [-1, 1] -> 16-bit PCM WAV bytes."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(int(rate))
+        pcm = (np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
+               * 32767.0).astype("<i2")
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> np.ndarray:
+    """REAL codec: 8/16/32-bit PCM WAV -> mono float32 waveform in [-1,1].
+
+    stdlib ``wave`` only — no external decode libraries needed.
+    Multi-channel input is averaged to mono.
+    """
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        nch = w.getnchannels()
+        sw = w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if sw == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif sw == 1:  # 8-bit WAV is unsigned
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif sw == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported PCM sample width {sw}")
+    if nch > 1:
+        x = x[: (len(x) // nch) * nch].reshape(-1, nch).mean(axis=1)
+    return x.astype(np.float32)
+
+
+def wav_feature_vector(waveform: np.ndarray,
+                       n_bins: int = FEATURE_DIM) -> np.ndarray:
+    """RMS-energy envelope over ``n_bins`` equal time bins — the 64-dim
+    audio feature of the extract_features contract."""
+    x = np.asarray(waveform, dtype=np.float32)
+    if len(x) == 0:
+        return np.zeros(n_bins, dtype=np.float32)
+    pad = (-len(x)) % n_bins
+    if pad:
+        x = np.pad(x, (0, pad))
+    return np.sqrt((x.reshape(n_bins, -1).astype(np.float64) ** 2)
+                   .mean(axis=1)).astype(np.float32)
+
+
 def decode_stub(payload: bytes, kind: str, fake: bool = False) -> np.ndarray:
-    """Codec boundary. Real decode needs PIL/ffmpeg — absent here.
+    """Codec boundary for the kinds WITHOUT a real decoder here
+    (image / video / non-WAV audio). Real decode needs PIL/ffmpeg —
+    absent in this container; WAV audio has the real ``decode_wav``.
 
     ``fake=True`` returns a deterministic pseudo-decode (seeded from the
     payload's own bytes) with the right shape contract:
@@ -66,19 +128,33 @@ def decode_stub(payload: bytes, kind: str, fake: bool = False) -> np.ndarray:
     return rng.standard_normal(64).astype(np.float32)
 
 
+def _decode_one(payload: bytes, kind: str, mime: str | None,
+                fake: bool) -> np.ndarray:
+    """Dispatch: WAV audio -> real codec; everything else -> stub."""
+    if kind == "audio" and (mime is None or mime == "audio/wav"):
+        return wav_feature_vector(decode_wav(payload))
+    return decode_stub(payload, kind, fake=fake)
+
+
 def extract_features(df: DataFrame, id_col: str = "media_id",
                      payload_col: str = "payload", kind_col: str = "kind",
+                     mime_col: str | None = "mime",
                      fake: bool = True) -> DataFrame:
     """(media_id, feature: array<float>[64]) via mapInPandas.
 
     Streams one Arrow batch of payloads at a time; the decode loop is
     per-item (codecs are inherently per-item) but everything around it
-    is batch-shaped, so swapping ``decode_stub`` for a real codec is a
-    one-line change.
+    is batch-shaped. WAV audio decodes for real (``decode_wav`` +
+    RMS-envelope features); other kinds go through ``decode_stub``
+    (NotImplementedError unless ``fake=True``).
     """
-    sel = df.select(F.col(id_col).cast("long").alias("_id"),
-                    F.col(kind_col).alias("_kind"),
-                    F.col(payload_col).alias("_payload"))
+    cols = [F.col(id_col).cast("long").alias("_id"),
+            F.col(kind_col).alias("_kind"),
+            F.col(payload_col).alias("_payload")]
+    has_mime = mime_col is not None and mime_col in df.columns
+    if has_mime:
+        cols.append(F.col(mime_col).alias("_mime"))
+    sel = df.select(*cols)
     schema = StructType([
         StructField("media_id", LongType(), False),
         StructField("feature", ArrayType(FloatType()), False),
@@ -88,8 +164,9 @@ def extract_features(df: DataFrame, id_col: str = "media_id",
         for pdf in batches:
             if not len(pdf):
                 continue
-            feats = [decode_stub(bytes(p), k, fake=fake)
-                     for p, k in zip(pdf["_payload"], pdf["_kind"])]
+            mimes = pdf["_mime"] if has_mime else [None] * len(pdf)
+            feats = [_decode_one(bytes(p), k, m, fake)
+                     for p, k, m in zip(pdf["_payload"], pdf["_kind"], mimes)]
             yield pd.DataFrame({"media_id": pdf["_id"].to_numpy(),
                                 "feature": feats})
 
@@ -109,19 +186,35 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 
 def make_fake_media(spark, n: int = 300, seed: int = 5):
-    """Deterministic fake media table matching MEDIA_SCHEMA (tests)."""
+    """Deterministic fake media table matching MEDIA_SCHEMA (tests).
+
+    Audio rows carry REAL (tiny) PCM WAV payloads — synthesized sine
+    mixtures through ``encode_wav`` — so the real decode path is
+    exercised end-to-end; image/video payloads stay opaque bytes for
+    the stub path.
+    """
     rng = np.random.default_rng(seed)
     kinds = np.array(["image", "audio", "video"], dtype=object)[
         rng.integers(0, 3, n)]
+    rate = 8000
     rows = []
     for i in range(n):
-        size = int(rng.integers(100, 5000))
-        payload = rng.integers(0, 256, size, dtype=np.uint8).tobytes()
         k = kinds[i]
+        if k == "audio":
+            n_samp = int(rng.integers(400, 4000))
+            t = np.arange(n_samp) / rate
+            f0, f1 = rng.uniform(100, 1000, 2)
+            wavef = 0.5 * np.sin(2 * np.pi * f0 * t) + 0.3 * np.sin(2 * np.pi * f1 * t)
+            payload = encode_wav(wavef, rate)
+            dur = int(round(1000 * n_samp / rate))
+        else:
+            size = int(rng.integers(100, 5000))
+            payload = rng.integers(0, 256, size, dtype=np.uint8).tobytes()
+            dur = int(rng.integers(1000, 60000)) if k == "video" else None
         rows.append((i, k, payload,
                      {"image": "image/png", "audio": "audio/wav",
                       "video": "video/mp4"}[k],
                      int(rng.integers(16, 1920)) if k != "audio" else None,
                      int(rng.integers(16, 1080)) if k != "audio" else None,
-                     int(rng.integers(1000, 60000)) if k != "image" else None))
+                     dur))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -67,6 +67,24 @@ def test_fingerprint_mismatch_refused(spark, pages_tiny, tmp_path):
         build_sketches_checkpointed(pages_tiny, ["lang"], other, ckpt)
 
 
+def test_changed_input_files_refused(spark, pages_tiny, tmp_path):
+    """Same schema + same partition count but DIFFERENT input files must
+    refuse to resume (round-1 ADVICE: schema-only fingerprints silently
+    mixed partials from two inputs)."""
+    in_a = str(tmp_path / "in_a")
+    in_b = str(tmp_path / "in_b")
+    pages_tiny.write.parquet(in_a)
+    pages_tiny.write.parquet(in_b)  # identical contents, different files
+    ckpt = str(tmp_path / "ck4")
+    df_a = spark.read.parquet(in_a)
+    build_sketches_checkpointed(df_a, ["lang"], SPECS, ckpt).collect()
+    df_b = spark.read.parquet(in_b)
+    with pytest.raises(ValueError, match="fingerprint"):
+        build_sketches_checkpointed(df_b, ["lang"], SPECS, ckpt)
+    # unchanged input still resumes fine
+    build_sketches_checkpointed(df_a, ["lang"], SPECS, ckpt).collect()
+
+
 def test_iceberg_feature_detect_runs(spark):
     # this sandbox has no Iceberg runtime; the probe must answer False
     # without raising, and cache the answer

@@ -1,11 +1,12 @@
-"""Multimodal plumbing: schema, batch shape, deterministic stub decode."""
+"""Multimodal plumbing: schema, batch shape, stub decode + REAL WAV codec."""
 
 import numpy as np
 import pytest
 
-from sketchlib.spark.multimodal import (decode_stub, extract_features,
-                                        frame_sample_plan, make_fake_media,
-                                        media_metadata)
+from sketchlib.spark.multimodal import (decode_stub, decode_wav, encode_wav,
+                                        extract_features, frame_sample_plan,
+                                        make_fake_media, media_metadata,
+                                        wav_feature_vector)
 
 
 @pytest.fixture(scope="module")
@@ -41,6 +42,50 @@ def test_extract_features_end_to_end(spark, media):
     again = {r["media_id"]: r["feature"]
              for r in extract_features(media, fake=True).collect()}
     assert by_id == again  # run-to-run deterministic through Spark
+
+
+class TestWavCodec:
+    def test_roundtrip_16bit(self):
+        t = np.arange(1600) / 8000.0
+        x = 0.7 * np.sin(2 * np.pi * 440 * t)
+        back = decode_wav(encode_wav(x, 8000))
+        assert back.dtype == np.float32 and len(back) == 1600
+        assert np.abs(back - x).max() < 2e-4  # 16-bit quantization only
+
+    def test_stereo_and_8bit(self):
+        import io
+        import wave
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(2)
+            w.setsampwidth(1)
+            w.setframerate(8000)
+            frames = np.array([128, 128, 255, 1, 0, 256 - 2], dtype=np.uint8)
+            w.writeframes(frames.tobytes())
+        x = decode_wav(buf.getvalue())
+        assert len(x) == 3  # stereo averaged to mono
+        assert abs(x[0]) < 1e-6  # (128,128) -> silence
+        assert abs(x[1]) < 0.01  # (255,1) averages near zero
+
+    def test_feature_envelope_locates_energy(self):
+        # energy only in the second half -> envelope reflects it
+        x = np.concatenate([np.zeros(3200), 0.9 * np.ones(3200)])
+        f = wav_feature_vector(x)
+        assert f.shape == (64,) and f.dtype == np.float32
+        assert np.allclose(f[:32], 0.0)
+        assert np.allclose(f[32:], 0.9, atol=1e-3)
+
+    def test_extract_features_real_codec(self, spark, media):
+        audio = media.filter("kind = 'audio'")
+        feats = extract_features(audio, fake=False).collect()  # REAL path
+        assert len(feats) == audio.count() > 0
+        assert all(len(r["feature"]) == 64 for r in feats)
+        # real waveforms have non-trivial energy in every bin
+        assert all(max(r["feature"]) > 0.1 for r in feats)
+
+    def test_non_wav_kinds_still_stubbed(self):
+        with pytest.raises(NotImplementedError, match="decode"):
+            decode_stub(b"\x89PNG...", "image", fake=False)
 
 
 def test_frame_sample_plan(spark, media):
