@@ -111,30 +111,20 @@ def to_bytes_matrix(values) -> tuple[np.ndarray, np.ndarray]:
     else:
         eff_lengths = lengths
     L4 = max(4, int(-(-eff_lengths.max() // 4)) * 4)
-    mat = np.zeros((n, L4), dtype=np.uint8)
-    if len(long_rows):
-        short = np.ones(n, dtype=bool)
-        short[long_rows] = False
-        s_lens = lengths[short]
-        total = int(s_lens.sum())
-        if total:
-            rows = np.flatnonzero(short)
-            cum = np.concatenate(([0], np.cumsum(s_lens)))
-            intra = np.arange(total, dtype=np.int64) - np.repeat(cum[:-1], s_lens)
-            src = np.repeat(starts[short], s_lens) + intra
-            mat.reshape(-1)[np.repeat(rows * L4, s_lens) + intra] = data[src]
-        for i in long_rows:
-            dig = _digest16(data[starts[i]:starts[i] + lengths[i]].tobytes())
-            mat[i, :16] = np.frombuffer(dig, dtype=np.uint8)
-    else:
-        total = int(lengths.sum())
-        if total:
-            cum = np.concatenate(([0], np.cumsum(lengths)))
-            intra = np.arange(total, dtype=np.int64) - np.repeat(cum[:-1], lengths)
-            src = np.repeat(starts, lengths) + intra
-            mat.reshape(-1)[np.repeat(np.arange(n, dtype=np.int64) * L4, lengths)
-                            + intra] = data[src]
-    return mat, eff_lengths.astype(np.int64)
+    if len(data) == 0:
+        return np.zeros((n, L4), dtype=np.uint8), eff_lengths.astype(np.int64)
+    # fixed-window gather: row r reads data[starts[r] : starts[r]+L4]
+    # (clipped), then positions beyond the row's length are zeroed —
+    # two vectorized ops, no per-byte index arithmetic
+    cols = np.arange(L4, dtype=np.int64)
+    win = np.minimum(starts[:, None] + cols[None, :],
+                     np.int64(len(data) - 1))
+    mat = data[win]
+    mat[cols[None, :] >= eff_lengths[:, None]] = 0
+    for i in long_rows:
+        dig = _digest16(data[starts[i]:starts[i] + lengths[i]].tobytes())
+        mat[i, :16] = np.frombuffer(dig, dtype=np.uint8)
+    return np.ascontiguousarray(mat), eff_lengths.astype(np.int64)
 
 
 def murmur3_32_mat(mat: np.ndarray, lengths: np.ndarray, seed: int) -> np.ndarray:

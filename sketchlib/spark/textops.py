@@ -91,36 +91,58 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
 # MinHash + LSH — numpy kernel in mapInPandas
 # ---------------------------------------------------------------------------
 
+def _flat_tokens(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """Explode a text batch to (doc_position int64[], token object[]) with
+    empty tokens dropped — pandas C-speed, no per-doc Python loop.
+    Tokens stay in doc order (doc positions are non-decreasing)."""
+    toks = (texts.reset_index(drop=True).fillna("").astype(str)
+            .str.split(" ").explode())
+    toks = toks[toks != ""]
+    return toks.index.to_numpy(dtype=np.int64), toks.to_numpy()
+
+
 def _minhash_batch(texts: pd.Series, n_hashes: int, shingle_n: int,
                    seed: int) -> tuple[np.ndarray, np.ndarray]:
     """(uint64[n_docs, n_hashes] signatures, bool[n_docs] valid).
 
     Docs with fewer than shingle_n tokens have NO signature (valid=False)
     — emitting the untouched max-sentinel would make every short doc an
-    exact duplicate of every other short doc."""
-    tok_lists = texts.fillna("").astype(str).str.split(" ")
-    n_docs = len(tok_lists)
+    exact duplicate of every other short doc.
+
+    Fully vectorized: shingles come from shifted concat over the
+    exploded token frame; per-doc signature minima via
+    ``np.minimum.reduceat`` over doc-contiguous runs (hash columns
+    processed in chunks to bound the (n_shingles x chunk) temporary).
+    """
+    n_docs = len(texts)
     sig = np.full((n_docs, n_hashes), np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
     valid = np.zeros(n_docs, dtype=bool)
-    doc_idx = []
-    shingles = []
-    for d, toks in enumerate(tok_lists):
-        toks = [t for t in (toks or []) if t]
-        if len(toks) < shingle_n:
-            continue
-        seen = {" ".join(toks[i:i + shingle_n])
-                for i in range(len(toks) - shingle_n + 1)}
-        valid[d] = True
-        shingles.extend(seen)
-        doc_idx.extend([d] * len(seen))
-    if not shingles:
+    doc_of, flat = _flat_tokens(texts)
+    if len(flat) < shingle_n:
         return sig, valid
-    doc_idx = np.asarray(doc_idx, dtype=np.int64)
-    h1, h2 = hashing.hash64_pair(shingles, seed)
+    # shingle i spans tokens [i, i+n): valid iff same doc at both ends
+    span = len(flat) - shingle_n + 1
+    same_doc = doc_of[:span] == doc_of[shingle_n - 1:]
+    s = pd.Series(flat[:span])
+    for j in range(1, shingle_n):
+        s = s + " " + pd.Series(flat[j:j + span])
+    frame = pd.DataFrame({"d": doc_of[:span][same_doc],
+                          "s": s.to_numpy()[same_doc]})
+    frame = frame.drop_duplicates()  # distinct shingles per doc
+    if not len(frame):
+        return sig, valid
+    sh_doc = frame["d"].to_numpy()
+    valid[np.unique(sh_doc)] = True
+    h1, h2 = hashing.hash64_pair(frame["s"], seed)
+    # doc-contiguous runs (explode preserved order): reduceat segment starts
+    starts = np.flatnonzero(np.r_[True, sh_doc[1:] != sh_doc[:-1]])
+    run_docs = sh_doc[starts]
+    chunk = max(1, min(n_hashes, (1 << 22) // max(1, len(h1))))
     with np.errstate(over="ignore"):
-        for i in range(n_hashes):
-            hv = h1 + np.uint64(i) * h2
-            np.minimum.at(sig[:, i], doc_idx, hv)
+        for c0 in range(0, n_hashes, chunk):
+            i = np.arange(c0, min(c0 + chunk, n_hashes), dtype=np.uint64)
+            hv = h1[:, None] + i[None, :] * h2[:, None]
+            sig[run_docs, c0:c0 + len(i)] = np.minimum.reduceat(hv, starts, axis=0)
     return sig, valid
 
 
@@ -207,26 +229,22 @@ def _simhash_batch(texts: pd.Series, seed: int) -> tuple[np.ndarray, np.ndarray]
 
     Null/empty docs are invalid (emitting simhash 0 for all of them
     would pair every empty doc as a hamming-0 duplicate)."""
-    tok_lists = texts.fillna("").astype(str).str.split(" ")
-    n_docs = len(tok_lists)
-    votes = np.zeros((n_docs, 64), dtype=np.int64)
+    n_docs = len(texts)
+    out_bits = np.zeros((n_docs, 64), dtype=np.uint8)
     valid = np.zeros(n_docs, dtype=bool)
-    doc_idx = []
-    tokens = []
-    for d, toks in enumerate(tok_lists):
-        toks = [t for t in (toks or []) if t]
-        if not toks:
-            continue
-        valid[d] = True
-        tokens.extend(toks)
-        doc_idx.extend([d] * len(toks))
-    if tokens:
-        doc_idx = np.asarray(doc_idx, dtype=np.int64)
+    doc_idx, tokens = _flat_tokens(texts)
+    if len(tokens):
+        valid[np.unique(doc_idx)] = True
         h = hashing.hash64(tokens, seed)
         bits = np.unpackbits(h[:, None].view(np.uint8), axis=1,
-                             bitorder="little").astype(np.int64)  # (n_tok, 64)
-        np.add.at(votes, doc_idx, 2 * bits - 1)
-    out_bits = (votes > 0).astype(np.uint8)
+                             bitorder="little")  # (n_tok, 64) uint8
+        # tokens are doc-contiguous: per-doc set-bit counts via reduceat
+        # (majority vote: bit set iff 2*count_set > n_tokens — identical
+        # to the +-1 vote sum being > 0, without 16M-element int64 temps)
+        starts = np.flatnonzero(np.r_[True, doc_idx[1:] != doc_idx[:-1]])
+        seg_len = np.diff(np.r_[starts, len(doc_idx)])
+        sums = np.add.reduceat(bits, starts, axis=0, dtype=np.int64)
+        out_bits[doc_idx[starts]] = (2 * sums > seg_len[:, None])
     sh = np.packbits(out_bits, axis=1, bitorder="little").view(np.uint64)[:, 0].view(np.int64)
     return sh, valid
 
