@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_users_daily": _wrap(Q.q_hll_users_daily),
         "bloom_membership": _wrap(Q.q_bloom_membership),
         "ann_lsh_topk": _wrap(Q.q_ann_lsh_topk),
+        "ann_ivf_topk": _wrap(Q.q_ann_ivf_topk),
         "cms_heavy_hitters_scale": _wrap(Q.q_cms_heavy_hitters_scale),
         "embedding_neardup_pairs": _wrap(Q.q_embedding_neardup_pairs),
         "embedding_neardup_lsh": _wrap(Q.q_embedding_neardup_lsh),

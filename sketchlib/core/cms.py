@@ -21,9 +21,13 @@ from sketchlib.core.params import cms_params
 
 @serde.register_sketch(serde.TYPE_CMS)
 class CountMinSketch:
-    __slots__ = ("w", "d", "seed", "total", "table")
+    __slots__ = ("w", "d", "seed", "total", "table", "conservative")
 
-    def __init__(self, w: int, d: int, seed: int = 0):
+    def __init__(self, w: int, d: int, seed: int = 0,
+                 conservative: bool = False):
+        """``conservative=True`` makes update_batch default to
+        conservative update (see update_batch) — settable here so the
+        Spark build path can request it via SketchSpec params."""
         if w < 1 or d < 1:
             raise ValueError(f"w and d must be >= 1, got w={w}, d={d}")
         if w * d > 0xFFFFFFFF:
@@ -33,6 +37,7 @@ class CountMinSketch:
         self.d = int(d)
         self.seed = int(seed)
         self.total = 0
+        self.conservative = bool(conservative)
         self.table = np.zeros((self.d, self.w), dtype=np.int64)
 
     @classmethod
@@ -48,7 +53,7 @@ class CountMinSketch:
             return (h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(self.w)
 
     def update_batch(self, values, counts=None,
-                     conservative: bool = False) -> "CountMinSketch":
+                     conservative: bool | None = None) -> "CountMinSketch":
         """Add a batch of keys; optional per-key counts (weighted update).
 
         ``conservative=True`` applies conservative update (Estan &
@@ -64,6 +69,8 @@ class CountMinSketch:
         global CU stream). Keys duplicated within one batch are
         pre-aggregated so each reads a consistent estimate.
         """
+        if conservative is None:
+            conservative = self.conservative
         n = len(values)
         if n == 0:
             return self
@@ -111,6 +118,8 @@ class CountMinSketch:
         Partial CMS states from one input partition shuffle 4-16x
         smaller this way (same idea as Bloom sparse partials)."""
         header = {"w": self.w, "d": self.d, "seed": self.seed, "total": self.total}
+        if self.conservative:  # omitted when False: old blobs stay readable
+            header["cu"] = 1
         flat = self.table.reshape(-1)
         vmax = int(flat.max(initial=0))
         vmin = int(flat.min(initial=0))
@@ -137,7 +146,8 @@ class CountMinSketch:
 
     @classmethod
     def _from_parts(cls, header: dict, payload: bytes) -> "CountMinSketch":
-        c = cls(header["w"], header["d"], header["seed"])
+        c = cls(header["w"], header["d"], header["seed"],
+                conservative=bool(header.get("cu", 0)))
         c.total = header["total"]
         dt = np.dtype(header.get("dtype", "int64"))
         if header.get("enc", "dense") == "sparse":

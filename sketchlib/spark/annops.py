@@ -1,6 +1,6 @@
 """Approximate nearest neighbors over embedding columns.
 
-Two strategies (SURVEY-mandated similarity-search surface):
+Three strategies (SURVEY-mandated similarity-search surface):
 - brute-force cosine top-k (queries.q_ann_cosine_topk): exact,
   JVM-side zip_with/aggregate, broadcast query side — the baseline and
   the oracle-checkable path.
@@ -8,6 +8,11 @@ Two strategies (SURVEY-mandated similarity-search surface):
   join — the 10^9-vector path. Candidates come from equi-joins on
   (band, bucket); only candidates pay the exact cosine. Hyperplanes
   are seeded (deterministic run-to-run, resumable).
+- IVF (here): deterministic Lloyd k-means coarse quantizer trained via
+  per-partition partial sums (treeAggregate shape — only
+  #partitions x #centroids x dim floats ever cross the wire), then an
+  nprobe-bounded cid equi-join. The classic recall/latency dial when
+  the corpus is re-queried many times.
 """
 
 from __future__ import annotations
@@ -18,7 +23,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 import pyspark.sql.functions as F
-from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+from pyspark.sql.types import (ArrayType, DoubleType, LongType, StructField,
+                               StructType)
 
 
 def with_norm(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
@@ -105,6 +111,140 @@ def ann_lsh_topk(df: DataFrame, id_col: str, vec_col: str, dim: int,
     dot = dot_expr("q_emb", "n_emb")
     scored = (cand.join(F.broadcast(qn), "q_id").join(nn, "nbr_id")
               .withColumn("score", dot / (F.col("q_norm") * F.col("n_norm"))))
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("nbr_id"))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("q_id", "nbr_id", "rnk", F.round("score", 3).alias("score")))
+
+
+def ivf_train_centroids(df: DataFrame, id_col: str, vec_col: str, dim: int,
+                        n_centroids: int = 16, iters: int = 5,
+                        seed: int = 23) -> np.ndarray:
+    """Deterministic Lloyd k-means on L2-normalized vectors.
+
+    Init = the n_centroids rows with the smallest xxhash64(id) (a
+    seeded deterministic sample, stable across partitionings). Each
+    iteration ships ONLY per-partition partial sums — (#partitions x
+    #centroids x dim) floats, never raw vectors — and reduces them on
+    the driver (the reference's shrink-the-shuffle move, generalized).
+    Empty clusters keep their previous centroid. Returns
+    float32[n_centroids, dim] of unit-norm centroids.
+    """
+    sel = df.select(F.col(id_col).cast("long").alias("_id"), vec_col)
+    init_rows = (sel.orderBy(F.xxhash64(F.col("_id") + F.lit(seed)))
+                 .limit(n_centroids).collect())
+    cents = np.stack([np.asarray(r[vec_col], dtype=np.float32)
+                      for r in init_rows])
+    cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+
+    partial_schema = StructType([
+        StructField("cid", LongType(), False),
+        StructField("cnt", LongType(), False),
+        StructField("vsum", ArrayType(DoubleType()), False),
+    ])
+    for _ in range(iters):
+        c = cents  # closure snapshot for this iteration
+
+        def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            sums = np.zeros((len(c), dim), dtype=np.float64)
+            cnts = np.zeros(len(c), dtype=np.int64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float32)
+                mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True),
+                                  1e-12)
+                cid = (mat @ c.T).argmax(axis=1)
+                np.add.at(cnts, cid, 1)
+                np.add.at(sums, cid, mat)
+            nz = np.flatnonzero(cnts)
+            if len(nz):
+                yield pd.DataFrame({"cid": nz, "cnt": cnts[nz],
+                                    "vsum": list(sums[nz])})
+
+        rows = sel.mapInPandas(fn, partial_schema).collect()
+        sums = np.zeros((len(cents), dim), dtype=np.float64)
+        cnts = np.zeros(len(cents), dtype=np.int64)
+        for r in rows:
+            sums[r["cid"]] += np.asarray(r["vsum"])
+            cnts[r["cid"]] += r["cnt"]
+        nz = cnts > 0
+        new = cents.astype(np.float64).copy()
+        new[nz] = sums[nz] / cnts[nz, None]
+        new /= np.maximum(np.linalg.norm(new, axis=1, keepdims=True), 1e-12)
+        cents = new.astype(np.float32)
+    return cents
+
+
+def ivf_assign(df: DataFrame, id_col: str, vec_col: str,
+               centroids: np.ndarray) -> DataFrame:
+    """(vid, cid) — nearest-centroid partition of the corpus."""
+    sel = df.select(F.col(id_col).cast("long").alias("vid"), vec_col)
+    schema = StructType([StructField("vid", LongType(), False),
+                         StructField("cid", LongType(), False)])
+    c = centroids
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float32)
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            yield pd.DataFrame({"vid": pdf["vid"].to_numpy(),
+                                "cid": (mat @ c.T).argmax(axis=1)})
+
+    return sel.mapInPandas(fn, schema)
+
+
+def ann_ivf_topk(df: DataFrame, id_col: str, vec_col: str, dim: int,
+                 query_filter, k: int = 5, n_centroids: int = 16,
+                 nprobe: int = 4, iters: int = 5, seed: int = 23,
+                 assignments: DataFrame | None = None,
+                 centroids: np.ndarray | None = None) -> DataFrame:
+    """Top-k cosine neighbors per query via IVF: search only the
+    ``nprobe`` nearest centroid cells per query.
+
+    Output: (q_id, nbr_id, rnk, score) — same shape as the brute-force
+    baseline so recall is directly comparable. Pass precomputed
+    ``centroids``/``assignments`` at pipeline scale (train once, query
+    many) — the cid equi-join is then the only per-query work.
+    """
+    if centroids is None:
+        centroids = ivf_train_centroids(df, id_col, vec_col, dim,
+                                        n_centroids, iters, seed)
+    if assignments is None:
+        assignments = ivf_assign(df, id_col, vec_col, centroids)
+    norms = with_norm(df, id_col, vec_col)
+    qn = (norms.join(F.broadcast(
+              df.filter(query_filter).select(
+                  F.col(id_col).cast("long").alias("q_id"))),
+              norms["vid"] == F.col("q_id"))
+          .select("q_id", F.col("emb").alias("q_emb"),
+                  F.col("norm").alias("q_norm")))
+    # nprobe nearest cells per query: tiny driver-free cross join against
+    # the broadcast centroid table (n_centroids rows)
+    spark = df.sparkSession
+    cent_rows = [(int(i), [float(x) for x in c])
+                 for i, c in enumerate(centroids)]
+    cent_df = spark.createDataFrame(cent_rows, "cid long, cvec array<double>")
+    qc = (qn.crossJoin(F.broadcast(cent_df))
+          .withColumn("cscore", dot_expr("q_emb", "cvec"))
+          .withColumn("crnk", F.row_number().over(
+              Window.partitionBy("q_id").orderBy(F.desc("cscore"),
+                                                 F.asc("cid"))))
+          .filter(F.col("crnk") <= nprobe)
+          .select("q_id", "cid"))
+    cand = (qc.join(assignments, "cid")
+            .filter(F.col("vid") != F.col("q_id"))
+            .select("q_id", F.col("vid").alias("nbr_id"))
+            .distinct())
+    nn = norms.select(F.col("vid").alias("nbr_id"),
+                      F.col("emb").alias("n_emb"),
+                      F.col("norm").alias("n_norm"))
+    scored = (cand.join(F.broadcast(qn), "q_id").join(nn, "nbr_id")
+              .withColumn("score",
+                          dot_expr("q_emb", "n_emb")
+                          / (F.col("q_norm") * F.col("n_norm"))))
     w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("nbr_id"))
     return (scored.withColumn("rnk", F.row_number().over(w))
             .filter(F.col("rnk") <= k)

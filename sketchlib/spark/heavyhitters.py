@@ -91,13 +91,17 @@ class SpaceSaving:
 
 def cms_heavy_hitters(df: DataFrame, group_cols: list[str], text_col: str,
                       k: int = 10, capacity: int = 256,
-                      w: int = 16384, d: int = 5, seed: int = 0) -> DataFrame:
+                      w: int = 16384, d: int = 5, seed: int = 0,
+                      conservative: bool = True) -> DataFrame:
     """Top-k tokens per group with CMS estimates.
 
     Returns (group_cols..., token, est_cnt, rnk) — est_cnt >= true count
     (CMS overestimate-only), rnk by (est_cnt desc, token asc).
     ``capacity`` is the per-(partition, group) SpaceSaving size: any
     token with global count > N/capacity is certified-nominated.
+    ``conservative`` (default on) uses conservative update for the
+    partial CMS tables — strictly tighter per-partition overestimates;
+    the add-merge of CU partials remains overestimate-only.
     """
     sel = df.select(*group_cols, text_col)
     partial_schema = StructType(
@@ -114,7 +118,8 @@ def cms_heavy_hitters(df: DataFrame, group_cols: list[str], text_col: str,
                     gkey = (gkey,)
                 slot = acc.get(gkey)
                 if slot is None:
-                    slot = [CountMinSketch(w, d, seed), SpaceSaving(capacity)]
+                    slot = [CountMinSketch(w, d, seed, conservative=conservative),
+                            SpaceSaving(capacity)]
                     acc[gkey] = slot
                 toks = (sub[text_col].dropna().astype(str)
                         .str.split(" ").explode().dropna())

@@ -320,6 +320,24 @@ def q_ann_lsh_topk(spark, sf_dir):
                                bands=32, bits_per_band=4)
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF approximate top-5 (train-once/query-many scale path;
+    brute-force companion q_ann_cosine_topk measures recall —
+    test-enforced >= 0.9).
+
+    Params sized for the fixture's near-isotropic embeddings (flat
+    covariance eigenspectrum — IVF's worst case, where recall tracks
+    the searched fraction): 8 cells, nprobe 5 -> 0.98 measured. Real
+    embedding corpora cluster, making the cells/nprobe dial far more
+    favorable."""
+    from sketchlib.spark import annops
+    emb = load(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    return annops.ann_ivf_topk(emb, "vec_id", "embedding", dim,
+                               query_filter=F.col("vec_id") < 10, k=5,
+                               n_centroids=8, nprobe=5)
+
+
 def q_cms_heavy_hitters_scale(spark, sf_dir):
     """Scale-true heavy hitters (CMS + per-partition candidates) —
     no exact pass; companion q_heavy_tokens_lang measures accuracy."""

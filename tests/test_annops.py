@@ -43,6 +43,45 @@ def test_lsh_recall_against_brute_force(spark, emb):
     assert recall >= 0.9, recall  # 32 bands x 4 bits on near-random vectors
 
 
+def test_ivf_recall_against_brute_force(spark, emb):
+    dim = len(emb.first()["embedding"])
+    exact = {(r["q_id"], r["nbr_id"])
+             for r in q_ann_cosine_topk(spark, SF).collect()}
+    approx = {(r["q_id"], r["nbr_id"])
+              for r in annops.ann_ivf_topk(
+                  emb, "vec_id", "embedding", dim,
+                  query_filter=F.col("vec_id") < 10, k=5,
+                  n_centroids=8, nprobe=5).collect()}
+    # fixture embeddings are near-isotropic (flat eigenspectrum) — IVF's
+    # worst case, recall ~ searched fraction; 8 cells/nprobe 5 measures 0.98
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, recall
+
+
+def test_ivf_deterministic_and_reusable(spark, emb):
+    """Centroids are seed-deterministic; precomputed assignments give
+    identical results (train-once / query-many contract)."""
+    import numpy as np
+    dim = len(emb.first()["embedding"])
+    c1 = annops.ivf_train_centroids(emb, "vec_id", "embedding", dim,
+                                    n_centroids=8, iters=3)
+    c2 = annops.ivf_train_centroids(emb, "vec_id", "embedding", dim,
+                                    n_centroids=8, iters=3)
+    assert np.array_equal(c1, c2)
+    assign = annops.ivf_assign(emb, "vec_id", "embedding", c1)
+    a = annops.ann_ivf_topk(emb, "vec_id", "embedding", dim,
+                            query_filter=F.col("vec_id") < 5, k=3,
+                            centroids=c1, assignments=assign).collect()
+    b = annops.ann_ivf_topk(emb, "vec_id", "embedding", dim,
+                            query_filter=F.col("vec_id") < 5, k=3,
+                            n_centroids=8, iters=3).collect()
+    key = lambda r: (r["q_id"], r["rnk"], r["nbr_id"])
+    assert sorted(map(key, a)) == sorted(map(key, b))
+    # every vector lands in exactly one cell
+    assert assign.count() == emb.count()
+    assert assign.select("vid").distinct().count() == emb.count()
+
+
 def test_srp_signatures_deterministic(spark, emb):
     dim = len(emb.first()["embedding"])
     a = {r["vid"]: r["bands"] for r in

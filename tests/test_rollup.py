@@ -109,6 +109,39 @@ def test_query_bloom_membership_distributed(spark):
     assert "MapInPandas" in plan or "ArrowEvalPython" in plan, plan
 
 
+def test_cms_conservative_via_spec(spark):
+    """conservative=True flows through SketchSpec -> build -> serde ->
+    merge; merged estimates stay overestimate-only and are no looser
+    than the plain-update build."""
+    from sketchlib.spark.validate import collect_sketches
+    docs = _docs(spark)
+    spec = lambda name, cu: SketchSpec(
+        name, "cms", "text", {"w": 64, "d": 3, "conservative": cu},
+        tokenize=True)
+    both = build_sketches(docs, ["lang"], [spec("cons", True),
+                                           spec("plain", False)])
+    cons = collect_sketches(both, ["lang"], "cons")
+    plain = collect_sketches(both, ["lang"], "plain")
+    exact = (docs.select("lang", F.explode(
+                 F.filter(F.split("text", " "), lambda x: x != "")).alias("t"))
+             .groupBy("lang", "t").count().collect())
+    by_lang: dict = {}
+    for r in exact:
+        by_lang.setdefault(r["lang"], []).append((r["t"], r["count"]))
+    tot_cons = tot_plain = 0
+    for lang, pairs in by_lang.items():
+        toks = [t for t, _ in pairs]
+        true = np.array([c for _, c in pairs], dtype=np.int64)
+        e_cons = cons[lang].query_batch(toks)
+        e_plain = plain[lang].query_batch(toks)
+        assert cons[lang].conservative  # survived serde round-trip
+        assert (e_cons >= true).all()
+        assert (e_cons <= e_plain).all()
+        tot_cons += int(e_cons.sum())
+        tot_plain += int(e_plain.sum())
+    assert tot_cons < tot_plain  # strictly tighter overall
+
+
 def test_query_cms_top_tokens_decircularized(spark):
     from sketchlib.spark import queries as Q
     rows = Q.q_cms_top_tokens(spark, SF).collect()
