@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_tokens_lang": _wrap(Q.q_heavy_tokens_lang),
         "dedup_exact": _wrap(Q.q_dedup_exact),
         "token_counts": _wrap(Q.q_token_counts),
+        "token_counts_bpe": _wrap(Q.q_token_counts_bpe),
         "quality_scores": _wrap(Q.q_quality_scores),
         "ngram_jaccard_pairs": _wrap(Q.q_ngram_jaccard_pairs),
         "ann_cosine_topk": _wrap(Q.q_ann_cosine_topk),
@@ -137,6 +138,10 @@ def oracle_sql() -> dict[str, str]:
         "token_counts":
             "SELECT doc_id, CAST(len(list_filter(string_split(text, ' '), "
             "x -> x != '')) AS BIGINT) AS n_tokens FROM documents",
+        "token_counts_bpe":
+            "SELECT doc_id, CAST(len(regexp_extract_all(text, "
+            "'''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+'"
+            ")) AS BIGINT) AS n_bpe_tokens FROM documents",
         "quality_scores":
             "WITH t AS (SELECT doc_id, length(text) AS n_chars_raw, "
             "list_filter(string_split(text, ' '), x -> x != '') AS toks "

@@ -97,6 +97,14 @@ def q_token_counts(spark, sf_dir):
                                 "doc_id", "text")
 
 
+def q_token_counts_bpe(spark, sf_dir):
+    """BPE-ish pre-tokenizer piece counts (LLM token-budget proxy),
+    JVM-side regexp — same lookahead-free pattern runs in the DuckDB
+    oracle."""
+    return textops.token_counts_bpe(load(spark, sf_dir, "documents"),
+                                    "doc_id", "text")
+
+
 def q_quality_scores(spark, sf_dir):
     return textops.quality_scores(load(spark, sf_dir, "documents"),
                                   "doc_id", "text")

@@ -19,7 +19,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 import pyspark.sql.functions as F
 from pyspark.sql.types import (ArrayType, BinaryType, LongType, StringType,
                                StructField, StructType)
@@ -68,9 +68,13 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
           ).alias("shingle"))
           .distinct())
     if max_shingle_freq is not None:
-        freq = sh.groupBy("shingle").agg(F.count("*").alias("f"))
-        sh = (sh.join(F.broadcast(freq.filter(F.col("f") <= max_shingle_freq)
-                                  .select("shingle")), "shingle"))
+        # skew cap as a WINDOW over one shingle-partitioned exchange
+        # (not a separate groupBy + join): the self-join below joins on
+        # the same key, so both join branches reuse this exchange
+        # (ReusedExchange) instead of re-scanning + re-exploding the
+        # corpus per branch
+        sh = (sh.withColumn("_f", F.count("*").over(Window.partitionBy("shingle")))
+              .filter(F.col("_f") <= max_shingle_freq).drop("_f"))
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -316,6 +320,22 @@ def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
     return df.select(F.col(id_col),
                      F.size(toks).cast("long").alias("n_tokens"))
+
+
+# GPT-2-style pre-tokenizer, restricted to lookahead-free syntax so the
+# SAME pattern runs in Java regex (Spark, JVM-side) and RE2 (DuckDB
+# oracle): contractions | space?+letters | space?+digits | space?+punct.
+BPE_SPLIT_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def token_counts_bpe(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, n_bpe_tokens) — BPE-ish pre-tokenizer piece counts, fully
+    JVM-side via regexp_extract_all (whole-stage codegen; no Python).
+    Counts pre-tokenizer pieces (the unit BPE merges operate within),
+    a standard proxy for LLM token budgeting at corpus scale."""
+    pieces = F.regexp_extract_all(F.col(text_col), F.lit(BPE_SPLIT_PATTERN), 0)
+    return df.select(F.col(id_col),
+                     F.size(pieces).cast("long").alias("n_bpe_tokens"))
 
 
 def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

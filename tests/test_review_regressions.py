@@ -55,6 +55,18 @@ def test_ngram_jaccard_default_cap_matches_uncapped_on_fixture(spark):
     assert sorted(map(key, capped)) == sorted(map(key, uncapped))
 
 
+def test_token_counts_bpe_pieces(spark):
+    df = spark.createDataFrame(
+        [(1, "I'll don't stop"), (2, "abc123 x-y"), (3, ""), (4, None),
+         (5, "café ño 42")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["n_bpe_tokens"]
+           for r in textops.token_counts_bpe(df, "doc_id", "text").collect()}
+    # "I|'ll| don|'t| stop" = 5; "abc|123| x|-|y" = 5; unicode letters
+    # are one \p{L} run each: "café| ño| 42" = 3
+    assert got == {1: 5, 2: 5, 3: 0, 4: None, 5: 3}
+
+
 def test_minhash_short_docs_not_fake_duplicates(spark):
     df = spark.createDataFrame(
         [(1, "hello"), (2, "bye now"), (3, None),
