@@ -108,15 +108,38 @@ def cmd_build(args) -> int:
         name, expr = d.split("=", 1)
         df = df.withColumn(name.strip(), F.expr(expr))
     specs = [_parse_sketch(s) for s in args.sketch]
+    group_cols = [c.strip() for c in args.group.split(",") if c.strip()]
     if args.checkpoint:
-        merged = build_sketches_checkpointed(df, [args.group], specs,
+        merged = build_sketches_checkpointed(df, group_cols, specs,
                                              args.checkpoint,
                                              fanout=args.fanout)
     else:
-        merged = build_sketches(df, [args.group], specs, fanout=args.fanout)
+        merged = build_sketches(df, group_cols, specs, fanout=args.fanout)
     merged.write.mode("overwrite").parquet(args.out)
     n = spark.read.parquet(args.out).count()
     print(f"{n} sketch rows -> {args.out}")
+    spark.stop()
+    return 0
+
+
+def cmd_rollup(args) -> int:
+    from sketchlib.spark.session import get_spark
+    from sketchlib.spark.build import rollup_sketches
+
+    spark = get_spark("sketchlib-rollup", cpus=args.cpus)
+    df = spark.read.parquet(args.sketches)
+    from_cols = [c for c in df.columns
+                 if c not in ("sketch_name", "sketch", "n_rows", "n_partials")]
+    to_cols = [c.strip() for c in args.to.split(",") if c.strip()]
+    bad = [c for c in to_cols if c not in from_cols]
+    if bad:
+        raise SystemExit(f"--to columns {bad} not in sketch table keys "
+                         f"{from_cols}")
+    rollup_sketches(df, from_cols, to_cols).write.mode("overwrite") \
+        .parquet(args.out)
+    n = spark.read.parquet(args.out).count()
+    print(f"{n} rolled-up sketch rows ({','.join(from_cols)} -> "
+          f"{','.join(to_cols)}) -> {args.out}")
     spark.stop()
     return 0
 
@@ -159,7 +182,9 @@ def main(argv=None) -> int:
 
     b = sub.add_parser("build", help="build arbitrary sketches to a table")
     b.add_argument("--input", required=True)
-    b.add_argument("--group", required=True)
+    b.add_argument("--group", required=True,
+                   help="group key column(s), comma-separated for "
+                        "multi-key (e.g. lang,day)")
     b.add_argument("--sketch", action="append", required=True,
                    help="kind:value_col[:k=v,...], repeatable")
     b.add_argument("--derive", action="append", default=None,
@@ -171,6 +196,15 @@ def main(argv=None) -> int:
                    help="merge-tree fan-in: int, 'auto' (default), or 'none'")
     b.add_argument("--cpus", default="*")
     b.set_defaults(fn=cmd_build)
+
+    r = sub.add_parser("rollup", help="merge a sketch table to coarser "
+                       "group keys (no raw-data re-read)")
+    r.add_argument("--sketches", required=True)
+    r.add_argument("--to", required=True,
+                   help="comma-separated coarser key columns, e.g. lang")
+    r.add_argument("--out", required=True)
+    r.add_argument("--cpus", default="*")
+    r.set_defaults(fn=cmd_rollup)
 
     e = sub.add_parser("estimate", help="print estimates from a sketch table")
     e.add_argument("--sketches", required=True)

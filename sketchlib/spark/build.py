@@ -118,6 +118,7 @@ def build_partials(df: DataFrame, group_cols: list[str],
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
+        from sketchlib.core.cms import CountMinSketch
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else -1
         acc: dict = {}  # (group_tuple, spec_idx) -> [sketch, n_rows]
@@ -126,14 +127,29 @@ def build_partials(df: DataFrame, group_cols: list[str],
                 if not isinstance(gkey, tuple):
                     gkey = (gkey,)
                 gkey = _norm_nan(gkey)
+                # extract each distinct (value_col, tokenize, numeric)
+                # once per group — specs often share a column (e.g. a
+                # Bloom and an HLL over url)
+                vcache: dict = {}
                 for si, spec in enumerate(specs):
                     slot = acc.get((gkey, si))
                     if slot is None:
                         slot = [spec.make(gkey if n_groups > 1 else gkey[0]), 0]
                         acc[(gkey, si)] = slot
-                    vals = _values_for(spec, sub)
+                    vk = (spec.value_col, spec.tokenize, spec.numeric)
+                    vals = vcache.get(vk)
+                    if vals is None:
+                        vals = vcache[vk] = _values_for(spec, sub)
                     if len(vals):
-                        slot[0].update_batch(vals)
+                        if (spec.tokenize
+                                and isinstance(slot[0], CountMinSketch)):
+                            # weighted update over unique tokens: hashes
+                            # the batch vocabulary, not every occurrence
+                            vc = vals.value_counts()
+                            slot[0].update_batch(vc.index.to_numpy(),
+                                                 vc.to_numpy(dtype=np.int64))
+                        else:
+                            slot[0].update_batch(vals)
                     slot[1] += len(sub)
         if acc:
             rows = []
