@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts_bpe": _wrap(Q.q_token_counts_bpe),
         "quality_scores": _wrap(Q.q_quality_scores),
         "ngram_jaccard_pairs": _wrap(Q.q_ngram_jaccard_pairs),
+        "dedup_clusters": _wrap(Q.q_dedup_clusters),
         "ann_cosine_topk": _wrap(Q.q_ann_cosine_topk),
         "pricing_summary": _wrap(Q.q_pricing_summary),
         # sketch estimates (rows-only; exact companions above)
@@ -169,6 +170,27 @@ def oracle_sql() -> dict[str, str]:
             "FROM inter JOIN sizes sa ON sa.doc = a_id "
             "JOIN sizes sb ON sb.doc = b_id "
             "WHERE inter / (sa.sz + sb.sz - inter) >= 0.5",
+        "dedup_clusters":
+            "WITH RECURSIVE toks AS (SELECT doc_id, "
+            "list_filter(string_split(text, ' '), x -> x != '') AS t "
+            "FROM documents), "
+            "sh AS (SELECT DISTINCT doc_id AS doc, "
+            "unnest(list_transform(range(1, len(t) - 1), "
+            "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle "
+            "FROM toks WHERE len(t) >= 3), "
+            "sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY doc), "
+            "inter AS (SELECT a.doc AS a_id, b.doc AS b_id, count(*) AS inter "
+            "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc "
+            "GROUP BY a.doc, b.doc), "
+            "pairs AS (SELECT a_id, b_id FROM inter "
+            "JOIN sizes sa ON sa.doc = a_id JOIN sizes sb ON sb.doc = b_id "
+            "WHERE inter / (sa.sz + sb.sz - inter) >= 0.5), "
+            "edges AS (SELECT a_id AS a, b_id AS b FROM pairs "
+            "UNION ALL SELECT b_id, a_id FROM pairs), "
+            "nodes AS (SELECT DISTINCT a AS n FROM edges), "
+            "reach(s, t) AS (SELECT n, n FROM nodes "
+            "UNION SELECT r.s, e.b FROM reach r JOIN edges e ON e.a = r.t) "
+            "SELECT s AS doc_id, min(t) AS cluster_id FROM reach GROUP BY s",
         "ann_cosine_topk":
             "WITH norms AS (SELECT vec_id, sqrt(sum(x * x)) AS norm FROM ("
             "SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x "

@@ -116,6 +116,16 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
                                        "doc_id", "text", n=3, threshold=0.5)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Connected components over the exact n-gram-Jaccard pair graph:
+    (doc_id, cluster_id=min reachable id) — the keep-one-per-cluster
+    step that completes the dedup ladder. Oracle = DuckDB recursive-CTE
+    transitive closure over the identical pair list."""
+    pairs = textops.ngram_jaccard_pairs(load(spark, sf_dir, "documents"),
+                                        "doc_id", "text", n=3, threshold=0.5)
+    return textops.dedup_clusters(pairs)
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-5 neighbors for query vectors vec_id < 10.
 

@@ -40,6 +40,57 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                  F.count("*").alias("n_copies")))
 
 
+def dedup_clusters(pairs: DataFrame, a_col: str = "a_id",
+                   b_col: str = "b_id", max_iter: int = 20) -> DataFrame:
+    """Connected components over a near-dup pair list: (doc_id,
+    cluster_id) with cluster_id = the smallest doc id reachable through
+    the pair graph. ``keep = (doc_id == cluster_id)`` is the canonical
+    keep-one-per-cluster rule downstream of any pair generator (exact
+    md5, n-gram Jaccard, MinHash-LSH, SimHash, embedding cosine).
+
+    Min-label propagation: labels start as the node id; each round every
+    node takes the min of its own and its neighbors' labels; converged
+    when no label changes. Rounds needed = component diameter — near-dup
+    clusters are shallow (dup clusters of size s have diameter <= s, and
+    LSH pair graphs are locally dense), so this terminates in a handful
+    of shuffles; raises after ``max_iter`` rather than looping forever.
+    Only nodes that appear in ``pairs`` are emitted (singletons are
+    trivially their own cluster and never shuffle).
+
+    Each round persists its labels and unpersists the previous round so
+    the iterative join doesn't replay the full lineage every iteration.
+    """
+    edges = (pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+             .union(pairs.select(F.col(b_col).alias("src"),
+                                 F.col(a_col).alias("dst")))
+             .distinct())
+    labels = (edges.select(F.col("src").alias("node")).distinct()
+              .withColumn("label", F.col("node"))).persist()
+    labels.count()
+    for _ in range(max_iter):
+        nbr_min = (edges.join(labels, edges["src"] == labels["node"])
+                   .groupBy(F.col("dst").alias("node"))
+                   .agg(F.min("label").alias("nbr_label")))
+        new_labels = (labels.join(nbr_min, "node", "left")
+                      .select("node",
+                              F.least("label", F.coalesce("nbr_label", "label"))
+                              .alias("label"))).persist()
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .filter(F.col("n.label") != F.col("o.label")).count())
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iter} rounds — "
+            "component diameter exceeds max_iter; raise max_iter")
+    out = labels.select(F.col("node").alias("doc_id"),
+                        F.col("label").alias("cluster_id"))
+    return out
+
+
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         n: int = 3, threshold: float = 0.5,
                         max_shingle_freq: int | None = 1000) -> DataFrame:

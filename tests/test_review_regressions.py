@@ -55,6 +55,27 @@ def test_ngram_jaccard_default_cap_matches_uncapped_on_fixture(spark):
     assert sorted(map(key, capped)) == sorted(map(key, uncapped))
 
 
+def test_dedup_clusters_multihop_chain(spark):
+    """Connected components: a 6-node chain (diameter 5, forces several
+    propagation rounds), a triangle, and an isolated pair."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6),      # chain 1..6
+         (10, 11), (11, 12), (10, 12),                # triangle
+         (20, 21)],                                   # pair
+        "a_id long, b_id long")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in textops.dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_dedup_clusters_max_iter_guard(spark):
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(1, 8)],
+                                  "a_id long, b_id long")
+    with pytest.raises(RuntimeError, match="converge"):
+        textops.dedup_clusters(pairs, max_iter=2)
+
+
 def test_token_counts_bpe_pieces(spark):
     df = spark.createDataFrame(
         [(1, "I'll don't stop"), (2, "abc123 x-y"), (3, ""), (4, None),
