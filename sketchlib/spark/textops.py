@@ -86,8 +86,12 @@ def dedup_clusters(pairs: DataFrame, a_col: str = "a_id",
         raise RuntimeError(
             f"dedup_clusters did not converge in {max_iter} rounds — "
             "component diameter exceeds max_iter; raise max_iter")
+    # truncate the iterative lineage and release the per-round cache:
+    # the result is pinned by the localCheckpoint, not by a leaked persist
     out = labels.select(F.col("node").alias("doc_id"),
-                        F.col("label").alias("cluster_id"))
+                        F.col("label").alias("cluster_id")) \
+        .localCheckpoint(eager=True)
+    labels.unpersist()
     return out
 
 
