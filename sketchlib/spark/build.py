@@ -263,7 +263,18 @@ def rollup_sketches(sketches: DataFrame, from_cols: list[str],
             pdf = pdf.sort_values(dropped, kind="stable")
         sk = sketch_from_bytes(bytes(pdf["sketch"].iloc[0]))
         for blob in pdf["sketch"].iloc[1:]:
-            sk.merge(sketch_from_bytes(bytes(blob)))
+            try:
+                sk.merge(sketch_from_bytes(bytes(blob)))
+            except ValueError as e:
+                # e.g. per-group Bloom params: each fine group has its own
+                # (m, k), so states across the dropped key cannot merge
+                raise ValueError(
+                    f"cannot roll up group {key}: states across the "
+                    f"dropped key(s) {dropped} have incompatible params "
+                    f"({e}); rollup requires params uniform over the "
+                    "dropped keys (HLL/CMS/theta/KLL/t-digest with fixed "
+                    "params qualify; per-group-calibrated Bloom does not)"
+                ) from e
         return pd.DataFrame({
             **{c: [key[i]] for i, c in enumerate(keys)},
             "sketch": [sk.to_bytes()],

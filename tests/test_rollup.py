@@ -42,6 +42,47 @@ def test_rollup_preserves_counts(spark):
     assert n_rows == exact
 
 
+def test_rollup_quantile_sketches_bounds_hold(spark):
+    """KLL/t-digest rolled up from (lang, source) to lang: still valid
+    merged sketches, quantile estimates within rank-error of exact."""
+    from sketchlib.core.serde import sketch_from_bytes as sfb
+    docs = _docs(spark)
+    fine = build_sketches(docs, ["lang", "source"],
+                          [SketchSpec("k", "kll", "n_chars", {"k": 256}),
+                           SketchSpec("t", "tdigest", "n_chars", {"delta": 300})])
+    rolled = rollup_sketches(fine, ["lang", "source"], ["lang"]).collect()
+    exact = {r["lang"]: r["p50"] for r in docs.groupBy("lang").agg(
+        F.expr("percentile(n_chars, 0.5)").alias("p50")).collect()}
+    ranks = {r["lang"]: r for r in docs.groupBy("lang").agg(
+        F.count("*").alias("n")).collect()}
+    for r in rolled:
+        sk = sfb(bytes(r["sketch"]))
+        est = float(sk.quantile(0.5))
+        n = ranks[r["lang"]]["n"]
+        # rank of the estimate must be within ~5% of 0.5 (generous for
+        # tiny groups); value comparison is distribution-dependent
+        vals = [x["n_chars"] for x in
+                docs.filter(F.col("lang") == r["lang"]).select("n_chars").collect()]
+        import numpy as _np
+        rank = (_np.asarray(vals) <= est).mean()
+        assert abs(rank - 0.5) < 0.08, (r["lang"], r["sketch_name"], est,
+                                        exact[r["lang"]], rank, n)
+
+
+def test_rollup_incompatible_params_clear_error(spark):
+    """Per-group-calibrated Bloom states cannot roll up across the
+    dropped key — the error must say so, not just 'cannot merge'."""
+    import pytest
+    from sketchlib.spark.build import calibrate, bloom_params_by_group
+    docs = _docs(spark)
+    bp = bloom_params_by_group(calibrate(docs, ["lang", "source"]), 0.01)
+    fine = build_sketches(docs, ["lang", "source"],
+                          [SketchSpec("b", "bloom", "text",
+                                      per_group_params=bp)])
+    with pytest.raises(Exception, match="incompatible params"):
+        rollup_sketches(fine, ["lang", "source"], ["lang"]).collect()
+
+
 def test_rollup_rejects_bad_cols(spark):
     docs = _docs(spark)
     fine = build_sketches(docs, ["lang"], [SketchSpec("h", "hll", "text", {"b": 10})])
