@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": _wrap(Q.q_quality_scores),
         "ngram_jaccard_pairs": _wrap(Q.q_ngram_jaccard_pairs),
         "dedup_clusters": _wrap(Q.q_dedup_clusters),
+        "corpus_curation": _wrap(Q.q_corpus_curation),
         "ann_cosine_topk": _wrap(Q.q_ann_cosine_topk),
         "pricing_summary": _wrap(Q.q_pricing_summary),
         # sketch estimates (rows-only; exact companions above)
@@ -170,6 +171,29 @@ def oracle_sql() -> dict[str, str]:
             "FROM inter JOIN sizes sa ON sa.doc = a_id "
             "JOIN sizes sb ON sb.doc = b_id "
             "WHERE inter / (sa.sz + sb.sz - inter) >= 0.5",
+        "corpus_curation":
+            "WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents "
+            "GROUP BY md5(text)), "
+            "kept AS (SELECT d.* FROM documents d JOIN keep USING (doc_id)), "
+            "q AS (SELECT doc_id, "
+            "list_filter(string_split(text, ' '), x -> x != '') AS toks, "
+            "lower(text) AS ltext, text FROM kept), "
+            "feats AS (SELECT doc_id, "
+            "CAST(len(toks) AS BIGINT) AS n_tokens, "
+            "round(len(list_distinct(toks)) / len(toks), 4) AS uniq_ratio, "
+            "CAST(len(regexp_extract_all(text, "
+            "'''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+'"
+            ")) AS BIGINT) AS n_bpe_tokens, "
+            "list_distinct(string_split(ltext, ' ')) AS dtoks FROM q), "
+            "sc AS (SELECT doc_id, n_tokens, uniq_ratio, n_bpe_tokens, "
+            "list_max([" + ", ".join(
+                "{'score': len(list_intersect(dtoks, [%s])), 'lang': '%s'}"
+                % (", ".join(f"'{w}'" for w in sorted(ws)), lang)
+                for lang, ws in sorted(_LANG_PROFILES.items()))
+            + "]) AS best FROM feats) "
+            "SELECT doc_id, best.lang AS lang_pred, n_tokens, n_bpe_tokens, "
+            "uniq_ratio FROM sc "
+            "WHERE n_tokens >= 5 AND uniq_ratio >= 0.3 AND best.score > 0",
         "dedup_clusters":
             "WITH RECURSIVE toks AS (SELECT doc_id, "
             "list_filter(string_split(text, ' '), x -> x != '') AS t "

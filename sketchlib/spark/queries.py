@@ -116,6 +116,27 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
                                        "doc_id", "text", n=3, threshold=0.5)
 
 
+def q_corpus_curation(spark, sf_dir):
+    """End-to-end training-data curation pipeline in ONE declarative
+    plan: exact dedup (keep min doc_id per md5) -> quality gate
+    (>= 5 tokens, distinct-token ratio >= 0.3) -> language ID (drop
+    'und') -> per-doc token budget. The composition every corpus
+    pipeline runs; fully SQL-expressible, so the whole chain is
+    oracle-checked end-to-end."""
+    docs = load(spark, sf_dir, "documents")
+    keep = (textops.exact_dedup_groups(docs, "doc_id", "text")
+            .select(F.col("keep_id").alias("doc_id")))
+    kept = docs.join(keep, "doc_id")
+    q = textops.quality_scores(kept, "doc_id", "text")
+    lang = textops.langid_heuristic(kept, "doc_id", "text")
+    bpe = textops.token_counts_bpe(kept, "doc_id", "text")
+    return (q.join(lang, "doc_id").join(bpe, "doc_id")
+            .filter((F.col("n_tokens") >= 5) & (F.col("uniq_ratio") >= 0.3)
+                    & (F.col("lang_pred") != "und"))
+            .select("doc_id", "lang_pred", "n_tokens", "n_bpe_tokens",
+                    "uniq_ratio"))
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Connected components over the exact n-gram-Jaccard pair graph:
     (doc_id, cluster_id=min reachable id) — the keep-one-per-cluster
