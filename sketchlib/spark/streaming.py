@@ -81,6 +81,85 @@ def streaming_build(stream_df: DataFrame, group_cols: list[str],
                                     "update", GroupStateTimeout.NoTimeout))
 
 
+def streaming_heavy_hitters(stream_df: DataFrame, group_cols: list[str],
+                            text_col: str, k: int = 10,
+                            capacity: int = 256, w: int = 16384, d: int = 5,
+                            seed: int = 0) -> DataFrame:
+    """Continuously-maintained top-k tokens per group — the streaming
+    twin of ``heavyhitters.cms_heavy_hitters``.
+
+    State per group = one conservative-update CMS (counts) + one
+    SpaceSaving summary (candidate retention with the freq > N/capacity
+    guarantee), both carried across micro-batches. Each update emits the
+    group's refreshed top-k: (group_cols..., token, est_cnt, rnk).
+
+    Same skew note as streaming_build: keyed state hash-partitions raw
+    rows by group; salt upstream for giant groups.
+    """
+    import numpy as np
+    from pyspark.sql.types import ArrayType, IntegerType
+    from sketchlib.core.cms import CountMinSketch
+    from sketchlib.spark.heavyhitters import SpaceSaving
+
+    out_schema = StructType(_group_fields(stream_df, group_cols) + [
+        StructField("token", StringType(), False),
+        StructField("est_cnt", LongType(), False),
+        StructField("rnk", IntegerType(), False),
+    ])
+    state_schema = StructType([
+        StructField("cms", BinaryType(), True),
+        StructField("toks", ArrayType(StringType()), True),
+        StructField("cnts", ArrayType(LongType()), True),
+        StructField("errs", ArrayType(LongType()), True),
+    ])
+
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            cms_b, toks, cnts, errs = state.get
+            cms = sketch_from_bytes(bytes(cms_b))
+            ss = SpaceSaving(capacity)
+            ss.counters = {t: [int(c), int(e)]
+                           for t, c, e in zip(toks, cnts, errs)}
+            import heapq
+            ss._heap = [(int(c), t) for t, c in zip(toks, cnts)]
+            heapq.heapify(ss._heap)
+        else:
+            cms = CountMinSketch(w, d, seed, conservative=True)
+            ss = SpaceSaving(capacity)
+        for pdf in pdfs:
+            col = (pdf[text_col].dropna().astype(str)
+                   .str.split(" ").explode().dropna())
+            col = col[col != ""]
+            if not len(col):
+                continue
+            vc = col.value_counts()
+            cms.update_batch(vc.index.to_numpy(),
+                             vc.to_numpy(dtype=np.int64))
+            ss.add_batch(vc.index, vc.to_numpy())
+        items = ss.items()
+        state.update((cms.to_bytes(),
+                      [t for t, _, _ in items],
+                      [int(c) for _, c, _ in items],
+                      [int(e) for _, _, e in items]))
+        cands = sorted(t for t, _, _ in items)
+        if not cands:
+            return
+        est = cms.query_batch(cands)
+        order = sorted(range(len(cands)), key=lambda i: (-int(est[i]), cands[i]))
+        top = order[:k]
+        yield pd.DataFrame({
+            **{c: [key[i]] * len(top) for i, c in enumerate(group_cols)},
+            "token": [cands[i] for i in top],
+            "est_cnt": [int(est[i]) for i in top],
+            "rnk": np.arange(1, len(top) + 1, dtype=np.int32),
+        })
+
+    return (stream_df.select(*group_cols, text_col).groupBy(*group_cols)
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "update", GroupStateTimeout.NoTimeout))
+
+
 def streaming_windowed_build(stream_df: DataFrame, ts_col: str,
                              group_cols: list[str], specs: list[SketchSpec],
                              window: str = "1 day",

@@ -28,6 +28,53 @@ def stream_dir(tmp_path_factory):
     return str(out)
 
 
+def test_streaming_heavy_hitters_tracks_exact_topk(spark, pages_tiny,
+                                                   stream_dir, tmp_path):
+    """Final streamed top-5 tokens per lang == exact top-5; estimates
+    overestimate-only and tight."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+    from sketchlib.spark.streaming import streaming_heavy_hitters
+
+    stream = (spark.readStream.schema(pages_tiny.schema)
+              .option("maxFilesPerTrigger", 1).parquet(stream_dir))
+    updates = streaming_heavy_hitters(stream, ["lang"], "text", k=5)
+    q = (updates.writeStream.format("memory").queryName("hh_updates")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "hh_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM hh_updates").collect()
+    assert rows
+    # keep only each lang's LAST emitted top-k (update mode re-emits)
+    batch_df = spark.read.parquet(stream_dir)
+    exact = (batch_df.select("lang", F.explode(
+                 F.filter(F.split("text", " "), lambda x: x != "")).alias("t"))
+             .groupBy("lang", "t").count())
+    w = Window.partitionBy("lang").orderBy(F.desc("count"), F.asc("t"))
+    top_exact = {}
+    exact_counts = {}
+    for r in (exact.withColumn("r", F.row_number().over(w))
+              .filter("r <= 5").collect()):
+        top_exact.setdefault(r["lang"], set()).add(r["t"])
+        exact_counts[(r["lang"], r["t"])] = r["count"]
+    # final emission per lang: the one whose est_cnt totals are largest
+    # (monotone growth across micro-batches); group updates by emission
+    last = {}
+    for r in rows:
+        cur = last.setdefault(r["lang"], {})
+        prev = cur.get(r["token"], 0)
+        cur[r["token"]] = max(prev, r["est_cnt"])
+    for lang, exact_set in top_exact.items():
+        streamed = last[lang]
+        top_streamed = set(sorted(streamed, key=lambda t: (-streamed[t], t))[:5])
+        assert top_streamed == exact_set, (lang, top_streamed, exact_set)
+        for t in exact_set:
+            true = exact_counts[(lang, t)]
+            assert streamed[t] >= true
+            assert streamed[t] - true <= 0.02 * true + 50
+
+
 def test_streaming_matches_batch_build(spark, pages_tiny, stream_dir, tmp_path):
     stream = (spark.readStream.schema(pages_tiny.schema)
               .option("maxFilesPerTrigger", 1).parquet(stream_dir))
