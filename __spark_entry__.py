@@ -155,13 +155,19 @@ def oracle_sql() -> dict[str, str]:
             "round((n_chars_raw - (len(toks) - 1)) / len(toks), 4) "
             "AS avg_token_len FROM t",
         "ngram_jaccard_pairs":
+            # shingle-frequency cap (<= 1000) mirrors the implementation's
+            # max_shingle_freq default so impl and oracle agree at ANY
+            # scale, not just where the cap happens not to bind
             "WITH toks AS (SELECT doc_id, "
             "list_filter(string_split(text, ' '), x -> x != '') AS t "
             "FROM documents), "
-            "sh AS (SELECT DISTINCT doc_id AS doc, "
+            "sh0 AS (SELECT DISTINCT doc_id AS doc, "
             "unnest(list_transform(range(1, len(t) - 1), "
             "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle "
             "FROM toks WHERE len(t) >= 3), "
+            "sh AS (SELECT sh0.* FROM sh0 JOIN (SELECT shingle "
+            "FROM sh0 GROUP BY shingle HAVING count(*) <= 1000) f "
+            "USING (shingle)), "
             "sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY doc), "
             "inter AS (SELECT a.doc AS a_id, b.doc AS b_id, count(*) AS inter "
             "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc "
@@ -198,10 +204,13 @@ def oracle_sql() -> dict[str, str]:
             "WITH RECURSIVE toks AS (SELECT doc_id, "
             "list_filter(string_split(text, ' '), x -> x != '') AS t "
             "FROM documents), "
-            "sh AS (SELECT DISTINCT doc_id AS doc, "
+            "sh0 AS (SELECT DISTINCT doc_id AS doc, "
             "unnest(list_transform(range(1, len(t) - 1), "
             "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle "
             "FROM toks WHERE len(t) >= 3), "
+            "sh AS (SELECT sh0.* FROM sh0 JOIN (SELECT shingle "
+            "FROM sh0 GROUP BY shingle HAVING count(*) <= 1000) f "
+            "USING (shingle)), "
             "sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY doc), "
             "inter AS (SELECT a.doc AS a_id, b.doc AS b_id, count(*) AS inter "
             "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc "

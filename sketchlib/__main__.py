@@ -46,9 +46,16 @@ def _parse_sketch(spec_str: str):
                 except ValueError:
                     raise SystemExit(f"bad --sketch param value {kv!r}")
     name = f"{col}_{kind}"
+    # probe-construct to catch missing/invalid kernel params at parse
+    # time — but never materialize a big state array on the driver just
+    # to validate (a legitimate cms:w=16M,d=8 is a 1 GB table)
+    est_bytes = {"bloom": params.get("m", 0) // 8,
+                 "cms": params.get("w", 0) * params.get("d", 1) * 8,
+                 "hll": 1 << params.get("b", 0)}.get(kind, 0)
     try:
         spec = SketchSpec(name, kind, col, params)
-        spec.make(None)  # probe-construct: missing/invalid kernel params
+        if est_bytes <= (64 << 20):
+            spec.make(None)
     except (TypeError, ValueError) as e:
         raise SystemExit(f"bad --sketch {spec_str!r}: {e} "
                          "(e.g. bloom needs m=...,k=..., hll needs b=..., "

@@ -18,7 +18,9 @@ def bloom_params(n: int, p: float) -> tuple[int, int]:
     if not (0.0 < p < 1.0):
         raise ValueError(f"target FPR must be in (0,1), got {p}")
     n = max(1, int(n))
-    m = math.ceil(-(n * math.log(p)) / (math.log(2) ** 2))
+    # floor of 8: the kernel rejects m<8 (a <1-byte bit array), and tiny
+    # groups (n=1 at p>=0.05 gives m=5..7) must still build
+    m = max(8, math.ceil(-(n * math.log(p)) / (math.log(2) ** 2)))
     k = max(1, round(-math.log(p) / math.log(2)))
     return m, k
 

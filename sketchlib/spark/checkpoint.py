@@ -67,16 +67,29 @@ def spec_fingerprint(df: DataFrame, group_cols: list[str],
     resume against anything else must be refused.
 
     Input identity = schema + partition count + the sorted list of
-    input files (``df.inputFiles()``). Without the file list, replacing
-    the input with same-schema, same-partition-count DIFFERENT data
-    resumed silently and mixed partials from two inputs (round-1 ADVICE
-    finding). Derived DataFrames with no scan files (e.g. in-memory
-    test frames) fall back to the weaker schema+count identity.
+    input files (``df.inputFiles()``), with (size, mtime) folded in for
+    locally-resolvable paths. Without the file list, replacing the
+    input with same-schema, same-partition-count DIFFERENT data resumed
+    silently and mixed partials from two inputs (round-1 ADVICE
+    finding); size+mtime additionally catches same-NAME in-place
+    overwrites for file:// inputs. Remote filesystems contribute names
+    only (documented weaker identity); derived DataFrames with no scan
+    files (in-memory test frames) fall back to schema+count alone.
     """
     try:
         input_files = sorted(df.inputFiles())
     except Exception:
         input_files = []
+    ids = []
+    for f in input_files:
+        local = f[7:] if f.startswith("file:") and f[5:7] == "//" else (
+            f if f.startswith("/") else None)
+        if local is not None and os.path.exists(local):
+            st = os.stat(local)
+            ids.append(f"{f}|{st.st_size}|{int(st.st_mtime)}")
+        else:
+            ids.append(f)
+    input_files = ids
     payload = json.dumps({
         "schema": df.schema.simpleString(),
         "input_files": input_files,

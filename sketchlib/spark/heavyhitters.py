@@ -88,6 +88,39 @@ class SpaceSaving:
         """[(token, count_upper, err)] — count_upper - err <= true <= count_upper."""
         return [(t, v[0], v[1]) for t, v in self.counters.items()]
 
+    def to_state(self) -> tuple[list, list, list]:
+        """(tokens, counts, errs) — a stable external snapshot for
+        checkpointed/streaming state; inverse of ``from_state``."""
+        items = self.items()
+        return ([t for t, _, _ in items],
+                [int(c) for _, c, _ in items],
+                [int(e) for _, _, e in items])
+
+    @classmethod
+    def from_state(cls, capacity: int, tokens, counts, errs) -> "SpaceSaving":
+        """Rebuild from a ``to_state`` snapshot (restores the heap
+        invariant internally — callers never touch counters/_heap)."""
+        ss = cls(capacity)
+        ss.counters = {t: [int(c), int(e)]
+                       for t, c, e in zip(tokens, counts, errs)}
+        ss._heap = [(int(c), t) for t, c in zip(tokens, counts)]
+        heapq.heapify(ss._heap)
+        return ss
+
+
+def topk_from_cms(cms: CountMinSketch, candidates,
+                  k: int) -> tuple[list, list]:
+    """Rank candidates by CMS estimate (desc, then token asc); returns
+    (top_tokens, top_estimates) — shared by the batch merge and the
+    streaming emit so the ranking rule lives in one place."""
+    cands = sorted(candidates)
+    if not cands:
+        return [], []
+    est = cms.query_batch(cands)
+    order = sorted(range(len(cands)),
+                   key=lambda i: (-int(est[i]), cands[i]))[:k]
+    return [cands[i] for i in order], [int(est[i]) for i in order]
+
 
 def cms_heavy_hitters(df: DataFrame, group_cols: list[str], text_col: str,
                       k: int = 10, capacity: int = 256,
@@ -152,17 +185,15 @@ def cms_heavy_hitters(df: DataFrame, group_cols: list[str], text_col: str,
         cms = sketch_from_bytes(bytes(pdf["cms"].iloc[0]))
         for blob in pdf["cms"].iloc[1:]:
             cms.merge(sketch_from_bytes(bytes(blob)))
-        cands = sorted({t for lst in pdf["cands"] for t in lst})
-        if not cands:
+        toks, ests = topk_from_cms(
+            cms, {t for lst in pdf["cands"] for t in lst}, k)
+        if not toks:
             return pd.DataFrame(columns=[*group_cols, "token", "est_cnt", "rnk"])
-        est = cms.query_batch(cands)
-        order = sorted(range(len(cands)), key=lambda i: (-int(est[i]), cands[i]))
-        top = order[:k]
         return pd.DataFrame({
-            **{c: [key[i]] * len(top) for i, c in enumerate(group_cols)},
-            "token": [cands[i] for i in top],
-            "est_cnt": [int(est[i]) for i in top],
-            "rnk": np.arange(1, len(top) + 1, dtype=np.int32),
+            **{c: [key[i]] * len(toks) for i, c in enumerate(group_cols)},
+            "token": toks,
+            "est_cnt": ests,
+            "rnk": np.arange(1, len(toks) + 1, dtype=np.int32),
         })
 
     return partials.groupBy(*group_cols).applyInPandas(merge, out_schema)

@@ -130,9 +130,16 @@ def decode_stub(payload: bytes, kind: str, fake: bool = False) -> np.ndarray:
 
 def _decode_one(payload: bytes, kind: str, mime: str | None,
                 fake: bool) -> np.ndarray:
-    """Dispatch: WAV audio -> real codec; everything else -> stub."""
-    if kind == "audio" and (mime is None or mime == "audio/wav"):
-        return wav_feature_vector(decode_wav(payload))
+    """Dispatch: declared-WAV audio -> real codec; everything else ->
+    stub. Audio with unknown/missing mime only tries the real decoder
+    when the payload self-identifies as RIFF/WAVE — arbitrary audio
+    bytes under fake=True must keep flowing through the deterministic
+    stub, not die in wave.Error."""
+    if kind == "audio":
+        is_declared = mime == "audio/wav"
+        is_riff = payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+        if is_declared or (mime is None and is_riff):
+            return wav_feature_vector(decode_wav(payload))
     return decode_stub(payload, kind, fake=fake)
 
 

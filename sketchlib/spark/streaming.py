@@ -99,7 +99,7 @@ def streaming_heavy_hitters(stream_df: DataFrame, group_cols: list[str],
     import numpy as np
     from pyspark.sql.types import ArrayType, IntegerType
     from sketchlib.core.cms import CountMinSketch
-    from sketchlib.spark.heavyhitters import SpaceSaving
+    from sketchlib.spark.heavyhitters import SpaceSaving, topk_from_cms
 
     out_schema = StructType(_group_fields(stream_df, group_cols) + [
         StructField("token", StringType(), False),
@@ -118,12 +118,7 @@ def streaming_heavy_hitters(stream_df: DataFrame, group_cols: list[str],
         if state.exists:
             cms_b, toks, cnts, errs = state.get
             cms = sketch_from_bytes(bytes(cms_b))
-            ss = SpaceSaving(capacity)
-            ss.counters = {t: [int(c), int(e)]
-                           for t, c, e in zip(toks, cnts, errs)}
-            import heapq
-            ss._heap = [(int(c), t) for t, c in zip(toks, cnts)]
-            heapq.heapify(ss._heap)
+            ss = SpaceSaving.from_state(capacity, toks, cnts, errs)
         else:
             cms = CountMinSketch(w, d, seed, conservative=True)
             ss = SpaceSaving(capacity)
@@ -137,22 +132,16 @@ def streaming_heavy_hitters(stream_df: DataFrame, group_cols: list[str],
             cms.update_batch(vc.index.to_numpy(),
                              vc.to_numpy(dtype=np.int64))
             ss.add_batch(vc.index, vc.to_numpy())
-        items = ss.items()
-        state.update((cms.to_bytes(),
-                      [t for t, _, _ in items],
-                      [int(c) for _, c, _ in items],
-                      [int(e) for _, _, e in items]))
-        cands = sorted(t for t, _, _ in items)
-        if not cands:
+        toks, cnts, errs = ss.to_state()
+        state.update((cms.to_bytes(), toks, cnts, errs))
+        top_toks, top_ests = topk_from_cms(cms, toks, k)
+        if not top_toks:
             return
-        est = cms.query_batch(cands)
-        order = sorted(range(len(cands)), key=lambda i: (-int(est[i]), cands[i]))
-        top = order[:k]
         yield pd.DataFrame({
-            **{c: [key[i]] * len(top) for i, c in enumerate(group_cols)},
-            "token": [cands[i] for i in top],
-            "est_cnt": [int(est[i]) for i in top],
-            "rnk": np.arange(1, len(top) + 1, dtype=np.int32),
+            **{c: [key[i]] * len(top_toks) for i, c in enumerate(group_cols)},
+            "token": top_toks,
+            "est_cnt": top_ests,
+            "rnk": np.arange(1, len(top_toks) + 1, dtype=np.int32),
         })
 
     return (stream_df.select(*group_cols, text_col).groupBy(*group_cols)

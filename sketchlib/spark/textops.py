@@ -83,9 +83,12 @@ def dedup_clusters(pairs: DataFrame, a_col: str = "a_id",
         if changed == 0:
             break
     else:
+        labels.unpersist()  # no leak on the failure path
         raise RuntimeError(
-            f"dedup_clusters did not converge in {max_iter} rounds — "
-            "component diameter exceeds max_iter; raise max_iter")
+            f"dedup_clusters saw labels still changing after {max_iter} "
+            "rounds — component diameter is >= max_iter (convergence is "
+            "verified by one quiet round, so max_iter must exceed the "
+            "diameter by 1); raise max_iter")
     # truncate the iterative lineage and release the per-round cache:
     # the result is pinned by the localCheckpoint, not by a leaked persist
     out = labels.select(F.col("node").alias("doc_id"),

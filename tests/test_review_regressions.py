@@ -55,6 +55,68 @@ def test_ngram_jaccard_default_cap_matches_uncapped_on_fixture(spark):
     assert sorted(map(key, capped)) == sorted(map(key, uncapped))
 
 
+def test_bloom_params_tiny_group_floor():
+    """Calibrated params for a singleton group must stay constructible:
+    bloom_params(1, 0.05) used to return m=7, which the kernel rejects."""
+    from sketchlib.core.params import bloom_params
+    from sketchlib.core.bloom import BloomFilter
+    for p in (0.01, 0.05, 0.1, 0.5):
+        m, k = bloom_params(1, p)
+        bf = BloomFilter(m, k).update_batch(["only-key"])
+        assert bf.contains_batch(["only-key"]).all()
+
+
+def test_singleton_group_pipeline(spark):
+    """End-to-end calibrate -> build over a corpus with a 1-row group."""
+    from sketchlib.spark.build import (calibrate, bloom_params_by_group,
+                                       build_sketches)
+    df = spark.createDataFrame(
+        [("en", f"t{i}") for i in range(50)] + [("xx", "lonely")],
+        "lang string, text string")
+    bp = bloom_params_by_group(calibrate(df, ["lang"]), 0.1)
+    merged = build_sketches(
+        df, ["lang"],
+        [SketchSpec("b", "bloom", "text", per_group_params=bp)]).collect()
+    assert {r["lang"] for r in merged} == {"en", "xx"}
+
+
+def test_audio_unknown_mime_falls_back_to_stub():
+    """kind='audio' with arbitrary (non-RIFF) bytes and no mime must go
+    through the deterministic stub under fake=True, not die in
+    wave.Error; self-identifying RIFF/WAVE bytes take the real codec."""
+    import numpy as np
+    from sketchlib.spark.multimodal import _decode_one, encode_wav
+    out = _decode_one(b"\x00\x01 random not-wav bytes", "audio", None, True)
+    assert out.shape == (64,)
+    wav = encode_wav(np.sin(np.arange(800) / 20.0), 8000)
+    real = _decode_one(wav, "audio", None, False)  # RIFF-sniffed, no mime
+    assert real.shape == (64,) and real.max() > 0.1
+
+
+def test_checkpoint_in_place_overwrite_refused(spark, tmp_path):
+    """Same file NAME, same schema, same partition count, different
+    rows: local size/mtime identity must refuse the resume."""
+    import os
+    import time
+    import pytest
+    from sketchlib.spark.checkpoint import build_sketches_checkpointed
+    specs = [SketchSpec("h", "hll", "text", {"b": 10})]
+    src = str(tmp_path / "in")
+    df1 = spark.createDataFrame([("en", f"a{i}") for i in range(64)],
+                                "lang string, text string").coalesce(1)
+    df1.write.mode("overwrite").parquet(src)
+    ckpt = str(tmp_path / "ck")
+    build_sketches_checkpointed(spark.read.parquet(src), ["lang"],
+                                specs, ckpt).collect()
+    time.sleep(1.1)  # ensure a distinct mtime second
+    df2 = spark.createDataFrame([("en", f"B{i}") for i in range(99)],
+                                "lang string, text string").coalesce(1)
+    df2.write.mode("overwrite").parquet(src)
+    with pytest.raises(ValueError, match="fingerprint"):
+        build_sketches_checkpointed(spark.read.parquet(src), ["lang"],
+                                    specs, ckpt)
+
+
 def test_dedup_clusters_multihop_chain(spark):
     """Connected components: a 6-node chain (diameter 5, forces several
     propagation rounds), a triangle, and an isolated pair."""
