@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation": _wrap(Q.q_corpus_curation),
         "ann_cosine_topk": _wrap(Q.q_ann_cosine_topk),
         "pricing_summary": _wrap(Q.q_pricing_summary),
+        "shipping_priority": _wrap(Q.q_shipping_priority),
         # sketch estimates (rows-only; exact companions above)
         "bloom_fpr_validation": _wrap(Q.q_bloom_fpr_validation),
         "hll_distinct_lang": _wrap(Q.q_hll_distinct_lang),
@@ -252,6 +253,17 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS count_order "
             "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
             "GROUP BY l_returnflag, l_linestatus",
+        "shipping_priority":
+            "SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date, "
+            "o_orderpriority, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+            "FROM customer, orders, lineitem "
+            "WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey "
+            "AND l_orderkey = o_orderkey "
+            "AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' "
+            "AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00' "
+            "GROUP BY l_orderkey, o_orderdate, o_orderpriority "
+            "ORDER BY revenue DESC, l_orderkey ASC LIMIT 10",
         "langid_heuristic": _langid_oracle(),
         "user_overlap_exact":
             "SELECT a.event_type AS type_a, b.event_type AS type_b, "

@@ -192,6 +192,32 @@ def q_pricing_summary(spark, sf_dir):
                  F.count("*").alias("count_order")))
 
 
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3-style multi-table join: customer (filtered dim,
+    broadcast) ⨝ orders ⨝ lineitem, grouped revenue, top-10. Exercises
+    Catalyst join planning over the star schema — dimension filters
+    push into the scans, the small filtered side broadcasts."""
+    cust = (load(spark, sf_dir, "customer")
+            .filter(F.col("c_mktsegment") == "BUILDING")
+            .select("c_custkey"))
+    orders = (load(spark, sf_dir, "orders")
+              .filter(F.col("o_orderdate") < F.lit("1998-01-01"))
+              .select("o_orderkey", "o_custkey", "o_orderdate",
+                      "o_orderpriority"))
+    li = (load(spark, sf_dir, "lineitem")
+          .filter(F.col("l_shipdate") > F.lit("1998-01-01"))
+          .select("l_orderkey", "l_extendedprice", "l_discount"))
+    rev = (li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+           .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+           .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+           .agg(F.round(F.sum(F.col("l_extendedprice")
+                              * (1 - F.col("l_discount"))), 2).alias("revenue")))
+    return (rev.orderBy(F.desc("revenue"), F.asc("l_orderkey")).limit(10)
+            .select("l_orderkey",
+                    F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+                    "o_orderpriority", "revenue"))
+
+
 def q_langid(spark, sf_dir):
     return textops.langid_heuristic(load(spark, sf_dir, "documents"),
                                     "doc_id", "text")
