@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": _wrap(Q.q_ngram_jaccard_pairs),
         "dedup_clusters": _wrap(Q.q_dedup_clusters),
         "corpus_curation": _wrap(Q.q_corpus_curation),
+        "hash_split_counts": _wrap(Q.q_hash_split_counts),
         "ann_cosine_topk": _wrap(Q.q_ann_cosine_topk),
         "pricing_summary": _wrap(Q.q_pricing_summary),
         "shipping_priority": _wrap(Q.q_shipping_priority),
@@ -201,6 +202,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, best.lang AS lang_pred, n_tokens, n_bpe_tokens, "
             "uniq_ratio FROM sc "
             "WHERE n_tokens >= 5 AND uniq_ratio >= 0.3 AND best.score > 0",
+        "hash_split_counts":
+            # same md5-bucket math as sampling.hash_split (seed=7,
+            # sorted labels test/train/val, cum thresholds at 0.05/0.95
+            # of 2^32 = 214748364 / 4080218931)
+            "WITH b AS (SELECT lang, "
+            "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':7'), "
+            "1, 8)) AS UBIGINT) AS h FROM documents) "
+            "SELECT lang, CASE WHEN h < 214748364 THEN 'test' "
+            "WHEN h < 4080218931 THEN 'train' ELSE 'val' END AS split, "
+            "count(*) AS n_docs FROM b GROUP BY 1, 2",
         "dedup_clusters":
             "WITH RECURSIVE toks AS (SELECT doc_id, "
             "list_filter(string_split(text, ' '), x -> x != '') AS t "

@@ -116,6 +116,18 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
                                        "doc_id", "text", n=3, threshold=0.5)
 
 
+def q_hash_split_counts(spark, sf_dir):
+    """Deterministic train/val/test split (engine-stable md5 buckets),
+    summarized as per-(lang, split) counts — the reproducible-split
+    primitive every training pipeline needs; fully oracle-checked."""
+    from sketchlib.spark.sampling import hash_split
+    docs = load(spark, sf_dir, "documents")
+    split = hash_split(docs, "doc_id",
+                       {"train": 0.9, "val": 0.05, "test": 0.05}, seed=7)
+    return (split.groupBy("lang", "split")
+            .agg(F.count("*").alias("n_docs")))
+
+
 def q_corpus_curation(spark, sf_dir):
     """End-to-end training-data curation pipeline in ONE declarative
     plan: exact dedup (keep min doc_id per md5) -> quality gate
