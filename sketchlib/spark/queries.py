@@ -257,12 +257,19 @@ def q_bloom_fpr_validation(spark, sf_dir):
 
 
 def q_hll_distinct_lang(spark, sf_dir):
+    """Distributed estimate read-out: the sketch table stays a
+    DataFrame; `sketch_estimate` (registered pandas UDF) evaluates on
+    executors — no driver-side collect/loop."""
+    from sketchlib.spark.sqlfuncs import register_sql_functions
+    udfs = register_sql_functions(spark)
     merged = _doc_sketches(spark, sf_dir,
                            [SketchSpec("h", "hll", "text", {"b": 14})])
-    hlls = collect_sketches(merged, ["lang"], "h")
-    rows = [(lang, float(h.estimate()), float(h.rel_error()))
-            for lang, h in sorted(hlls.items())]
-    return spark.createDataFrame(rows, "lang string, n_distinct_est double, rel_error double")
+    rel = 1.04 / (1 << 14) ** 0.5
+    return (merged.filter(F.col("sketch_name") == "h")
+            .select("lang",
+                    udfs["sketch_estimate"](F.col("sketch"))
+                    .alias("n_distinct_est"),
+                    F.lit(float(rel)).alias("rel_error")))
 
 
 def q_cms_top_tokens(spark, sf_dir):
@@ -287,28 +294,35 @@ def q_cms_top_tokens(spark, sf_dir):
 
 
 def q_kll_quantiles_nchars(spark, sf_dir):
+    """Distributed quantile read-out via the sketch_quantile SQL UDF —
+    the KLL and t-digest sketch rows join on lang, no driver loop."""
+    from sketchlib.spark.sqlfuncs import register_sql_functions
+    udfs = register_sql_functions(spark)
     merged = _doc_sketches(
         spark, sf_dir,
         [SketchSpec("k", "kll", "n_chars", {"k": 256}),
          SketchSpec("t", "tdigest", "n_chars", {"delta": 300})])
-    klls = collect_sketches(merged, ["lang"], "k")
-    tds = collect_sketches(merged, ["lang"], "t")
-    rows = [(lang, float(sk.quantile(0.5)), float(sk.quantile(0.9)),
-             float(tds[lang].quantile(0.5)), float(tds[lang].quantile(0.9)))
-            for lang, sk in sorted(klls.items())]
-    return spark.createDataFrame(
-        rows, "lang string, kll_p50 double, kll_p90 double, "
-              "td_p50 double, td_p90 double")
+    quant = udfs["sketch_quantile"]
+    k = (merged.filter(F.col("sketch_name") == "k")
+         .select("lang", quant(F.col("sketch"), F.lit(0.5)).alias("kll_p50"),
+                 quant(F.col("sketch"), F.lit(0.9)).alias("kll_p90")))
+    t = (merged.filter(F.col("sketch_name") == "t")
+         .select("lang", quant(F.col("sketch"), F.lit(0.5)).alias("td_p50"),
+                 quant(F.col("sketch"), F.lit(0.9)).alias("td_p90")))
+    return k.join(t, "lang").select("lang", "kll_p50", "kll_p90",
+                                    "td_p50", "td_p90")
 
 
 def q_tdigest_quantiles_value(spark, sf_dir):
+    from sketchlib.spark.sqlfuncs import register_sql_functions
+    udfs = register_sql_functions(spark)
     ev = load(spark, sf_dir, "events")
     merged = build_sketches(ev, ["event_type"],
                             [SketchSpec("t", "tdigest", "value", {"delta": 300})])
-    tds = collect_sketches(merged, ["event_type"], "t")
-    rows = [(et, float(td.quantile(0.5)), float(td.quantile(0.95)))
-            for et, td in sorted(tds.items())]
-    return spark.createDataFrame(rows, "event_type string, p50_est double, p95_est double")
+    quant = udfs["sketch_quantile"]
+    return merged.select(
+        "event_type", quant(F.col("sketch"), F.lit(0.5)).alias("p50_est"),
+        quant(F.col("sketch"), F.lit(0.95)).alias("p95_est"))
 
 
 def q_minhash_lsh_pairs(spark, sf_dir):
@@ -332,13 +346,13 @@ def q_hll_users_daily(spark, sf_dir):
     ev = (load(spark, sf_dir, "events")
           .withColumn("day", F.date_format("ts", "yyyy-MM-dd")))
     ev = ev.withColumn("user_id_str", F.col("user_id").cast("string"))
+    from sketchlib.spark.sqlfuncs import register_sql_functions
+    udfs = register_sql_functions(spark)
     merged = build_sketches(ev, ["event_type", "day"],
                             [SketchSpec("u", "hll", "user_id_str", {"b": 13})])
-    hlls = collect_sketches(merged, ["event_type", "day"], "u")
-    rows = [(et, day, float(h.estimate()))
-            for (et, day), h in sorted(hlls.items())]
-    return spark.createDataFrame(
-        rows, "event_type string, day string, n_users_est double")
+    return merged.select(
+        "event_type", "day",
+        udfs["sketch_estimate"](F.col("sketch")).alias("n_users_est"))
 
 
 def q_bloom_membership(spark, sf_dir):
