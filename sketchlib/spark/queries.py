@@ -514,35 +514,46 @@ def q_user_difference_exact(spark, sf_dir):
                     .alias("n_only_a")))
 
 
-def q_theta_user_difference(spark, sf_dir):
-    """Theta a-not-b: estimated users in type_a not in type_b (rows-only;
-    exact companion q_user_difference_exact)."""
+def _theta_sketch_table(spark, sf_dir) -> DataFrame:
     ev = (load(spark, sf_dir, "events")
           .withColumn("uid", F.col("user_id").cast("string")))
-    merged = build_sketches(ev, ["event_type"],
-                            [SketchSpec("t", "theta", "uid", {"k": 4096})])
-    sketches = collect_sketches(merged, ["event_type"], "t")
-    rows = [(ta, tb, float(sketches[ta].difference_estimate(sketches[tb])))
-            for ta in sorted(sketches) for tb in sorted(sketches) if ta != tb]
-    return spark.createDataFrame(
-        rows, "type_a string, type_b string, n_only_a_est double")
+    return build_sketches(ev, ["event_type"],
+                          [SketchSpec("t", "theta", "uid", {"k": 4096})])
+
+
+def q_theta_user_difference(spark, sf_dir):
+    """Theta a-not-b: estimated users in type_a not in type_b — a
+    SELF-JOIN of the sketch table with the theta_difference SQL UDF
+    (pairwise set algebra without collecting sketches to the driver);
+    exact companion q_user_difference_exact."""
+    from sketchlib.spark.sqlfuncs import register_sql_functions
+    udfs = register_sql_functions(spark)
+    sk = _theta_sketch_table(spark, sf_dir)
+    a = sk.select(F.col("event_type").alias("type_a"),
+                  F.col("sketch").alias("sk_a"))
+    b = sk.select(F.col("event_type").alias("type_b"),
+                  F.col("sketch").alias("sk_b"))
+    return (a.join(b, F.col("type_a") != F.col("type_b"))
+            .select("type_a", "type_b",
+                    udfs["theta_difference"](F.col("sk_a"), F.col("sk_b"))
+                    .alias("n_only_a_est")))
 
 
 def q_theta_user_overlap(spark, sf_dir):
     """Theta-sketch estimated shared users / Jaccard between event_type
-    pairs — set algebra register sketches can't do (rows-only; exact
-    companion q_user_overlap_exact)."""
-    ev = (load(spark, sf_dir, "events")
-          .withColumn("uid", F.col("user_id").cast("string")))
-    merged = build_sketches(ev, ["event_type"],
-                            [SketchSpec("t", "theta", "uid", {"k": 4096})])
-    sketches = collect_sketches(merged, ["event_type"], "t")
-    rows = []
-    for ta in sorted(sketches):
-        for tb in sorted(sketches):
-            if ta < tb:
-                rows.append((ta, tb,
-                             float(sketches[ta].intersect_estimate(sketches[tb])),
-                             float(round(sketches[ta].jaccard_estimate(sketches[tb]), 4))))
-    return spark.createDataFrame(
-        rows, "type_a string, type_b string, n_shared_est double, jaccard_est double")
+    pairs — set algebra register sketches can't do. Self-join + theta
+    SQL UDFs, fully distributed (rows-only; exact companion
+    q_user_overlap_exact)."""
+    from sketchlib.spark.sqlfuncs import register_sql_functions
+    udfs = register_sql_functions(spark)
+    sk = _theta_sketch_table(spark, sf_dir)
+    a = sk.select(F.col("event_type").alias("type_a"),
+                  F.col("sketch").alias("sk_a"))
+    b = sk.select(F.col("event_type").alias("type_b"),
+                  F.col("sketch").alias("sk_b"))
+    return (a.join(b, F.col("type_a") < F.col("type_b"))
+            .select("type_a", "type_b",
+                    udfs["theta_intersect"](F.col("sk_a"), F.col("sk_b"))
+                    .alias("n_shared_est"),
+                    F.round(udfs["theta_jaccard"](F.col("sk_a"), F.col("sk_b")),
+                            4).alias("jaccard_est")))

@@ -98,12 +98,32 @@ def _make_udfs() -> dict:
             out.append(sk.to_bytes())
         return pd.Series(out, dtype=object)
 
+    def _theta_pair(fn):
+        def inner(a_blobs: pd.Series, b_blobs: pd.Series) -> pd.Series:
+            out = np.full(len(a_blobs), np.nan)
+            for i, (a, b) in enumerate(zip(a_blobs, b_blobs)):
+                if a is None or b is None:
+                    continue
+                out[i] = fn(ThetaSketch.from_bytes(bytes(a)),
+                            ThetaSketch.from_bytes(bytes(b)))
+            return pd.Series(out)
+        return inner
+
+    theta_intersect = _theta_pair(lambda a, b: a.intersect_estimate(b))
+    theta_difference = _theta_pair(lambda a, b: a.difference_estimate(b))
+    theta_jaccard = _theta_pair(lambda a, b: a.jaccard_estimate(b))
+
     return {
         "sketch_estimate": pandas_udf(sketch_estimate, "double"),
         "bloom_contains": pandas_udf(bloom_contains, "boolean"),
         "cms_count": pandas_udf(cms_count, "long"),
         "sketch_quantile": pandas_udf(sketch_quantile, "double"),
         "sketch_merge": pandas_udf(sketch_merge, "binary"),
+        # theta set algebra between two sketch columns — pairwise group
+        # comparisons become a plain self-join over the sketch table
+        "theta_intersect": pandas_udf(theta_intersect, "double"),
+        "theta_difference": pandas_udf(theta_difference, "double"),
+        "theta_jaccard": pandas_udf(theta_jaccard, "double"),
     }
 
 
