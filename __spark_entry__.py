@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _wrap(Q.q_ann_cosine_topk),
         "pricing_summary": _wrap(Q.q_pricing_summary),
         "shipping_priority": _wrap(Q.q_shipping_priority),
+        "bloom_semijoin": _wrap(Q.q_bloom_semijoin),
         # sketch estimates (rows-only; exact companions above)
         "bloom_fpr_validation": _wrap(Q.q_bloom_fpr_validation),
         "hll_distinct_lang": _wrap(Q.q_hll_distinct_lang),
@@ -275,6 +276,13 @@ def oracle_sql() -> dict[str, str]:
             "AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00' "
             "GROUP BY l_orderkey, o_orderdate, o_orderpriority "
             "ORDER BY revenue DESC, l_orderkey ASC LIMIT 10",
+        "bloom_semijoin":
+            "SELECT o_orderpriority, count(*) AS n_items, "
+            "round(sum(l_extendedprice), 2) AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' "
+            "AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00' "
+            "GROUP BY o_orderpriority",
         "langid_heuristic": _langid_oracle(),
         "user_overlap_exact":
             "SELECT a.event_type AS type_a, b.event_type AS type_b, "

@@ -66,6 +66,48 @@ def _digest16(data: bytes) -> bytes:
     return lo.to_bytes(8, "little") + hi.to_bytes(8, "little")
 
 
+def to_large_binary(values) -> "pa.Array":
+    """Canonical ``large_binary`` encoding of a key batch.
+
+    The single definition of "what bytes does a key hash as": str →
+    utf-8, bytes → raw, int → decimal string (== Spark's CAST AS
+    STRING), float/temporal → TypeError. Shared by the hash path
+    (``to_bytes_matrix``) and by kernels that retain payloads
+    (``core.sample``), so a payload always round-trips to the same tag.
+    """
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    if isinstance(values, pa.Array):
+        t = values.type
+        if pa.types.is_integer(t):
+            return values.cast(pa.large_string()).cast(pa.large_binary())
+        return values.cast(pa.large_binary())
+    dt = getattr(values, "dtype", None)
+    if dt is not None and dt.kind in ("i", "u"):
+        arr = (pa.array(np.asarray(values)).cast(pa.large_string())
+               .cast(pa.large_binary()))
+    elif dt is not None and dt.kind in ("f", "c", "b", "m", "M"):
+        raise TypeError(
+            f"hashable keys must be str/bytes/int, got {dt}; cast float "
+            "or temporal keys to a canonical string form first")
+    else:
+        try:
+            arr = pa.array(values, type=pa.large_binary())
+        except (pa.ArrowNotImplementedError, pa.ArrowTypeError,
+                pa.ArrowInvalid):
+            # numpy '<U'/'S' arrays (and arrow ints from pandas
+            # ArrowDtype): infer, then cast through string to binary
+            inferred = pa.array(values)
+            if pa.types.is_integer(inferred.type):
+                inferred = inferred.cast(pa.large_string())
+            arr = inferred.cast(pa.large_binary())
+    if isinstance(arr, pa.ChunkedArray):
+        # >2 GB batches arrive chunked; large_binary offsets are 64-bit
+        # so a single combined array is always representable
+        arr = arr.combine_chunks()
+    return arr
+
+
 def to_bytes_matrix(values) -> tuple[np.ndarray, np.ndarray]:
     """Encode a batch of str/bytes into a zero-padded uint8 matrix + lengths.
 
@@ -81,18 +123,16 @@ def to_bytes_matrix(values) -> tuple[np.ndarray, np.ndarray]:
     of the murmur finalizer, so b"a" and b"a\\x00" hash differently.
     The ragged->padded scatter is pure vectorized numpy over the arrow
     offsets buffer; no per-key Python loop.
+
+    Integer keys (id columns) canonicalize to their decimal-string
+    bytes via an arrow cast — the same representation Spark's
+    ``CAST(col AS STRING)`` produces, so a sketch fed int64 values
+    Python-side answers probes for keys stringified JVM-side and vice
+    versa. Float keys stay a TypeError: binary float representations
+    are ambiguous (0.1 + 0.2 != 0.3); cast explicitly to a canonical
+    string/int form before sketching.
     """
-    if isinstance(values, np.ndarray) and values.dtype.kind not in ("O", "U", "S"):
-        raise TypeError(f"hashable keys must be str/bytes, got {values.dtype}")
-    try:
-        arr = pa.array(values, type=pa.large_binary())
-    except pa.ArrowNotImplementedError:
-        # numpy '<U'/'S' arrays: let arrow infer (large_)string, then cast
-        arr = pa.array(values).cast(pa.large_binary())
-    if isinstance(arr, pa.ChunkedArray):
-        # >2 GB batches arrive chunked; large_binary offsets are 64-bit
-        # so a single combined array is always representable
-        arr = arr.combine_chunks()
+    arr = to_large_binary(values)
     n = len(arr)
     if n == 0:
         return np.zeros((0, 4), dtype=np.uint8), np.zeros(0, dtype=np.int64)

@@ -1,0 +1,120 @@
+"""Bloom semi-join pruning — persisted filters cutting join input.
+
+The reference's whole pipeline is "build per-class Bloom filters, then
+probe every row against them" (/root/reference/spark/main.py stages
+2-3). This module applies that build+probe pair to its canonical
+production use: pre-filtering the probe (fact) side of a join with a
+filter built from the build (dim) side, so rows that cannot match never
+enter the shuffle. False positives only cost shuffle bytes — the exact
+join that follows removes them — so results are bitwise-identical to
+the plain join (oracle hash-checked via ``q_bloom_semijoin``).
+
+Scale notes (100 TB):
+- Spark's own runtime row-level filtering
+  (``spark.sql.optimizer.runtime.bloomFilter.enabled``) injects a
+  JVM-side equivalent automatically *within one query*. This operator
+  is the cross-job complement: the filter blob from ``build_key_bloom``
+  is a plain ``bytes`` you can persist next to the table (it uses the
+  same serde as every other sketch here) and reuse to prune *future*
+  scans without re-reading the dim side — Catalyst's injected filter
+  cannot be persisted or shared.
+- The build shuffles nothing: one partial filter per input partition
+  (sparse-encoded blobs, see ``core.bloom.to_bytes``) is collected and
+  OR-merged on the driver — #partitions rows, not #keys.
+- The prune is one broadcast of the blob + an Arrow-batched
+  ``mapInPandas`` scan; no per-row Python. For a fact table that is
+  scanned anyway, the prune is bandwidth-bound, and every pruned row is
+  a row that skips the join shuffle.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+from sketchlib.core.bloom import BloomFilter
+from sketchlib.core.params import bloom_params
+
+_KEY = "__jp_key"
+
+
+def _as_key(df: DataFrame, col: str, out: str) -> DataFrame:
+    """Canonical string form of a join key (hash input must be bytes;
+    the cast is JVM-side and identical on both join sides)."""
+    return df.withColumn(out, F.col(col).cast("string"))
+
+
+def build_key_bloom(df: DataFrame, key_col: str, p: float = 0.01,
+                    n_keys: int | None = None, seed: int = 0) -> BloomFilter:
+    """Build ONE Bloom filter over ``df[key_col]``, distributedly.
+
+    ``n_keys`` sizes (m, k) from the target FPR ``p`` exactly like the
+    reference's parameter stage (core/params.bloom_params); it defaults
+    to the row count of ``df`` — an upper bound on the distinct count,
+    so the realized FPR is <= the designed ``p``.
+
+    Plan shape: pruned scan -> mapInPandas partial filters -> driver
+    OR-merge of #partitions sparse blobs. No shuffle, no key collect.
+    """
+    keyed = _as_key(df, key_col, _KEY).select(_KEY).dropna()
+    if n_keys is None:
+        n_keys = keyed.count()
+    m, k = bloom_params(max(int(n_keys), 1), p)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bf = BloomFilter(m, k, seed)
+        any_rows = False
+        for b in batches:
+            if len(b):
+                bf.update_batch(b[_KEY].to_numpy())
+                any_rows = True
+        if any_rows:
+            yield pd.DataFrame({"blob": [bf.to_bytes()]})
+
+    out = BloomFilter(m, k, seed)
+    for row in keyed.mapInPandas(fn, schema="blob binary").collect():
+        out.merge(BloomFilter.from_bytes(bytes(row["blob"])))
+    return out
+
+
+def bloom_prune(fact: DataFrame, fact_key: str, bf: BloomFilter) -> DataFrame:
+    """Keep only fact rows whose key *might* be in ``bf``.
+
+    No false negatives (every true match survives); false positives
+    pass through at the filter's designed rate. Null keys are dropped —
+    a null never equi-joins. One broadcast + one Arrow-batched pass.
+    """
+    blob = fact.sparkSession.sparkContext.broadcast(bf.to_bytes())
+    tagged = _as_key(fact, fact_key, _KEY)
+    schema = tagged.schema
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        f = BloomFilter.from_bytes(blob.value)
+        for b in batches:
+            if not len(b):
+                continue
+            notna = b[_KEY].notna().to_numpy()
+            keys = b[_KEY].to_numpy()
+            mask = notna.copy()
+            if notna.any():
+                mask[notna] = f.contains_batch(keys[notna])
+            yield b[mask]
+
+    return tagged.mapInPandas(fn, schema=schema).drop(_KEY)
+
+
+def bloom_semijoin(fact: DataFrame, fact_key: str,
+                   dim: DataFrame, dim_key: str,
+                   p: float = 0.01, seed: int = 0) -> DataFrame:
+    """Exact inner join of fact ⨝ dim with the fact side Bloom-pruned.
+
+    Result is EXACTLY ``fact.join(dim, fact[fact_key] == dim[dim_key])``
+    — the trailing equi-join removes the filter's false positives — but
+    only ~(match_rate + p) of the fact rows reach the join shuffle.
+    """
+    bf = build_key_bloom(dim, dim_key, p=p, seed=seed)
+    pruned = bloom_prune(fact, fact_key, bf)
+    return pruned.join(dim, pruned[fact_key] == dim[dim_key], "inner")

@@ -204,6 +204,28 @@ def q_pricing_summary(spark, sf_dir):
                  F.count("*").alias("count_order")))
 
 
+def q_bloom_semijoin(spark, sf_dir):
+    """Bloom-pruned join (the reference's build+probe as join pruning).
+
+    A filter built from the filtered orders side prunes lineitem before
+    the exact join; false positives are removed by the join itself, so
+    the result hash-matches the plain-join oracle while only
+    ~(match_rate + p) of lineitem rows reach the shuffle. The filter
+    blob is persistable — see sketchlib/spark/joinprune.py scale notes.
+    """
+    from sketchlib.spark.joinprune import bloom_semijoin
+    orders = (load(spark, sf_dir, "orders")
+              .filter((F.col("o_orderdate") >= F.lit("1996-01-01")) &
+                      (F.col("o_orderdate") < F.lit("1996-04-01")))
+              .select("o_orderkey", "o_orderpriority"))
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey",
+                                                "l_extendedprice")
+    joined = bloom_semijoin(li, "l_orderkey", orders, "o_orderkey", p=0.01)
+    return (joined.groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n_items"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("revenue")))
+
+
 def q_shipping_priority(spark, sf_dir):
     """TPC-H Q3-style multi-table join: customer (filtered dim,
     broadcast) ⨝ orders ⨝ lineitem, grouped revenue, top-10. Exercises

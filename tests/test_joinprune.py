@@ -1,0 +1,62 @@
+"""Bloom semi-join pruning: no false negatives, exact join parity,
+null-key semantics, and that the prune actually prunes."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from sketchlib.spark.joinprune import (build_key_bloom, bloom_prune,
+                                       bloom_semijoin)
+
+
+@pytest.fixture(scope="module")
+def fact_dim(spark):
+    # dim keys 0..99; fact keys 0..999 (10% true match rate), 3 rows/key
+    dim = spark.range(100).select(
+        F.col("id").alias("d_key"),
+        F.concat(F.lit("dim-"), F.col("id")).alias("d_val"))
+    fact = (spark.range(3000)
+            .select((F.col("id") % 1000).alias("f_key"),
+                    (F.col("id") * 7).alias("f_val"))
+            .repartition(8))
+    return fact, dim
+
+
+def test_no_false_negatives_and_prune_is_effective(spark, fact_dim):
+    fact, dim = fact_dim
+    bf = build_key_bloom(dim, "d_key", p=0.01)
+    pruned = bloom_prune(fact, "f_key", bf)
+    kept = {r["f_key"] for r in pruned.select("f_key").distinct().collect()}
+    assert set(range(100)) <= kept          # every true match survives
+    # designed p=0.01 over 900 non-members: expect ~9 FPs, allow slack
+    assert len(kept) - 100 <= 0.05 * 900
+    assert pruned.count() < fact.count()
+
+
+def test_semijoin_matches_plain_join(spark, fact_dim):
+    fact, dim = fact_dim
+    got = (bloom_semijoin(fact, "f_key", dim, "d_key", p=0.05)
+           .select("f_key", "f_val", "d_val"))
+    want = (fact.join(dim, fact["f_key"] == dim["d_key"])
+            .select("f_key", "f_val", "d_val"))
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+
+
+def test_null_keys_never_pass(spark):
+    dim = spark.range(10).select(F.col("id").alias("d_key"))
+    fact = spark.createDataFrame(
+        [(None, "a"), (5, "b"), (999, "c")], "f_key long, tag string")
+    bf = build_key_bloom(dim, "d_key", p=0.01)
+    tags = {r["tag"] for r in bloom_prune(fact, "f_key", bf).collect()}
+    assert "b" in tags and "a" not in tags
+
+
+def test_string_keys_and_empty_dim(spark):
+    dim = spark.createDataFrame([("x",), ("y",)], "k string")
+    fact = spark.createDataFrame([("x",), ("z",), ("",)], "k string")
+    bf = build_key_bloom(dim, "k", p=0.01)
+    kept = {r["k"] for r in bloom_prune(fact, "k", bf).collect()}
+    assert "x" in kept and "z" not in kept and "" not in kept
+    # empty dim -> filter matches nothing, join result is empty
+    empty = dim.filter(F.lit(False))
+    assert bloom_semijoin(fact, "k", empty, "k").count() == 0

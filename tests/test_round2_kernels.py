@@ -44,6 +44,21 @@ class TestBinaryKeys:
         assert a[0] == a[1]
         assert a[2] == a[3]
 
+    def test_int_keys_canonicalize_to_decimal_strings(self):
+        """Integer id columns sketch directly: int64 feed == the decimal
+        strings Spark's CAST(col AS STRING) would produce."""
+        import pandas as pd
+        ints = pd.Series([0, 1, -7, 2**62, -(2**62)], dtype="int64")
+        strs = [str(v) for v in ints]
+        assert (hashing.hash64(ints) == hashing.hash64(strs)).all()
+        assert (hashing.hash64(np.asarray(ints)) == hashing.hash64(strs)).all()
+        assert (hashing.hash64([3, 14]) == hashing.hash64(["3", "14"])).all()
+
+    def test_float_keys_raise(self):
+        import pandas as pd
+        with pytest.raises(TypeError, match="float"):
+            hashing.hash64(pd.Series([1.5, 2.5]))
+
     def test_bloom_over_binary_column(self):
         rng = np.random.default_rng(5)
         keys = [bytes(rng.integers(0, 256, 24, dtype=np.uint8)) for _ in range(500)]
