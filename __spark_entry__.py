@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_semijoin": _wrap(Q.q_bloom_semijoin),
         # sketch estimates (rows-only; exact companions above)
         "bloom_fpr_validation": _wrap(Q.q_bloom_fpr_validation),
+        "sample_docs_lang": _wrap(Q.q_sample_docs_lang),
         "hll_distinct_lang": _wrap(Q.q_hll_distinct_lang),
         "cms_top_tokens": _wrap(Q.q_cms_top_tokens),
         "kll_quantiles_nchars": _wrap(Q.q_kll_quantiles_nchars),

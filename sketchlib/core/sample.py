@@ -1,0 +1,143 @@
+"""Mergeable bottom-k uniform sample — KMV that keeps the payloads.
+
+Seventh kernel. The theta sketch (core/theta.py) keeps the k smallest
+key *hashes* for set algebra; this one additionally retains the key
+*bytes* for those hashes, giving a uniform random sample of the
+DISTINCT values in a group — "show me 100 random urls per lang" over
+10^12 rows — plus the same KMV distinct estimate for free.
+
+Mergeability: the state (k smallest distinct tags + their payloads) is
+a pure function of the input value multiset — hash tags are
+deterministic, and equal tags carry equal payloads — so merged bytes
+are bitwise-identical under any merge order/grouping (lattice join,
+same property class as Bloom/HLL/CMS; property-tested). That is what
+makes it a partition-local build + hierarchical merge citizen like
+every other kernel here (reference pattern:
+/root/reference/spark/main.py stage-2 build + reduceByKey merge).
+
+Uniformity: tag = murmur-based hash64(value), so "k smallest tags" is
+a uniform without-replacement sample of distinct values, stable across
+partitionings. Duplicates never skew it — a value occupies one tag no
+matter how often it appears.
+
+Cost model at scale: state is <= k (tag + payload) entries regardless
+of input size; update work per batch is one vectorized hash pass +
+an argpartition; only <= k payloads per batch materialize as Python
+bytes. Shuffle cost is O(#partitions x #groups x k·avg_len), same
+shape as the other kernels.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from sketchlib.core import hashing
+from sketchlib.core import serde
+
+_MAX_U64 = float(2 ** 64)
+_EMPTY_PAYLOADS = np.zeros(0, dtype=object)
+
+
+@serde.register_sketch(serde.TYPE_SAMPLE)
+class BottomKSample:
+    __slots__ = ("k", "seed", "tags", "payloads")
+
+    def __init__(self, k: int = 1024, seed: int = 0):
+        if k < 1:
+            raise ValueError(f"sample size k must be >= 1, got {k}")
+        self.k = int(k)
+        self.seed = int(seed)
+        self.tags = np.zeros(0, dtype=np.uint64)      # sorted, distinct
+        self.payloads = _EMPTY_PAYLOADS               # bytes, tag-aligned
+
+    # --- UDAF contract: new / update_batch / merge / estimate / serde ---
+
+    def update_batch(self, values) -> "BottomKSample":
+        if len(values) == 0:
+            return self
+        arr = hashing.to_large_binary(values)
+        if arr.null_count:
+            arr = arr.drop_null()
+            if len(arr) == 0:
+                return self
+        tags = hashing.hash64(arr, self.seed)
+        # bound Python-object work to k payloads per batch: only the k
+        # smallest tags of this batch can possibly enter the state
+        if len(tags) > self.k:
+            cand = np.argpartition(tags, self.k - 1)[: self.k]
+            tags = tags[cand]
+            arr = arr.take(pa.array(cand))
+        return self._absorb(tags, np.array(arr.to_pylist(), dtype=object))
+
+    def merge(self, other: "BottomKSample") -> "BottomKSample":
+        if (other.k, other.seed) != (self.k, self.seed):
+            raise ValueError("cannot merge samples with different (k,seed)")
+        return self._absorb(other.tags, other.payloads)
+
+    def _absorb(self, tags: np.ndarray, payloads: np.ndarray) -> "BottomKSample":
+        all_tags = np.concatenate([self.tags, tags])
+        all_pay = np.concatenate([self.payloads, payloads])
+        # sorted distinct tags, first-occurrence payload (equal tags
+        # carry equal payloads, so the choice cannot affect canonics)
+        uniq, idx = np.unique(all_tags, return_index=True)
+        self.tags = uniq[: self.k].copy()
+        self.payloads = all_pay[idx[: self.k]]
+        return self
+
+    def sample(self) -> list[bytes]:
+        """The retained payloads (<= k distinct values, uniform)."""
+        return [bytes(p) for p in self.payloads]
+
+    def theta(self) -> float:
+        if len(self.tags) < self.k:
+            return 1.0
+        return float(self.tags[-1]) / _MAX_U64
+
+    def estimate(self) -> float:
+        """KMV distinct estimate (exact below saturation)."""
+        if len(self.tags) < self.k:
+            return float(len(self.tags))
+        return (self.k - 1) / self.theta()
+
+    def rel_error(self) -> float:
+        return 1.0 / np.sqrt(max(self.k - 2, 1))
+
+    # --- serialization (canonical: state is already canonical) ---
+
+    def to_bytes(self) -> bytes:
+        lens = np.fromiter((len(p) for p in self.payloads),
+                           dtype=np.int64, count=len(self.payloads))
+        header = {"k": self.k, "seed": self.seed, "n": len(self.tags)}
+        return serde.pack(serde.TYPE_SAMPLE, header,
+                          self.tags.tobytes() + lens.tobytes()
+                          + b"".join(self.payloads))
+
+    @classmethod
+    def _from_parts(cls, header: dict, payload: bytes) -> "BottomKSample":
+        s = cls(header["k"], header["seed"])
+        n = header["n"]
+        s.tags = np.frombuffer(payload, dtype=np.uint64, count=n).copy()
+        lens = np.frombuffer(payload, dtype=np.int64, count=n, offset=8 * n)
+        offs = 16 * n + np.concatenate([[0], np.cumsum(lens)])
+        s.payloads = np.array([payload[offs[i]:offs[i + 1]]
+                               for i in range(n)], dtype=object)
+        if n == 0:
+            s.payloads = _EMPTY_PAYLOADS
+        return s
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "BottomKSample":
+        type_id, header, payload = serde.unpack(data)
+        if type_id != serde.TYPE_SAMPLE:
+            raise ValueError("not a bottom-k sample blob")
+        return cls._from_parts(header, payload)
+
+    def __eq__(self, other) -> bool:
+        return (isinstance(other, BottomKSample)
+                and (self.k, self.seed) == (other.k, other.seed)
+                and np.array_equal(self.tags, other.tags)
+                and list(self.payloads) == list(other.payloads))
+
+    def __repr__(self) -> str:
+        return f"BottomKSample(k={self.k}, n_retained={len(self.tags)})"

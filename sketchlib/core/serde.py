@@ -28,6 +28,7 @@ TYPE_CMS = 3
 TYPE_TDIGEST = 4
 TYPE_KLL = 5
 TYPE_THETA = 6
+TYPE_SAMPLE = 7
 
 _REGISTRY: dict[int, type] = {}
 

@@ -266,6 +266,25 @@ def _doc_sketches(spark, sf_dir, specs) -> DataFrame:
     return build_sketches(docs, ["lang"], specs)
 
 
+def q_sample_docs_lang(spark, sf_dir):
+    """Uniform per-lang sample of distinct doc_ids via the bottom-k
+    sample kernel, read out in SQL (`explode(sample_values(...))`).
+    Deterministic (hash tags), so row counts are stable; subset/
+    uniformity laws are test-enforced (test_sample_kernel). At 10^12
+    docs this is the 'show me 20 random documents per lang' query with
+    O(#groups x k) output and no full-table shuffle."""
+    from sketchlib.spark.sqlfuncs import register_sql_functions
+    udfs = register_sql_functions(spark)
+    merged = _doc_sketches(spark, sf_dir,
+                           [SketchSpec("s", "sample", "doc_id", {"k": 20})])
+    return (merged.filter(F.col("sketch_name") == "s")
+            .select("lang",
+                    F.explode(udfs["sample_values"](F.col("sketch")))
+                    .alias("doc_id"),
+                    udfs["sketch_estimate"](F.col("sketch"))
+                    .alias("n_distinct_est")))
+
+
 def q_bloom_fpr_validation(spark, sf_dir):
     """The reference's stage-3 output: per-lang designed-vs-measured FPR
     plus the false-negative count (must be 0)."""

@@ -18,8 +18,9 @@ from sketchlib.core.cms import CountMinSketch
 from sketchlib.core.tdigest import TDigest
 from sketchlib.core.kll import KLL
 from sketchlib.core.theta import ThetaSketch
+from sketchlib.core.sample import BottomKSample
 
-KINDS = {"bloom", "hll", "cms", "tdigest", "kll", "theta"}
+KINDS = {"bloom", "hll", "cms", "tdigest", "kll", "theta", "sample"}
 _NUMERIC_KINDS = {"tdigest", "kll"}
 
 
@@ -55,7 +56,8 @@ class SketchSpec:
             key = group_key if not (isinstance(group_key, tuple) and len(group_key) == 1) else group_key[0]
             kwargs.update(self.per_group_params.get(key, {}))
         ctor = {"bloom": BloomFilter, "hll": HyperLogLog, "cms": CountMinSketch,
-                "tdigest": TDigest, "kll": KLL, "theta": ThetaSketch}[self.kind]
+                "tdigest": TDigest, "kll": KLL, "theta": ThetaSketch,
+                "sample": BottomKSample}[self.kind]
         return ctor(**kwargs)
 
     @property

@@ -28,6 +28,7 @@ from sketchlib.core.bloom import BloomFilter
 from sketchlib.core.cms import CountMinSketch
 from sketchlib.core.hll import HyperLogLog
 from sketchlib.core.theta import ThetaSketch
+from sketchlib.core.sample import BottomKSample
 
 
 def _make_udfs() -> dict:
@@ -40,7 +41,8 @@ def _make_udfs() -> dict:
                 out.append(float("nan"))
                 continue
             sk = sketch_from_bytes(bytes(b))
-            if isinstance(sk, (HyperLogLog, BloomFilter, ThetaSketch)):
+            if isinstance(sk, (HyperLogLog, BloomFilter, ThetaSketch,
+                               BottomKSample)):
                 out.append(float(sk.estimate()))
             elif isinstance(sk, CountMinSketch):
                 out.append(float(sk.total))
@@ -109,6 +111,19 @@ def _make_udfs() -> dict:
             return pd.Series(out)
         return inner
 
+    def sample_values(blobs: pd.Series) -> pd.Series:
+        """Retained payloads of a bottom-k sample blob as array<string>
+        (utf-8, lossy for non-text payloads) — `explode(sample_values(
+        sketch))` turns a sample table into sampled rows in SQL."""
+        out = []
+        for b in blobs:
+            if b is None:
+                out.append(None)
+                continue
+            sk = BottomKSample.from_bytes(bytes(b))
+            out.append([p.decode("utf-8", "replace") for p in sk.sample()])
+        return pd.Series(out, dtype=object)
+
     theta_intersect = _theta_pair(lambda a, b: a.intersect_estimate(b))
     theta_difference = _theta_pair(lambda a, b: a.difference_estimate(b))
     theta_jaccard = _theta_pair(lambda a, b: a.jaccard_estimate(b))
@@ -119,6 +134,7 @@ def _make_udfs() -> dict:
         "cms_count": pandas_udf(cms_count, "long"),
         "sketch_quantile": pandas_udf(sketch_quantile, "double"),
         "sketch_merge": pandas_udf(sketch_merge, "binary"),
+        "sample_values": pandas_udf(sample_values, "array<string>"),
         # theta set algebra between two sketch columns — pairwise group
         # comparisons become a plain self-join over the sketch table
         "theta_intersect": pandas_udf(theta_intersect, "double"),

@@ -56,3 +56,17 @@ def test_encoding_boundary_merge_equivalence():
     via_serde = (BloomFilter.from_bytes(a.to_bytes())
                  .merge(BloomFilter.from_bytes(b.to_bytes())))
     assert np.array_equal(via_serde.bits, direct.bits)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(min_value=0, max_value=2000),
+       st.integers(min_value=1, max_value=64))
+def test_sample_roundtrip_any_fill(n_keys, k):
+    from sketchlib.core.sample import BottomKSample
+    s = BottomKSample(k=k, seed=3)
+    if n_keys:
+        # include binary payloads with NULs and variable lengths
+        s.update_batch([f"k{i}".encode() + b"\x00" * (i % 3)
+                        for i in range(n_keys)])
+    back = BottomKSample.from_bytes(s.to_bytes())
+    assert back == s and back.to_bytes() == s.to_bytes()
