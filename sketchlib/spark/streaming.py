@@ -149,6 +149,69 @@ def streaming_heavy_hitters(stream_df: DataFrame, group_cols: list[str],
                                     "update", GroupStateTimeout.NoTimeout))
 
 
+def streaming_dedup(stream_df: DataFrame, key_col: str,
+                    n_expected: int, p: float = 0.001,
+                    shards: int = 64, seed: int = 0) -> DataFrame:
+    """Bounded-memory streaming dedup: emit each key's FIRST row only.
+
+    Spark's own ``stream.dropDuplicates([key])`` keeps every key ever
+    seen in state — unbounded on an unbounded stream. This keeps a
+    Bloom filter per shard instead: state is a fixed
+    ``shards x m/8`` bytes sized from (n_expected, p), forever.
+
+    Semantics: NO duplicate is ever emitted twice (Bloom has no false
+    negatives once a key is inserted); the price is that a genuinely
+    new key is falsely dropped at rate <= p (a Bloom false positive
+    reads as "seen before"). For training-data dedup that tradeoff is
+    the right direction — losing ~0.1% of unique docs is noise, while
+    unbounded state is an outage.
+
+    Sharding: rows hash-partition by ``xxhash64(key) % shards``
+    (JVM-side), so each shard's filter covers a disjoint key slice and
+    state load spreads across executors. Size ``shards`` >= cluster
+    cores; m is derived per shard from n_expected/shards.
+    """
+    import pyspark.sql.functions as F
+    from sketchlib.core.bloom import BloomFilter
+    from sketchlib.core.params import bloom_params
+
+    if shards < 1:
+        raise ValueError(f"shards must be >= 1, got {shards}")
+    m, k = bloom_params(max(int(n_expected // shards), 1), p)
+    out_cols = stream_df.columns
+    out_schema = stream_df.schema
+    state_schema = StructType([StructField("bloom", BinaryType(), True),
+                               StructField("n_seen", LongType(), True)])
+    src = stream_df.withColumn(
+        "_shard", F.pmod(F.xxhash64(F.col(key_col).cast("string")),
+                         F.lit(shards)))
+
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            blob, n_seen = state.get
+            bf = BloomFilter.from_bytes(bytes(blob))
+            n_seen = int(n_seen)
+        else:
+            bf = BloomFilter(m, k, seed)
+            n_seen = 0
+        for pdf in pdfs:
+            keys = pdf[key_col]
+            fresh = (keys.notna()
+                     & ~keys.duplicated(keep="first")).to_numpy()
+            if fresh.any():
+                fresh[fresh] = ~bf.contains_batch(keys[fresh])
+            if fresh.any():
+                bf.update_batch(keys[fresh])
+                n_seen += int(fresh.sum())
+                yield pdf.loc[fresh, out_cols]
+        state.update((bf.to_bytes(), n_seen))
+
+    return (src.groupBy("_shard")
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "append", GroupStateTimeout.NoTimeout))
+
+
 def streaming_windowed_build(stream_df: DataFrame, ts_col: str,
                              group_cols: list[str], specs: list[SketchSpec],
                              window: str = "1 day",
