@@ -9,10 +9,15 @@ signatures — is real and tested. Codecs:
   8/16/32-bit PCM to a mono float32 waveform, ``wav_feature_vector``
   reduces it to the 64-dim RMS-energy envelope the feature contract
   specifies. ``encode_wav`` synthesizes fixtures.
-- image / video / non-WAV audio remain a clearly-marked stub
-  (PIL/ffmpeg are not in this container): ``decode_stub`` raises
-  NotImplementedError unless ``fake=True``, which produces a
-  deterministic fake decode so downstream plumbing stays exercisable.
+- **image/PPM is REAL** (pure numpy): ``decode_ppm`` parses binary
+  P6 (comments, 8/16-bit maxval) to uint8 RGB; ``image_thumbnail`` is
+  the block-mean resize operator; ``image_feature_vector`` emits the
+  64-dim luminance thumbnail. ``encode_ppm`` synthesizes fixtures.
+- video / compressed formats (png/jpeg/mp3/mp4) remain a
+  clearly-marked stub (PIL/ffmpeg are not in this container):
+  ``decode_stub`` raises NotImplementedError unless ``fake=True``,
+  which produces a deterministic fake decode so downstream plumbing
+  stays exercisable.
 
 At scale: binary payloads dominate bytes, so every operator here
 column-prunes before the Python boundary and streams per Arrow batch
@@ -107,10 +112,86 @@ def wav_feature_vector(waveform: np.ndarray,
                    .mean(axis=1)).astype(np.float32)
 
 
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """uint8 RGB image [h, w, 3] -> binary PPM (P6) bytes."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError(f"expected [h, w, 3] RGB, got shape {px.shape}")
+    h, w = px.shape[:2]
+    return f"P6\n{w} {h}\n255\n".encode() + px.tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """REAL image codec: binary PPM (P6) -> uint8 RGB [h, w, 3].
+
+    Pure numpy — no PIL needed. Handles the format's '#' comments and
+    arbitrary whitespace in the header, and 16-bit maxval (downscaled
+    to 8-bit). PPM is the interchange format every image tool can
+    write (`convert x.png x.ppm`), so at ingest time a 100 TB pipeline
+    transcodes once JVM/CLI-side and this column decodes everywhere.
+    """
+    if payload[:2] != b"P6":
+        raise ValueError("not a binary PPM (P6) payload")
+    # header = magic + 3 ints, '#'-comments allowed between tokens
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos:pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace byte after maxval, then raw pixels
+    w, h, maxval = fields
+    if not (0 < maxval < 65536 and w > 0 and h > 0):
+        raise ValueError(f"bad PPM header: w={w} h={h} maxval={maxval}")
+    if maxval < 256:
+        px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3,
+                           offset=pos).reshape(h, w, 3)
+        if maxval != 255:
+            px = (px.astype(np.uint16) * 255 // maxval).astype(np.uint8)
+        return px.copy()
+    px16 = np.frombuffer(payload, dtype=">u2", count=w * h * 3,
+                         offset=pos).reshape(h, w, 3)
+    return (px16.astype(np.uint32) * 255 // maxval).astype(np.uint8)
+
+
+def image_thumbnail(pixels: np.ndarray, out_h: int = 8,
+                    out_w: int = 8) -> np.ndarray:
+    """Block-mean resize (the 'resize' operator): uint8 RGB [h, w, 3]
+    -> float32 [out_h, out_w, 3] in [0, 1]. Vectorized bincount over a
+    precomputed cell index — no per-pixel Python."""
+    px = np.asarray(pixels, dtype=np.float64)
+    h, w = px.shape[:2]
+    ri = (np.arange(h) * out_h) // h
+    ci = (np.arange(w) * out_w) // w
+    cell = (ri[:, None] * out_w + ci[None, :]).ravel()
+    counts = np.bincount(cell, minlength=out_h * out_w)
+    out = np.stack([np.bincount(cell, weights=px[:, :, c].ravel(),
+                                minlength=out_h * out_w) / counts
+                    for c in range(3)], axis=1)
+    return (out.reshape(out_h, out_w, 3) / 255.0).astype(np.float32)
+
+
+def image_feature_vector(pixels: np.ndarray,
+                         n_bins: int = FEATURE_DIM) -> np.ndarray:
+    """64-dim image feature: 8x8 luminance thumbnail (Rec.601 weights)
+    — the same contract shape as the audio RMS envelope."""
+    thumb = image_thumbnail(pixels, 8, 8)
+    luma = (0.299 * thumb[:, :, 0] + 0.587 * thumb[:, :, 1]
+            + 0.114 * thumb[:, :, 2])
+    return luma.ravel().astype(np.float32)[:n_bins]
+
+
 def decode_stub(payload: bytes, kind: str, fake: bool = False) -> np.ndarray:
     """Codec boundary for the kinds WITHOUT a real decoder here
-    (image / video / non-WAV audio). Real decode needs PIL/ffmpeg —
-    absent in this container; WAV audio has the real ``decode_wav``.
+    (video / compressed image/audio formats). Real decode of those
+    needs PIL/ffmpeg — absent in this container; WAV audio has the
+    real ``decode_wav`` and PPM images the real ``decode_ppm``.
 
     ``fake=True`` returns a deterministic pseudo-decode (seeded from the
     payload's own bytes) with the right shape contract:
@@ -140,6 +221,11 @@ def _decode_one(payload: bytes, kind: str, mime: str | None,
         is_riff = payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
         if is_declared or (mime is None and is_riff):
             return wav_feature_vector(decode_wav(payload))
+    if kind == "image":
+        is_declared = mime == "image/x-portable-pixmap"
+        is_p6 = payload[:2] == b"P6"
+        if is_declared or (mime is None and is_p6):
+            return image_feature_vector(decode_ppm(payload))
     return decode_stub(payload, kind, fake=fake)
 
 
@@ -195,10 +281,10 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
 def make_fake_media(spark, n: int = 300, seed: int = 5):
     """Deterministic fake media table matching MEDIA_SCHEMA (tests).
 
-    Audio rows carry REAL (tiny) PCM WAV payloads — synthesized sine
-    mixtures through ``encode_wav`` — so the real decode path is
-    exercised end-to-end; image/video payloads stay opaque bytes for
-    the stub path.
+    Audio rows carry REAL (tiny) PCM WAV payloads and image rows REAL
+    PPM payloads — synthesized through ``encode_wav`` / ``encode_ppm``
+    — so both real decode paths are exercised end-to-end; video
+    payloads stay opaque bytes for the stub path.
     """
     rng = np.random.default_rng(seed)
     kinds = np.array(["image", "audio", "video"], dtype=object)[
@@ -207,6 +293,7 @@ def make_fake_media(spark, n: int = 300, seed: int = 5):
     rows = []
     for i in range(n):
         k = kinds[i]
+        wi = hi = None
         if k == "audio":
             n_samp = int(rng.integers(400, 4000))
             t = np.arange(n_samp) / rate
@@ -214,14 +301,19 @@ def make_fake_media(spark, n: int = 300, seed: int = 5):
             wavef = 0.5 * np.sin(2 * np.pi * f0 * t) + 0.3 * np.sin(2 * np.pi * f1 * t)
             payload = encode_wav(wavef, rate)
             dur = int(round(1000 * n_samp / rate))
+        elif k == "image":
+            hi, wi = int(rng.integers(8, 64)), int(rng.integers(8, 64))
+            payload = encode_ppm(rng.integers(0, 256, (hi, wi, 3),
+                                              dtype=np.uint8))
+            dur = None
         else:
             size = int(rng.integers(100, 5000))
             payload = rng.integers(0, 256, size, dtype=np.uint8).tobytes()
-            dur = int(rng.integers(1000, 60000)) if k == "video" else None
+            dur = int(rng.integers(1000, 60000))
+            wi, hi = int(rng.integers(16, 1920)), int(rng.integers(16, 1080))
         rows.append((i, k, payload,
-                     {"image": "image/png", "audio": "audio/wav",
+                     {"image": "image/x-portable-pixmap",
+                      "audio": "audio/wav",
                       "video": "video/mp4"}[k],
-                     int(rng.integers(16, 1920)) if k != "audio" else None,
-                     int(rng.integers(16, 1080)) if k != "audio" else None,
-                     dur))
+                     wi, hi, dur))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -88,6 +88,54 @@ class TestWavCodec:
             decode_stub(b"\x89PNG...", "image", fake=False)
 
 
+class TestPpmCodec:
+    def test_roundtrip(self):
+        from sketchlib.spark.multimodal import decode_ppm, encode_ppm
+        rng = np.random.default_rng(1)
+        px = rng.integers(0, 256, (13, 7, 3), dtype=np.uint8)
+        assert np.array_equal(decode_ppm(encode_ppm(px)), px)
+
+    def test_header_comments_and_16bit(self):
+        from sketchlib.spark.multimodal import decode_ppm
+        # 2x1 image, comment line mid-header
+        p = b"P6\n# a comment\n1 2\n255\n" + bytes([10, 20, 30, 40, 50, 60])
+        px = decode_ppm(p)
+        assert px.shape == (2, 1, 3) and px[1, 0, 2] == 60
+        # 16-bit maxval downscales to 8-bit
+        p16 = b"P6\n1 1\n65535\n" + (65535).to_bytes(2, "big") * 3
+        assert (decode_ppm(p16) == 255).all()
+
+    def test_rejects_non_p6(self):
+        from sketchlib.spark.multimodal import decode_ppm
+        with pytest.raises(ValueError):
+            decode_ppm(b"\x89PNG....")
+
+    def test_thumbnail_block_means(self):
+        from sketchlib.spark.multimodal import image_thumbnail
+        # constant image -> constant thumbnail at any size
+        px = np.full((30, 50, 3), 128, dtype=np.uint8)
+        th = image_thumbnail(px, 8, 8)
+        assert th.shape == (8, 8, 3)
+        assert np.allclose(th, 128 / 255.0)
+        # top-half white, bottom-half black -> rows split exactly
+        px2 = np.zeros((16, 16, 3), dtype=np.uint8)
+        px2[:8] = 255
+        th2 = image_thumbnail(px2, 2, 2)
+        assert np.allclose(th2[0], 1.0) and np.allclose(th2[1], 0.0)
+
+    def test_extract_features_real_image_path(self, spark, media):
+        from sketchlib.spark.multimodal import (decode_ppm,
+                                                image_feature_vector)
+        imgs = media.filter("kind = 'image'")
+        feats = {r["media_id"]: r["feature"]
+                 for r in extract_features(imgs, fake=False).collect()}
+        assert len(feats) == imgs.count() > 0
+        # spot-check one row against a local decode
+        row = imgs.limit(1).collect()[0]
+        want = image_feature_vector(decode_ppm(bytes(row["payload"])))
+        assert np.allclose(feats[row["media_id"]], want, atol=1e-6)
+
+
 def test_frame_sample_plan(spark, media):
     plan = frame_sample_plan(media, every_ms=5000)
     rows = plan.collect()
