@@ -38,6 +38,8 @@ BENCH_QUERIES = [
     "tdigest_quantiles_value",
     "minhash_lsh_pairs",
     "simhash_pairs",
+    "bloom_semijoin",
+    "sample_docs_lang",
 ]
 
 

@@ -154,12 +154,19 @@ def to_bytes_matrix(values) -> tuple[np.ndarray, np.ndarray]:
     if len(data) == 0:
         return np.zeros((n, L4), dtype=np.uint8), eff_lengths.astype(np.int64)
     # fixed-window gather: row r reads data[starts[r] : starts[r]+L4]
-    # (clipped), then positions beyond the row's length are zeroed —
-    # two vectorized ops, no per-byte index arithmetic
+    # (clipped), then positions beyond the row's length are zeroed.
+    # Gather one COLUMN at a time reusing a single n-sized index temp:
+    # the obvious one-shot data[starts[:,None]+cols[None,:]] allocates
+    # an n x L4 int64 index matrix whose first-touch page faults cost
+    # seconds per cold Spark worker on large batches (measured 7s for
+    # a 260k x 28 batch; the column loop is <0.1s)
+    mat = np.zeros((n, L4), dtype=np.uint8)
+    limit = np.int64(len(data) - 1)
+    idx = np.empty(n, dtype=np.int64)
+    for j in range(L4):
+        np.minimum(starts + np.int64(j), limit, out=idx)
+        mat[:, j] = data[idx]
     cols = np.arange(L4, dtype=np.int64)
-    win = np.minimum(starts[:, None] + cols[None, :],
-                     np.int64(len(data) - 1))
-    mat = data[win]
     mat[cols[None, :] >= eff_lengths[:, None]] = 0
     for i in long_rows:
         dig = _digest16(data[starts[i]:starts[i] + lengths[i]].tobytes())
