@@ -51,6 +51,17 @@ def test_null_keys_never_pass(spark):
     assert "b" in tags and "a" not in tags
 
 
+def test_prune_plan_has_no_exchange(spark, fact_dim):
+    """The prune is a map-side mapInPandas straight over the source —
+    no shuffle anywhere in its plan."""
+    _, dim = fact_dim
+    fact = spark.range(1000).select(F.col("id").alias("f_key"))
+    bf = build_key_bloom(dim, "d_key", p=0.01)
+    plan = bloom_prune(fact, "f_key", bf)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "MapInPandas" in plan and "Exchange" not in plan, plan
+
+
 def test_string_keys_and_empty_dim(spark):
     dim = spark.createDataFrame([("x",), ("y",)], "k string")
     fact = spark.createDataFrame([("x",), ("z",), ("",)], "k string")

@@ -12,7 +12,8 @@ from sketchlib.spark.specs import SketchSpec
 from sketchlib.spark.streaming import streaming_build
 
 SPECS = [SketchSpec("b", "bloom", "url", {"m": 1 << 14, "k": 5}),
-         SketchSpec("h", "hll", "url", {"b": 10})]
+         SketchSpec("h", "hll", "url", {"b": 10}),
+         SketchSpec("s", "sample", "url", {"k": 32})]
 
 
 @pytest.fixture(scope="module")
