@@ -83,6 +83,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sketch estimates (rows-only; exact companions above)
         "bloom_fpr_validation": _wrap(Q.q_bloom_fpr_validation),
         "sample_docs_lang": _wrap(Q.q_sample_docs_lang),
+        "short_doc_share_lang": _wrap(Q.q_short_doc_share_lang),
+        "kll_cdf_nchars": _wrap(Q.q_kll_cdf_nchars),
         "hll_distinct_lang": _wrap(Q.q_hll_distinct_lang),
         "cms_top_tokens": _wrap(Q.q_cms_top_tokens),
         "kll_quantiles_nchars": _wrap(Q.q_kll_quantiles_nchars),
@@ -277,6 +279,13 @@ def oracle_sql() -> dict[str, str]:
             "AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00' "
             "GROUP BY l_orderkey, o_orderdate, o_orderpriority "
             "ORDER BY revenue DESC, l_orderkey ASC LIMIT 10",
+        "short_doc_share_lang":
+            "SELECT lang, "
+            "round(avg(CASE WHEN n_chars <= 200 THEN 1.0 ELSE 0.0 END), 4) "
+            "AS share_le_200, "
+            "round(avg(CASE WHEN n_chars <= 500 THEN 1.0 ELSE 0.0 END), 4) "
+            "AS share_le_500 "
+            "FROM documents GROUP BY lang",
         "bloom_semijoin":
             "SELECT o_orderpriority, count(*) AS n_items, "
             "round(sum(l_extendedprice), 2) AS revenue "

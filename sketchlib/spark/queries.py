@@ -266,6 +266,32 @@ def _doc_sketches(spark, sf_dir, specs) -> DataFrame:
     return build_sketches(docs, ["lang"], specs)
 
 
+def q_short_doc_share_lang(spark, sf_dir):
+    """Exact companion of the sketch-CDF read-out: per-lang share of
+    docs at or under 200 / 500 chars."""
+    return (load(spark, sf_dir, "documents")
+            .groupBy("lang")
+            .agg(F.round(F.avg((F.col("n_chars") <= 200).cast("double")), 4)
+                 .alias("share_le_200"),
+                 F.round(F.avg((F.col("n_chars") <= 500).cast("double")), 4)
+                 .alias("share_le_500")))
+
+
+def q_kll_cdf_nchars(spark, sf_dir):
+    """Distributed rank/CDF read-out via the sketch_cdf SQL UDF — the
+    inverse of sketch_quantile ('what share of docs are <= T chars?'),
+    answered from the same mergeable KLL state, no raw re-read."""
+    from sketchlib.spark.sqlfuncs import register_sql_functions
+    udfs = register_sql_functions(spark)
+    merged = _doc_sketches(spark, sf_dir,
+                           [SketchSpec("k", "kll", "n_chars", {"k": 256})])
+    cdf = udfs["sketch_cdf"]
+    return (merged.filter(F.col("sketch_name") == "k")
+            .select("lang",
+                    cdf(F.col("sketch"), F.lit(200.0)).alias("share_le_200"),
+                    cdf(F.col("sketch"), F.lit(500.0)).alias("share_le_500")))
+
+
 def q_sample_docs_lang(spark, sf_dir):
     """Uniform per-lang sample of distinct doc_ids via the bottom-k
     sample kernel, read out in SQL (`explode(sample_values(...))`).

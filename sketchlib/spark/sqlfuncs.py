@@ -77,6 +77,23 @@ def _make_udfs() -> dict:
             out[i] = float(sketch_from_bytes(bytes(b)).quantile(float(q)))
         return pd.Series(out)
 
+    def sketch_cdf(blobs: pd.Series, xs: pd.Series) -> pd.Series:
+        """Rank/CDF read-out: estimated fraction of values <= x.
+        KLL answers via rank(), t-digest via cdf() — 'what share of
+        docs are shorter than 500 chars?' straight from the sketch
+        table, the inverse of sketch_quantile."""
+        out = np.full(len(blobs), np.nan)
+        for i, (b, x) in enumerate(zip(blobs, xs)):
+            if b is None or x is None:
+                continue
+            sk = sketch_from_bytes(bytes(b))
+            fn = getattr(sk, "cdf", None) or getattr(sk, "rank", None)
+            if fn is None:
+                raise TypeError(
+                    f"sketch_cdf needs a quantile sketch, got {type(sk).__name__}")
+            out[i] = float(fn(float(x)))
+        return pd.Series(out)
+
     def sketch_merge(blob_lists: pd.Series) -> pd.Series:
         """Merge an array<binary> of sketch blobs into one blob — the
         SQL-side rollup aggregation, used as
@@ -133,6 +150,7 @@ def _make_udfs() -> dict:
         "bloom_contains": pandas_udf(bloom_contains, "boolean"),
         "cms_count": pandas_udf(cms_count, "long"),
         "sketch_quantile": pandas_udf(sketch_quantile, "double"),
+        "sketch_cdf": pandas_udf(sketch_cdf, "double"),
         "sketch_merge": pandas_udf(sketch_merge, "binary"),
         "sample_values": pandas_udf(sample_values, "array<string>"),
         # theta set algebra between two sketch columns — pairwise group

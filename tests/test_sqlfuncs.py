@@ -47,3 +47,31 @@ def test_sql_quantile(spark, sketch_view):
         "WHERE sketch_name = 'len_kll'").collect()
     assert len(rows) == 10
     assert all(r["p50"] > 0 for r in rows)
+
+
+def test_sql_cdf_matches_exact_share(spark, pages_tiny, sketch_view):
+    """sketch_cdf vs the exact share of pages at/under the per-lang
+    median length: both should say ~0.5 within KLL rank error."""
+    med = {r["lang"]: r["m"] for r in
+           pages_tiny.groupBy("lang")
+           .agg(F.expr("percentile(length(html), 0.5)").alias("m")).collect()}
+    rows = spark.sql(
+        "SELECT lang, sketch FROM sketches WHERE sketch_name = 'len_kll'"
+    ).collect()
+    from sketchlib.spark.sqlfuncs import register_sql_functions
+    import pandas as pd
+    udf_backed = register_sql_functions(spark)
+    for r in rows:
+        got = spark.sql(
+            f"SELECT sketch_cdf(sketch, {med[r['lang']]}) AS c FROM sketches "
+            f"WHERE sketch_name = 'len_kll' AND lang = '{r['lang']}'"
+        ).first()["c"]
+        assert abs(got - 0.5) < 0.05, (r["lang"], got)
+
+
+def test_sql_cdf_rejects_non_quantile_sketch(spark, sketch_view):
+    import pytest
+    from pyspark.errors.exceptions.captured import PythonException
+    with pytest.raises(PythonException, match="quantile sketch"):
+        spark.sql("SELECT sketch_cdf(sketch, 1.0) FROM sketches "
+                  "WHERE sketch_name = 'url_hll'").collect()
