@@ -70,8 +70,9 @@ def cmd_pipeline(args) -> int:
                                        build_sketches)
     from sketchlib.spark.validate import collect_sketches, bloom_validate
 
+    from sketchlib.io.sources import read_input
     spark = get_spark("sketchlib-pipeline", cpus=args.cpus)
-    df = spark.read.parquet(args.input)
+    df = read_input(spark, args.input, fmt=args.format)
     calib = calibrate(df, [args.group])
     bp = bloom_params_by_group(calib, args.fpr)
     print(f"calibration (p={args.fpr}):")
@@ -109,8 +110,9 @@ def cmd_build(args) -> int:
 
     import pyspark.sql.functions as F
 
+    from sketchlib.io.sources import read_input
     spark = get_spark("sketchlib-build", cpus=args.cpus)
-    df = spark.read.parquet(args.input)
+    df = read_input(spark, args.input, fmt=args.format)
     for d in args.derive or []:
         name, expr = d.split("=", 1)
         df = df.withColumn(name.strip(), F.expr(expr))
@@ -178,6 +180,9 @@ def main(argv=None) -> int:
     p = sub.add_parser("pipeline", help="calibrate -> Bloom build -> validate "
                        "(the reference's 3-stage workflow)")
     p.add_argument("--input", required=True)
+    p.add_argument("--format", default=None,
+                   help="input format (parquet/tsv/csv/json/orc); "
+                        "inferred from the path suffix by default")
     p.add_argument("--group", required=True)
     p.add_argument("--key", required=True)
     p.add_argument("--fpr", type=float, default=0.01)
@@ -189,6 +194,9 @@ def main(argv=None) -> int:
 
     b = sub.add_parser("build", help="build arbitrary sketches to a table")
     b.add_argument("--input", required=True)
+    b.add_argument("--format", default=None,
+                   help="input format (parquet/tsv/csv/json/orc); "
+                        "inferred from the path suffix by default")
     b.add_argument("--group", required=True,
                    help="group key column(s), comma-separated for "
                         "multi-key (e.g. lang,day)")
