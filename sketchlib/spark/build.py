@@ -32,6 +32,7 @@ import pyspark.sql.functions as F
 from pyspark.sql.types import (BinaryType, IntegerType, LongType, StringType,
                                StructField, StructType)
 
+from sketchlib.core.cms import CountMinSketch
 from sketchlib.core.params import bloom_params
 from sketchlib.core.serde import sketch_from_bytes
 from sketchlib.spark.specs import SketchSpec
@@ -99,6 +100,42 @@ def _values_for(spec: SketchSpec, sub: pd.DataFrame):
     return col.dropna()
 
 
+def _feed(spec: SketchSpec, sketch, sub: pd.DataFrame,
+          vcache: dict | None = None) -> None:
+    """Feed one pandas sub-frame into a sketch per its spec (tokenize /
+    numeric / weighted dispatch) — the single update path shared by the
+    batch build and both streaming builds, so semantics cannot drift.
+
+    ``vcache`` memoizes extracted value columns across specs sharing a
+    (value_col, tokenize, numeric) triple within one sub-frame.
+    """
+    if spec.weight_col is not None:  # CMS-only (spec-validated)
+        vals = sub[spec.value_col]
+        w = pd.to_numeric(sub[spec.weight_col], errors="coerce")
+        mask = (vals.notna() & w.notna()).to_numpy()
+        if mask.any():
+            sketch.update_batch(
+                vals[mask],
+                np.rint(w[mask].to_numpy(np.float64)).astype(np.int64))
+        return
+    vk = (spec.value_col, spec.tokenize, spec.numeric)
+    vals = vcache.get(vk) if vcache is not None else None
+    if vals is None:
+        vals = _values_for(spec, sub)
+        if vcache is not None:
+            vcache[vk] = vals
+    if not len(vals):
+        return
+    if spec.tokenize and isinstance(sketch, CountMinSketch):
+        # weighted update over unique tokens: hashes the batch
+        # vocabulary, not every occurrence
+        vc = vals.value_counts()
+        sketch.update_batch(vc.index.to_numpy(),
+                            vc.to_numpy(dtype=np.int64))
+    else:
+        sketch.update_batch(vals)
+
+
 def build_partials(df: DataFrame, group_cols: list[str],
                    specs: list[SketchSpec]) -> DataFrame:
     """Stage 2a: one partial sketch per (input partition, group, spec).
@@ -111,14 +148,14 @@ def build_partials(df: DataFrame, group_cols: list[str],
     names = [s.name for s in specs]
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate spec names: {names}")
-    value_cols = sorted({s.value_col for s in specs})
+    value_cols = sorted({s.value_col for s in specs}
+                        | {s.weight_col for s in specs if s.weight_col})
     sel = df.select(*group_cols, *value_cols)
     schema = _partials_schema(df, group_cols)
     n_groups = len(group_cols)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
-        from sketchlib.core.cms import CountMinSketch
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else -1
         acc: dict = {}  # (group_tuple, spec_idx) -> [sketch, n_rows]
@@ -136,20 +173,7 @@ def build_partials(df: DataFrame, group_cols: list[str],
                     if slot is None:
                         slot = [spec.make(gkey if n_groups > 1 else gkey[0]), 0]
                         acc[(gkey, si)] = slot
-                    vk = (spec.value_col, spec.tokenize, spec.numeric)
-                    vals = vcache.get(vk)
-                    if vals is None:
-                        vals = vcache[vk] = _values_for(spec, sub)
-                    if len(vals):
-                        if (spec.tokenize
-                                and isinstance(slot[0], CountMinSketch)):
-                            # weighted update over unique tokens: hashes
-                            # the batch vocabulary, not every occurrence
-                            vc = vals.value_counts()
-                            slot[0].update_batch(vc.index.to_numpy(),
-                                                 vc.to_numpy(dtype=np.int64))
-                        else:
-                            slot[0].update_batch(vals)
+                    _feed(spec, slot[0], sub, vcache)
                     slot[1] += len(sub)
         if acc:
             rows = []

@@ -37,6 +37,10 @@ class SketchSpec:
         itself for a single group column)
     tokenize: if True, whitespace-split the string column and feed
         tokens instead of whole values (heavy-hitter sketches)
+    weight_col: optional numeric column of per-row weights — each key
+        counts weight times instead of once (CMS only: 'frequency in
+        bytes served' instead of 'frequency in requests'). Null/NaN
+        weights drop the row, matching null-key semantics.
     """
 
     name: str
@@ -45,10 +49,18 @@ class SketchSpec:
     params: dict = field(default_factory=dict)
     per_group_params: dict | None = None
     tokenize: bool = False
+    weight_col: str | None = None
 
     def __post_init__(self):
         if self.kind not in KINDS:
             raise ValueError(f"unknown sketch kind {self.kind!r}; one of {sorted(KINDS)}")
+        if self.weight_col is not None and self.kind != "cms":
+            raise ValueError(
+                f"weight_col is only meaningful for cms (a {self.kind} "
+                "update is per-distinct-key, not per-count)")
+        if self.weight_col is not None and self.tokenize:
+            raise ValueError("weight_col + tokenize is ambiguous (one "
+                             "weight per row, many tokens per row)")
 
     def make(self, group_key: Any):
         kwargs = dict(self.params)

@@ -24,7 +24,7 @@ from pyspark.sql.types import (BinaryType, LongType, StringType, StructField,
                                StructType)
 
 from sketchlib.core.serde import sketch_from_bytes
-from sketchlib.spark.build import _group_fields, _values_for
+from sketchlib.spark.build import _feed, _group_fields
 from sketchlib.spark.specs import SketchSpec
 
 
@@ -61,10 +61,9 @@ def streaming_build(stream_df: DataFrame, group_cols: list[str],
             sketches = [spec.make(gkey) for spec in specs]
             n_rows = 0
         for pdf in pdfs:
+            vcache: dict = {}
             for si, spec in enumerate(specs):
-                vals = _values_for(spec, pdf)
-                if len(vals):
-                    sketches[si].update_batch(vals)
+                _feed(spec, sketches[si], pdf, vcache)
             n_rows += len(pdf)
         blobs = [sk.to_bytes() for sk in sketches]
         state.update(tuple(blobs) + (n_rows,))
@@ -284,10 +283,9 @@ def streaming_windowed_build(stream_df: DataFrame, ts_col: str,
             sketches = [spec.make(gkey) for spec in specs]
             n_rows = 0
         for pdf in pdfs:
+            vcache: dict = {}
             for si, spec in enumerate(specs):
-                vals = _values_for(spec, pdf)
-                if len(vals):
-                    sketches[si].update_batch(vals)
+                _feed(spec, sketches[si], pdf, vcache)
             n_rows += len(pdf)
         blobs = [sk.to_bytes() for sk in sketches]
         state.update(tuple(blobs) + (n_rows,))

@@ -205,3 +205,31 @@ class TestValidation:
             CountMinSketch(0, 3)
         with pytest.raises(ValueError):
             CountMinSketch(1 << 31, 4)  # w*d > 2^32 would wrap sparse idx
+
+
+class TestWeightedSpec:
+    def test_weight_col_validation(self):
+        from sketchlib.spark.specs import SketchSpec
+        with pytest.raises(ValueError, match="only meaningful for cms"):
+            SketchSpec("h", "hll", "url", weight_col="w")
+        with pytest.raises(ValueError, match="ambiguous"):
+            SketchSpec("c", "cms", "text", {"w": 64, "d": 3},
+                       tokenize=True, weight_col="w")
+
+    def test_weighted_cms_matches_manual(self):
+        """weight_col through _feed == manual weighted update; null
+        weights drop rows."""
+        import pandas as pd
+        from sketchlib.spark.specs import SketchSpec
+        from sketchlib.spark.build import _feed
+        sub = pd.DataFrame({"k": ["a", "b", "a", "c", None],
+                            "w": [3, 5, 2, None, 9]})
+        spec = SketchSpec("c", "cms", "k", {"w": 256, "d": 3},
+                          weight_col="w")
+        got = spec.make("g")
+        _feed(spec, got, sub)
+        want = CountMinSketch(256, 3)
+        want.update_batch(np.array(["a", "b", "a"], dtype=object),
+                          np.array([3, 5, 2], dtype=np.int64))
+        assert got.to_bytes() == want.to_bytes()
+        assert got.query_batch(["a"])[0] == 5
