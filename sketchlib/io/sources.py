@@ -30,8 +30,8 @@ FORMATS = sorted(set(_SUFFIXES.values()))
 
 def infer_format(path: str) -> str:
     """Format from the path suffix (directories of part-files included:
-    a trailing '/x.parquet/' style dir name still carries the suffix)."""
-    base = path.rstrip("/").rstrip("*")
+    'x.parquet/', 'x.parquet/*' style paths still carry the suffix)."""
+    base = path.rstrip("*/")
     _, ext = os.path.splitext(base)
     fmt = _SUFFIXES.get(ext.lower())
     if fmt is None:

@@ -114,9 +114,16 @@ def _feed(spec: SketchSpec, sketch, sub: pd.DataFrame,
         w = pd.to_numeric(sub[spec.weight_col], errors="coerce")
         mask = (vals.notna() & w.notna()).to_numpy()
         if mask.any():
-            sketch.update_batch(
-                vals[mask],
-                np.rint(w[mask].to_numpy(np.float64)).astype(np.int64))
+            wf = w[mask].to_numpy(np.float64)
+            wi = np.rint(wf)
+            # negative weights would decrement cells and silently void
+            # the CMS overestimate-only guarantee; fractions are a
+            # caller bug, not something to round away quietly
+            if (wi < 0).any() or not np.array_equal(wi, wf):
+                raise ValueError(
+                    f"weight_col {spec.weight_col!r} must hold "
+                    "non-negative integral weights (counts)")
+            sketch.update_batch(vals[mask], wi.astype(np.int64))
         return
     vk = (spec.value_col, spec.tokenize, spec.numeric)
     vals = vcache.get(vk) if vcache is not None else None

@@ -145,7 +145,9 @@ def decode_ppm(payload: bytes) -> np.ndarray:
         while pos < len(payload) and not payload[pos:pos + 1].isspace():
             pos += 1
         fields.append(int(payload[start:pos]))
-    pos += 1  # single whitespace byte after maxval, then raw pixels
+    # exactly one whitespace byte after maxval, then raw pixels —
+    # except text-mode Windows writers emit CRLF; treat that as one
+    pos += 2 if payload[pos:pos + 2] == b"\r\n" else 1
     w, h, maxval = fields
     if not (0 < maxval < 65536 and w > 0 and h > 0):
         raise ValueError(f"bad PPM header: w={w} h={h} maxval={maxval}")
@@ -164,8 +166,14 @@ def image_thumbnail(pixels: np.ndarray, out_h: int = 8,
                     out_w: int = 8) -> np.ndarray:
     """Block-mean resize (the 'resize' operator): uint8 RGB [h, w, 3]
     -> float32 [out_h, out_w, 3] in [0, 1]. Vectorized bincount over a
-    precomputed cell index — no per-pixel Python."""
+    precomputed cell index — no per-pixel Python. Images smaller than
+    the grid are nearest-neighbor upsampled first (pixel repeat), so
+    every output cell has >= 1 source pixel and no NaN can appear."""
     px = np.asarray(pixels, dtype=np.float64)
+    if px.shape[0] < out_h:
+        px = np.repeat(px, -(-out_h // px.shape[0]), axis=0)
+    if px.shape[1] < out_w:
+        px = np.repeat(px, -(-out_w // px.shape[1]), axis=1)
     h, w = px.shape[:2]
     ri = (np.arange(h) * out_h) // h
     ci = (np.arange(w) * out_w) // w

@@ -269,12 +269,15 @@ def _doc_sketches(spark, sf_dir, specs) -> DataFrame:
 def q_short_doc_share_lang(spark, sf_dir):
     """Exact companion of the sketch-CDF read-out: per-lang share of
     docs at or under 200 / 500 chars."""
+    # when().otherwise(0.0) (not a bare cast) so a NULL n_chars counts
+    # as 0 in the numerator but stays in the denominator — the exact
+    # semantics of the oracle's CASE WHEN
     return (load(spark, sf_dir, "documents")
             .groupBy("lang")
-            .agg(F.round(F.avg((F.col("n_chars") <= 200).cast("double")), 4)
-                 .alias("share_le_200"),
-                 F.round(F.avg((F.col("n_chars") <= 500).cast("double")), 4)
-                 .alias("share_le_500")))
+            .agg(F.round(F.avg(F.when(F.col("n_chars") <= 200, 1.0)
+                               .otherwise(0.0)), 4).alias("share_le_200"),
+                 F.round(F.avg(F.when(F.col("n_chars") <= 500, 1.0)
+                               .otherwise(0.0)), 4).alias("share_le_500")))
 
 
 def q_kll_cdf_nchars(spark, sf_dir):

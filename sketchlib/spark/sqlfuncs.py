@@ -72,7 +72,8 @@ def _make_udfs() -> dict:
     def sketch_quantile(blobs: pd.Series, qs: pd.Series) -> pd.Series:
         out = np.full(len(blobs), np.nan)
         for i, (b, q) in enumerate(zip(blobs, qs)):
-            if b is None or q is None:
+            # SQL NULL doubles arrive as NaN through Arrow, not None
+            if b is None or q is None or np.isnan(q):
                 continue
             out[i] = float(sketch_from_bytes(bytes(b)).quantile(float(q)))
         return pd.Series(out)
@@ -84,7 +85,8 @@ def _make_udfs() -> dict:
         table, the inverse of sketch_quantile."""
         out = np.full(len(blobs), np.nan)
         for i, (b, x) in enumerate(zip(blobs, xs)):
-            if b is None or x is None:
+            # SQL NULL doubles arrive as NaN through Arrow, not None
+            if b is None or x is None or np.isnan(x):
                 continue
             sk = sketch_from_bytes(bytes(b))
             fn = getattr(sk, "cdf", None) or getattr(sk, "rank", None)

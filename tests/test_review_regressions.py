@@ -240,3 +240,65 @@ def test_tokenizer_parity_build_vs_exact(spark):
     for r in exact:
         assert cms.query_batch([r["t"]])[0] >= r["count"], r
     assert cms.total == sum(r["count"] for r in exact)
+
+
+# --- round-2 review fixes -------------------------------------------------
+
+class TestRound2ReviewFixes:
+    def test_thumbnail_smaller_than_grid_no_nan(self):
+        import numpy as np
+        from sketchlib.spark.multimodal import (image_thumbnail,
+                                                image_feature_vector)
+        px = np.full((4, 3, 3), 100, dtype=np.uint8)
+        th = image_thumbnail(px, 8, 8)
+        assert not np.isnan(th).any()
+        assert np.allclose(th, 100 / 255.0)
+        assert not np.isnan(image_feature_vector(px)).any()
+
+    def test_infer_format_glob_paths(self):
+        from sketchlib.io.sources import infer_format
+        assert infer_format("/data/docs.parquet/*") == "parquet"
+        assert infer_format("/data/docs.tsv/") == "tsv"
+
+    def test_ppm_crlf_after_maxval(self):
+        import numpy as np
+        from sketchlib.spark.multimodal import decode_ppm
+        p = b"P6\n1 1\n255\r\n" + bytes([9, 8, 7])
+        assert np.array_equal(decode_ppm(p)[0, 0], [9, 8, 7])
+
+    def test_sketch_cdf_null_threshold_returns_null(self, spark):
+        import numpy as np
+        import pandas as pd
+        from sketchlib.core.kll import KLL
+        from sketchlib.spark.sqlfuncs import register_sql_functions
+        register_sql_functions(spark)
+        blob = KLL(128).update_batch(np.arange(100.0)).to_bytes()
+        df = spark.createDataFrame(pd.DataFrame({"s": [blob]}))
+        df.createOrReplaceTempView("one_sketch")
+        r = spark.sql("SELECT sketch_cdf(s, CAST(NULL AS DOUBLE)) AS c, "
+                      "sketch_quantile(s, CAST(NULL AS DOUBLE)) AS q "
+                      "FROM one_sketch").first()
+        assert r["c"] is None and r["q"] is None
+
+    def test_short_doc_share_counts_null_as_zero(self, spark):
+        import pandas as pd
+        import pyspark.sql.functions as F
+        df = spark.createDataFrame(
+            pd.DataFrame({"lang": ["en"] * 4,
+                          "n_chars": [100.0, None, 300.0, None]}))
+        got = (df.groupBy("lang")
+               .agg(F.avg(F.when(F.col("n_chars") <= 200, 1.0)
+                          .otherwise(0.0)).alias("share")).first()["share"])
+        assert got == 0.25  # NULLs in denominator, like the SQL CASE
+
+    def test_weighted_feed_rejects_negative_and_fractional(self):
+        import pandas as pd
+        import pytest
+        from sketchlib.spark.build import _feed
+        from sketchlib.spark.specs import SketchSpec
+        spec = SketchSpec("c", "cms", "k", {"w": 64, "d": 3},
+                          weight_col="w")
+        for bad in ([-1, 2], [0.5, 1]):
+            sk = spec.make("g")
+            with pytest.raises(ValueError, match="non-negative integral"):
+                _feed(spec, sk, pd.DataFrame({"k": ["a", "b"], "w": bad}))
