@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kll_cdf_nchars": _wrap(Q.q_kll_cdf_nchars),
         "hll_distinct_lang": _wrap(Q.q_hll_distinct_lang),
         "cms_top_tokens": _wrap(Q.q_cms_top_tokens),
+        "countsketch_token_freq": _wrap(Q.q_countsketch_token_freq),
         "kll_quantiles_nchars": _wrap(Q.q_kll_quantiles_nchars),
         "tdigest_quantiles_value": _wrap(Q.q_tdigest_quantiles_value),
         "minhash_lsh_pairs": _wrap(Q.q_minhash_lsh_pairs),

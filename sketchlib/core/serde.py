@@ -29,6 +29,7 @@ TYPE_TDIGEST = 4
 TYPE_KLL = 5
 TYPE_THETA = 6
 TYPE_SAMPLE = 7
+TYPE_COUNTSKETCH = 8
 
 _REGISTRY: dict[int, type] = {}
 

@@ -33,6 +33,7 @@ from pyspark.sql.types import (BinaryType, IntegerType, LongType, StringType,
                                StructField, StructType)
 
 from sketchlib.core.cms import CountMinSketch
+from sketchlib.core.countsketch import CountSketch
 from sketchlib.core.params import bloom_params
 from sketchlib.core.serde import sketch_from_bytes
 from sketchlib.spark.specs import SketchSpec
@@ -133,7 +134,7 @@ def _feed(spec: SketchSpec, sketch, sub: pd.DataFrame,
             vcache[vk] = vals
     if not len(vals):
         return
-    if spec.tokenize and isinstance(sketch, CountMinSketch):
+    if spec.tokenize and isinstance(sketch, (CountMinSketch, CountSketch)):
         # weighted update over unique tokens: hashes the batch
         # vocabulary, not every occurrence
         vc = vals.value_counts()

@@ -363,6 +363,25 @@ def q_cms_top_tokens(spark, sf_dir):
                     F.coalesce("exact_cnt", F.lit(0)).alias("exact_cnt")))
 
 
+def q_countsketch_token_freq(spark, sf_dir):
+    """Unbiased per-(lang, token) frequency estimates from the signed
+    count sketch for each lang's exact top-10 tokens (candidates join
+    in distributedly; exact companion heavy_tokens_lang). Estimates are
+    two-sided noise around the truth — the right read-out when the
+    counts feed downstream statistics rather than a keep/drop gate."""
+    from sketchlib.spark.sqlfuncs import register_sql_functions
+    udfs = register_sql_functions(spark)
+    merged = _doc_sketches(
+        spark, sf_dir,
+        [SketchSpec("cs", "countsketch", "text", {"w": 16384, "d": 5},
+                    tokenize=True)])
+    top = q_heavy_tokens_lang(spark, sf_dir).select("lang", "token", "rnk")
+    return (top.join(merged.filter(F.col("sketch_name") == "cs"), "lang")
+            .select("lang", "token", "rnk",
+                    udfs["cms_count"](F.col("sketch"), F.col("token"))
+                    .alias("est_cnt")))
+
+
 def q_kll_quantiles_nchars(spark, sf_dir):
     """Distributed quantile read-out via the sketch_quantile SQL UDF —
     the KLL and t-digest sketch rows join on lang, no driver loop."""

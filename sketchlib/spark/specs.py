@@ -19,8 +19,10 @@ from sketchlib.core.tdigest import TDigest
 from sketchlib.core.kll import KLL
 from sketchlib.core.theta import ThetaSketch
 from sketchlib.core.sample import BottomKSample
+from sketchlib.core.countsketch import CountSketch
 
-KINDS = {"bloom", "hll", "cms", "tdigest", "kll", "theta", "sample"}
+KINDS = {"bloom", "hll", "cms", "tdigest", "kll", "theta", "sample",
+         "countsketch"}
 _NUMERIC_KINDS = {"tdigest", "kll"}
 
 
@@ -54,10 +56,11 @@ class SketchSpec:
     def __post_init__(self):
         if self.kind not in KINDS:
             raise ValueError(f"unknown sketch kind {self.kind!r}; one of {sorted(KINDS)}")
-        if self.weight_col is not None and self.kind != "cms":
+        if self.weight_col is not None and self.kind not in ("cms",
+                                                             "countsketch"):
             raise ValueError(
-                f"weight_col is only meaningful for cms (a {self.kind} "
-                "update is per-distinct-key, not per-count)")
+                "weight_col is only meaningful for cms/countsketch (a "
+                f"{self.kind} update is per-distinct-key, not per-count)")
         if self.weight_col is not None and self.tokenize:
             raise ValueError("weight_col + tokenize is ambiguous (one "
                              "weight per row, many tokens per row)")
@@ -69,7 +72,8 @@ class SketchSpec:
             kwargs.update(self.per_group_params.get(key, {}))
         ctor = {"bloom": BloomFilter, "hll": HyperLogLog, "cms": CountMinSketch,
                 "tdigest": TDigest, "kll": KLL, "theta": ThetaSketch,
-                "sample": BottomKSample}[self.kind]
+                "sample": BottomKSample,
+                "countsketch": CountSketch}[self.kind]
         return ctor(**kwargs)
 
     @property

@@ -29,6 +29,7 @@ from sketchlib.core.cms import CountMinSketch
 from sketchlib.core.hll import HyperLogLog
 from sketchlib.core.theta import ThetaSketch
 from sketchlib.core.sample import BottomKSample
+from sketchlib.core.countsketch import CountSketch
 
 
 def _make_udfs() -> dict:
@@ -44,7 +45,7 @@ def _make_udfs() -> dict:
             if isinstance(sk, (HyperLogLog, BloomFilter, ThetaSketch,
                                BottomKSample)):
                 out.append(float(sk.estimate()))
-            elif isinstance(sk, CountMinSketch):
+            elif isinstance(sk, (CountMinSketch, CountSketch)):
                 out.append(float(sk.total))
             else:
                 out.append(float(sk.total_weight()
@@ -61,12 +62,17 @@ def _make_udfs() -> dict:
         return pd.Series(out)
 
     def cms_count(blobs: pd.Series, keys: pd.Series) -> pd.Series:
+        """Point frequency estimate — CMS (overestimate-only) or count
+        sketch (unbiased, signed) blobs."""
         out = np.zeros(len(blobs), dtype=np.int64)
         for i, (b, k) in enumerate(zip(blobs, keys)):
             if b is None or k is None:
                 continue
-            out[i] = int(CountMinSketch.from_bytes(bytes(b))
-                         .query_batch([k])[0])
+            sk = sketch_from_bytes(bytes(b))
+            if not isinstance(sk, (CountMinSketch, CountSketch)):
+                raise TypeError(
+                    f"cms_count needs a frequency sketch, got {type(sk).__name__}")
+            out[i] = int(sk.query_batch([k])[0])
         return pd.Series(out)
 
     def sketch_quantile(blobs: pd.Series, qs: pd.Series) -> pd.Series:

@@ -21,6 +21,7 @@ from sketchlib.core.tdigest import TDigest
 from sketchlib.core.kll import KLL
 from sketchlib.core.theta import ThetaSketch
 from sketchlib.core.sample import BottomKSample
+from sketchlib.core.countsketch import CountSketch
 
 CORPUS = [f"https://host{i % 97}.example.com/p/{i}" for i in range(5000)]
 VALUES = np.random.default_rng(42).lognormal(9, 1, 5000)
@@ -48,6 +49,7 @@ def _merge_in_order(sketches, order):
     (lambda: CountMinSketch(1024, 5, seed=1), CORPUS),
     (lambda: ThetaSketch(k=256, seed=1), CORPUS),
     (lambda: BottomKSample(k=128, seed=1), CORPUS),
+    (lambda: CountSketch(512, 5, seed=1), CORPUS),
 ])
 @pytest.mark.parametrize("n_parts", [2, 4, 8, 17])
 def test_bitwise_merge_order_identity(make, update_data, n_parts):
