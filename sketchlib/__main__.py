@@ -38,6 +38,9 @@ def _parse_sketch(spec_str: str):
                 raise SystemExit(f"bad --sketch param {kv!r} in {spec_str!r}; "
                                  "use k=v[,k=v...]")
             k, v = kv.split("=", 1)
+            if k == "weight_col":  # column name, stays a string
+                params[k] = v
+                continue
             try:
                 params[k] = int(v)
             except ValueError:
@@ -45,6 +48,8 @@ def _parse_sketch(spec_str: str):
                     params[k] = float(v)
                 except ValueError:
                     raise SystemExit(f"bad --sketch param value {kv!r}")
+    tokenize = bool(params.pop("tokenize", 0))
+    weight_col = params.pop("weight_col", None)
     name = f"{col}_{kind}"
     # probe-construct to catch missing/invalid kernel params at parse
     # time — but never materialize a big state array on the driver just
@@ -53,7 +58,8 @@ def _parse_sketch(spec_str: str):
                  "cms": params.get("w", 0) * params.get("d", 1) * 8,
                  "hll": 1 << params.get("b", 0)}.get(kind, 0)
     try:
-        spec = SketchSpec(name, kind, col, params)
+        spec = SketchSpec(name, kind, col, params,
+                          tokenize=tokenize, weight_col=weight_col)
         if est_bytes <= (64 << 20):
             spec.make(None)
     except (TypeError, ValueError) as e:
@@ -201,7 +207,9 @@ def main(argv=None) -> int:
                    help="group key column(s), comma-separated for "
                         "multi-key (e.g. lang,day)")
     b.add_argument("--sketch", action="append", required=True,
-                   help="kind:value_col[:k=v,...], repeatable")
+                   help="kind:value_col[:k=v,...], repeatable; special "
+                        "params tokenize=1 (split text to tokens) and "
+                        "weight_col=<col> (cms/countsketch counts)")
     b.add_argument("--derive", action="append", default=None,
                    help="name=SQL_EXPR derived column, e.g. "
                         "html_len=CAST(length(html) AS DOUBLE); repeatable")
