@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "simhash_pairs",
     "bloom_semijoin",
     "sample_docs_lang",
+    "countsketch_token_freq",
 ]
 
 

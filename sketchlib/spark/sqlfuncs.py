@@ -78,8 +78,10 @@ def _make_udfs() -> dict:
     def sketch_quantile(blobs: pd.Series, qs: pd.Series) -> pd.Series:
         out = np.full(len(blobs), np.nan)
         for i, (b, q) in enumerate(zip(blobs, qs)):
-            # SQL NULL doubles arrive as NaN through Arrow, not None
-            if b is None or q is None or np.isnan(q):
+            # SQL NULL doubles arrive as NaN through Arrow (not None),
+            # and SQL decimal literals as Decimal — q != q is the
+            # type-agnostic NaN test
+            if b is None or q is None or q != q:
                 continue
             out[i] = float(sketch_from_bytes(bytes(b)).quantile(float(q)))
         return pd.Series(out)
@@ -91,8 +93,9 @@ def _make_udfs() -> dict:
         table, the inverse of sketch_quantile."""
         out = np.full(len(blobs), np.nan)
         for i, (b, x) in enumerate(zip(blobs, xs)):
-            # SQL NULL doubles arrive as NaN through Arrow, not None
-            if b is None or x is None or np.isnan(x):
+            # NULL -> NaN through Arrow; decimal literals -> Decimal;
+            # x != x is the type-agnostic NaN test
+            if b is None or x is None or x != x:
                 continue
             sk = sketch_from_bytes(bytes(b))
             fn = getattr(sk, "cdf", None) or getattr(sk, "rank", None)
