@@ -13,7 +13,12 @@ from sketchlib.spark.checkpoint import (PartialCheckpoint, build_sketches_checkp
                                         iceberg_available, spec_fingerprint)
 
 SPECS = [SketchSpec("b", "bloom", "url", {"m": 1 << 15, "k": 6}),
-         SketchSpec("h", "hll", "url", {"b": 10})]
+         SketchSpec("h", "hll", "url", {"b": 10}),
+         # one spec per remaining kernel family: resume must be
+         # bitwise-identical for all 8, not just the classic lattices
+         SketchSpec("s", "sample", "url", {"k": 32}),
+         SketchSpec("cs", "countsketch", "url", {"w": 256, "d": 3}),
+         SketchSpec("th", "theta", "url", {"k": 64})]
 
 
 def _sketch_bytes(df):
