@@ -56,6 +56,7 @@ def _parse_sketch(spec_str: str):
     # to validate (a legitimate cms:w=16M,d=8 is a 1 GB table)
     est_bytes = {"bloom": params.get("m", 0) // 8,
                  "cms": params.get("w", 0) * params.get("d", 1) * 8,
+                 "countsketch": params.get("w", 0) * params.get("d", 5) * 8,
                  "hll": 1 << params.get("b", 0)}.get(kind, 0)
     try:
         spec = SketchSpec(name, kind, col, params,

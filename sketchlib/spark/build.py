@@ -110,20 +110,26 @@ def _feed(spec: SketchSpec, sketch, sub: pd.DataFrame,
     ``vcache`` memoizes extracted value columns across specs sharing a
     (value_col, tokenize, numeric) triple within one sub-frame.
     """
-    if spec.weight_col is not None:  # CMS-only (spec-validated)
+    if spec.weight_col is not None:  # cms/countsketch (spec-validated)
         vals = sub[spec.value_col]
         w = pd.to_numeric(sub[spec.weight_col], errors="coerce")
         mask = (vals.notna() & w.notna()).to_numpy()
         if mask.any():
             wf = w[mask].to_numpy(np.float64)
             wi = np.rint(wf)
-            # negative weights would decrement cells and silently void
-            # the CMS overestimate-only guarantee; fractions are a
-            # caller bug, not something to round away quietly
-            if (wi < 0).any() or not np.array_equal(wi, wf):
+            # fractions are a caller bug, not something to round away
+            # quietly; negative weights would decrement CMS cells and
+            # silently void its overestimate-only guarantee — but are
+            # legitimate deletes for the SIGNED count sketch
+            if not np.array_equal(wi, wf):
                 raise ValueError(
                     f"weight_col {spec.weight_col!r} must hold "
-                    "non-negative integral weights (counts)")
+                    "integral weights (counts)")
+            if (wi < 0).any() and isinstance(sketch, CountMinSketch):
+                raise ValueError(
+                    f"weight_col {spec.weight_col!r} has negative "
+                    "weights — CMS counters are overestimate-only; "
+                    "use kind='countsketch' for delete streams")
             sketch.update_batch(vals[mask], wi.astype(np.int64))
         return
     vk = (spec.value_col, spec.tokenize, spec.numeric)

@@ -39,10 +39,12 @@ class SketchSpec:
         itself for a single group column)
     tokenize: if True, whitespace-split the string column and feed
         tokens instead of whole values (heavy-hitter sketches)
-    weight_col: optional numeric column of per-row weights — each key
-        counts weight times instead of once (CMS only: 'frequency in
-        bytes served' instead of 'frequency in requests'). Null/NaN
-        weights drop the row, matching null-key semantics.
+    weight_col: optional numeric column of per-row integral weights —
+        each key counts weight times instead of once ('frequency in
+        bytes served' instead of 'frequency in requests'). cms and
+        countsketch only; negative weights (deletes) are legal for the
+        signed countsketch, rejected for overestimate-only cms.
+        Null/NaN weights drop the row, matching null-key semantics.
     """
 
     name: str

@@ -29,8 +29,6 @@ class TestAccuracy:
         where sign cancellation beats min-of-overcounts (at extreme
         skew s>=2 CMS's min is near-exact on the tail and wins — both
         kernels exist because neither dominates)."""
-        stream = _zipf(100_000, 20_000, seed=0)
-        # reuse the generator but at s=1.1 for the moderate-skew regime
         rng = np.random.default_rng(0)
         z = rng.zipf(1.1, 100_000)
         z = z[z <= 20_000]
@@ -117,3 +115,20 @@ def test_spark_build_and_sql_readout(spark):
     got = {r["lang"]: r["c"] for r in spark.sql(
         "SELECT lang, cms_count(sketch, 'filler') AS c FROM cs_table").collect()}
     assert got == {"en": 300, "fr": 300}
+
+
+def test_weighted_feed_negative_ok_for_countsketch():
+    """Delete streams reach the signed kernel through the spec path;
+    CMS still rejects them (overestimate-only)."""
+    from sketchlib.spark.build import _feed
+    from sketchlib.spark.specs import SketchSpec
+    spec = SketchSpec("cs", "countsketch", "k", {"w": 4096, "d": 5},
+                      weight_col="w")
+    sk = spec.make("g")
+    _feed(spec, sk, pd.DataFrame({"k": ["a", "b", "a"], "w": [10, 4, -3]}))
+    assert sk.query_batch(["a"])[0] == 7
+    cms_spec = SketchSpec("c", "cms", "k", {"w": 64, "d": 3},
+                          weight_col="w")
+    with pytest.raises(ValueError, match="countsketch"):
+        _feed(cms_spec, cms_spec.make("g"),
+              pd.DataFrame({"k": ["a"], "w": [-1]}))

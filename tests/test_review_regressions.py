@@ -298,7 +298,7 @@ class TestRound2ReviewFixes:
         from sketchlib.spark.specs import SketchSpec
         spec = SketchSpec("c", "cms", "k", {"w": 64, "d": 3},
                           weight_col="w")
-        for bad in ([-1, 2], [0.5, 1]):
+        for bad, msg in (([-1, 2], "countsketch"), ([0.5, 1], "integral")):
             sk = spec.make("g")
-            with pytest.raises(ValueError, match="non-negative integral"):
+            with pytest.raises(ValueError, match=msg):
                 _feed(spec, sk, pd.DataFrame({"k": ["a", "b"], "w": bad}))
