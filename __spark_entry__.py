@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sketch estimates (rows-only; exact companions above)
         "bloom_fpr_validation": _wrap(Q.q_bloom_fpr_validation),
         "sample_docs_lang": _wrap(Q.q_sample_docs_lang),
+        "sketch_accuracy_lang": _wrap(Q.q_sketch_accuracy_lang),
         "short_doc_share_lang": _wrap(Q.q_short_doc_share_lang),
         "kll_cdf_nchars": _wrap(Q.q_kll_cdf_nchars),
         "hll_distinct_lang": _wrap(Q.q_hll_distinct_lang),

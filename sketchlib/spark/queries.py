@@ -295,6 +295,21 @@ def q_kll_cdf_nchars(spark, sf_dir):
                     cdf(F.col("sketch"), F.lit(500.0)).alias("share_le_500")))
 
 
+def q_sketch_accuracy_lang(spark, sf_dir):
+    """The validation loop generalized beyond Bloom FPR: per-lang
+    est-vs-exact error rows for HLL/theta/sample (distinct rel err vs
+    4-sigma bound) and KLL/t-digest (median rank err vs 5% bound),
+    with a within_bound verdict a pipeline can gate on."""
+    from sketchlib.spark.validate import accuracy_table
+    docs = load(spark, sf_dir, "documents")
+    specs = [SketchSpec("h", "hll", "text", {"b": 14}),
+             SketchSpec("th", "theta", "text", {"k": 4096}),
+             SketchSpec("s", "sample", "doc_id", {"k": 256}),
+             SketchSpec("k", "kll", "n_chars", {"k": 256}),
+             SketchSpec("t", "tdigest", "n_chars", {"delta": 300})]
+    return accuracy_table(docs, ["lang"], specs)
+
+
 def q_sample_docs_lang(spark, sf_dir):
     """Uniform per-lang sample of distinct doc_ids via the bottom-k
     sample kernel, read out in SQL (`explode(sample_values(...))`).

@@ -116,3 +116,94 @@ def bloom_validate(df: DataFrame, filters: dict, group_cols: list[str],
                                F.col("false_positives") / F.col("probes"))
                         .otherwise(F.lit(None)))
             .withColumn("designed_p", F.lit(designed_p)))
+
+
+def accuracy_table(df: DataFrame, group_cols: list[str], specs,
+                   merged: DataFrame | None = None,
+                   quantile_rank_bound: float = 0.05) -> DataFrame:
+    """Per-group est-vs-exact error table for distinct and quantile
+    sketches — the reference's FPR validation loop (main.py:166-193)
+    generalized to the other kernels, as a DataFrame an operator can
+    gate a pipeline on.
+
+    Per spec kind:
+    - hll / theta / sample: metric = distinct relative error;
+      bound = 4 sigma of the kernel's published error (1.04/sqrt(2^b)
+      for HLL, 1/sqrt(k-2) for the KMV family).
+    - kll / tdigest: metric = RANK error of the estimated median —
+      the exact rank of sketch_quantile(0.5) must sit within
+      ``quantile_rank_bound`` of 0.5 (rank error is the quantity these
+      sketches bound; value-space error is data-dependent).
+    - bloom: use ``bloom_validate`` (FPR semantics need probe sets);
+      cms / countsketch: use their top-k companion queries.
+
+    Plan shape: one exact aggregation pass over df (partial-agg
+    friendly) + the sketch table (<= #groups rows) + one rank join for
+    the quantile kinds. Output: (group_cols..., sketch_name, kind,
+    metric, est, exact, err, bound, within_bound).
+    """
+    from sketchlib.spark.build import build_sketches
+    from sketchlib.spark.sqlfuncs import register_sql_functions
+
+    spark = SparkSession.getActiveSession()
+    udfs = register_sql_functions(spark)
+    distinct_kinds = {"hll", "theta", "sample"}
+    quantile_kinds = {"kll", "tdigest"}
+    todo = [s for s in specs if s.kind in distinct_kinds | quantile_kinds]
+    if not todo:
+        raise ValueError("accuracy_table needs hll/theta/sample/kll/"
+                         "tdigest specs; bloom has bloom_validate")
+    if merged is None:
+        merged = build_sketches(df, group_cols, todo)
+
+    def _bound(spec) -> float:
+        if spec.kind == "hll":
+            return 4 * 1.04 / (1 << spec.params.get("b", 12)) ** 0.5
+        k = spec.params.get("k", 4096 if spec.kind == "theta" else 1024)
+        return 4.0 / (max(k - 2, 1)) ** 0.5
+
+    out = []
+    for spec in todo:
+        sk = merged.filter(F.col("sketch_name") == spec.name)
+        if spec.kind in distinct_kinds:
+            exact = (df.groupBy(*group_cols)
+                     .agg(F.countDistinct(spec.value_col).alias("exact")))
+            est = sk.select(*group_cols, "sketch_name",
+                            udfs["sketch_estimate"]("sketch").alias("est"))
+            j = (est.join(exact, group_cols)
+                 .withColumn("err", F.abs(F.col("est") - F.col("exact"))
+                             / F.col("exact"))
+                 .withColumn("bound", F.lit(float(_bound(spec)))))
+            out.append(j.select(
+                *group_cols, "sketch_name", F.lit(spec.kind).alias("kind"),
+                F.lit("distinct_rel_err").alias("metric"),
+                "est", F.col("exact").cast("double").alias("exact"),
+                "err", "bound",
+                (F.col("err") <= F.col("bound")).alias("within_bound")))
+        else:
+            est = sk.select(*group_cols, "sketch_name",
+                            udfs["sketch_quantile"]("sketch", F.lit(0.5))
+                            .alias("est"))
+            # exact rank of the estimated median, one distributed pass:
+            # join the per-group estimate back to the rows
+            ranked = (df.select(*group_cols,
+                                F.col(spec.value_col).alias("_v"))
+                      .dropna(subset=["_v"])
+                      .join(est, group_cols)
+                      .groupBy(*group_cols, "sketch_name", "est")
+                      .agg(F.avg((F.col("_v") <= F.col("est"))
+                                 .cast("double")).alias("exact")))
+            out.append(ranked
+                       .withColumn("err", F.abs(F.col("exact") - 0.5))
+                       .withColumn("bound",
+                                   F.lit(float(quantile_rank_bound)))
+                       .select(*group_cols, "sketch_name",
+                               F.lit(spec.kind).alias("kind"),
+                               F.lit("median_rank_err").alias("metric"),
+                               "est", "exact", "err", "bound",
+                               (F.col("err") <= F.col("bound"))
+                               .alias("within_bound")))
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res

@@ -1,0 +1,45 @@
+"""accuracy_table: the generalized validation loop — every kernel row
+lands within its published bound on the fixture, and the rank/exact
+columns are genuinely exact."""
+
+import pytest
+
+from sketchlib.spark.queries import q_sketch_accuracy_lang
+
+
+@pytest.fixture(scope="module")
+def acc(spark):
+    return q_sketch_accuracy_lang(spark, "/root/testdata/sf0.001").toPandas()
+
+
+def test_all_rows_within_bound(acc):
+    assert len(acc) == 5 * 5  # 5 langs x 5 specs
+    bad = acc[~acc["within_bound"]]
+    assert bad.empty, bad.to_string()
+
+
+def test_distinct_rows_exact_column_is_exact(spark, acc):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    import pyspark.sql.functions as F
+    want = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(
+        F.countDistinct("text").alias("n")).collect()}
+    hll = acc[acc["kind"] == "hll"]
+    for _, r in hll.iterrows():
+        assert r["exact"] == want[r["lang"]]
+        assert r["metric"] == "distinct_rel_err"
+
+
+def test_quantile_rows_are_rank_errors(acc):
+    q = acc[acc["kind"].isin(["kll", "tdigest"])]
+    assert (q["metric"] == "median_rank_err").all()
+    assert ((q["exact"] >= 0) & (q["exact"] <= 1)).all()
+    assert (q["err"] <= 0.05).all()
+
+
+def test_requires_supported_kind(spark):
+    from sketchlib.spark.validate import accuracy_table
+    from sketchlib.spark.specs import SketchSpec
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    with pytest.raises(ValueError, match="bloom_validate"):
+        accuracy_table(docs, ["lang"],
+                       [SketchSpec("b", "bloom", "text", {"m": 1024, "k": 3})])
