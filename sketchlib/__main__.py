@@ -138,6 +138,27 @@ def cmd_build(args) -> int:
     return 0
 
 
+def cmd_update(args) -> int:
+    """Fold delta rows into a stored sketch table (no base re-read)."""
+    from sketchlib.spark.session import get_spark
+    from sketchlib.spark.build import incremental_update
+    from sketchlib.io.sources import read_input
+
+    spark = get_spark("sketchlib-update", cpus=args.cpus)
+    table = spark.read.parquet(args.sketches)
+    delta = read_input(spark, args.input, fmt=args.format)
+    specs = [_parse_sketch(s) for s in args.sketch]
+    group_cols = [c for c in table.columns
+                  if c not in ("sketch_name", "sketch", "n_rows",
+                               "n_partials")]
+    updated = incremental_update(table, delta, group_cols, specs)
+    updated.write.mode("overwrite").parquet(args.out)
+    n = spark.read.parquet(args.out).count()
+    print(f"{n} updated sketch rows -> {args.out}")
+    spark.stop()
+    return 0
+
+
 def cmd_rollup(args) -> int:
     from sketchlib.spark.session import get_spark
     from sketchlib.spark.build import rollup_sketches
@@ -220,6 +241,17 @@ def main(argv=None) -> int:
                    help="merge-tree fan-in: int, 'auto' (default), or 'none'")
     b.add_argument("--cpus", default="*")
     b.set_defaults(fn=cmd_build)
+
+    u = sub.add_parser("update", help="fold delta rows into a stored "
+                       "sketch table (never re-reads the base data)")
+    u.add_argument("--sketches", required=True)
+    u.add_argument("--input", required=True, help="delta rows")
+    u.add_argument("--format", default=None)
+    u.add_argument("--sketch", action="append", required=True,
+                   help="same kind:value_col[:params] as the build")
+    u.add_argument("--out", required=True)
+    u.add_argument("--cpus", default="*")
+    u.set_defaults(fn=cmd_update)
 
     r = sub.add_parser("rollup", help="merge a sketch table to coarser "
                        "group keys (no raw-data re-read)")
