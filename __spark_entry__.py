@@ -80,6 +80,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": _wrap(Q.q_pricing_summary),
         "shipping_priority": _wrap(Q.q_shipping_priority),
         "bloom_semijoin": _wrap(Q.q_bloom_semijoin),
+        "join_size_exact": _wrap(Q.q_join_size_exact),
+        "cms_join_size": _wrap(Q.q_cms_join_size),
         # sketch estimates (rows-only; exact companions above)
         "bloom_fpr_validation": _wrap(Q.q_bloom_fpr_validation),
         "sample_docs_lang": _wrap(Q.q_sample_docs_lang),
@@ -288,6 +290,9 @@ def oracle_sql() -> dict[str, str]:
             "round(avg(CASE WHEN n_chars <= 500 THEN 1.0 ELSE 0.0 END), 4) "
             "AS share_le_500 "
             "FROM documents GROUP BY lang",
+        "join_size_exact":
+            "SELECT count(*) AS join_rows FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey",
         "bloom_semijoin":
             "SELECT o_orderpriority, count(*) AS n_items, "
             "round(sum(l_extendedprice), 2) AS revenue "

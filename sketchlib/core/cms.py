@@ -105,6 +105,19 @@ class CountMinSketch:
         ests = np.stack([self.table[r][idx[:, r]] for r in range(self.d)], axis=1)
         return ests.min(axis=1)
 
+    def inner_product(self, other: "CountMinSketch") -> int:
+        """Estimated inner product of the two sketched frequency
+        vectors: sum_k fA(k)*fB(k) == the EQUI-JOIN SIZE |A ⋈ B| when
+        each sketch counts one table's join key (Cormode-Muthukrishnan
+        2005 §4.2). min over rows of the row dot product;
+        overestimate-only, error <= eps * N_A * N_B — the planner-grade
+        'how big is this join' answer from two fixed-size states."""
+        if (other.w, other.d, other.seed) != (self.w, self.d, self.seed):
+            raise ValueError("cannot compare CMS with different (w,d,seed)")
+        dots = (self.table.astype(np.float64)
+                * other.table.astype(np.float64)).sum(axis=1)
+        return int(dots.min())
+
     def merge(self, other: "CountMinSketch") -> "CountMinSketch":
         if (other.w, other.d, other.seed) != (self.w, self.d, self.seed):
             raise ValueError("cannot merge CMS with different (w,d,seed)")

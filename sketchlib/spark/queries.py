@@ -226,6 +226,37 @@ def q_bloom_semijoin(spark, sf_dir):
                  F.round(F.sum("l_extendedprice"), 2).alias("revenue")))
 
 
+def q_join_size_exact(spark, sf_dir):
+    """Exact companion of the CMS join-size estimate."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey")
+    return (li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .agg(F.count("*").alias("join_rows")))
+
+
+def q_cms_join_size(spark, sf_dir):
+    """Planner-grade equi-join size estimate from two fixed-size CMS
+    states over the join keys (inner product, overestimate-only) —
+    answers 'how big is lineitem ⋈ orders' without running the join.
+    Exact companion: join_size_exact. At 10^12 rows each side is one
+    partial-build pass; the estimate itself is O(w*d)."""
+    from sketchlib.spark.sqlfuncs import register_sql_functions
+    udfs = register_sql_functions(spark)
+    params = {"w": 1 << 19, "d": 3}
+    li = (load(spark, sf_dir, "lineitem")
+          .select(F.lit(1).alias("g"), "l_orderkey"))
+    orders = (load(spark, sf_dir, "orders")
+              .select(F.lit(1).alias("g"), "o_orderkey"))
+    a = build_sketches(li, ["g"],
+                       [SketchSpec("a", "cms", "l_orderkey", params)])
+    b = build_sketches(orders, ["g"],
+                       [SketchSpec("b", "cms", "o_orderkey", params)])
+    return (a.select("g", F.col("sketch").alias("sk_a"))
+            .join(b.select("g", F.col("sketch").alias("sk_b")), "g")
+            .select(udfs["cms_join_size"](F.col("sk_a"), F.col("sk_b"))
+                    .alias("join_rows_est")))
+
+
 def q_shipping_priority(spark, sf_dir):
     """TPC-H Q3-style multi-table join: customer (filtered dim,
     broadcast) ⨝ orders ⨝ lineitem, grouped revenue, top-10. Exercises

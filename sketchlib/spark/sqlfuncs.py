@@ -86,6 +86,18 @@ def _make_udfs() -> dict:
             out[i] = float(sketch_from_bytes(bytes(b)).quantile(float(q)))
         return pd.Series(out)
 
+    def cms_join_size(a_blobs: pd.Series, b_blobs: pd.Series) -> pd.Series:
+        """Equi-join size estimate from two CMS blobs over the two
+        sides' join keys (inner product of frequency vectors;
+        overestimate-only)."""
+        out = np.zeros(len(a_blobs), dtype=np.int64)
+        for i, (a, b) in enumerate(zip(a_blobs, b_blobs)):
+            if a is None or b is None:
+                continue
+            out[i] = CountMinSketch.from_bytes(bytes(a)).inner_product(
+                CountMinSketch.from_bytes(bytes(b)))
+        return pd.Series(out)
+
     def sketch_cdf(blobs: pd.Series, xs: pd.Series) -> pd.Series:
         """Rank/CDF read-out: estimated fraction of values <= x.
         KLL answers via rank(), t-digest via cdf() — 'what share of
@@ -162,6 +174,7 @@ def _make_udfs() -> dict:
         "cms_count": pandas_udf(cms_count, "long"),
         "sketch_quantile": pandas_udf(sketch_quantile, "double"),
         "sketch_cdf": pandas_udf(sketch_cdf, "double"),
+        "cms_join_size": pandas_udf(cms_join_size, "long"),
         "sketch_merge": pandas_udf(sketch_merge, "binary"),
         "sample_values": pandas_udf(sample_values, "array<string>"),
         # theta set algebra between two sketch columns — pairwise group

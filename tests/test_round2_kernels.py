@@ -233,3 +233,33 @@ class TestWeightedSpec:
                           np.array([3, 5, 2], dtype=np.int64))
         assert got.to_bytes() == want.to_bytes()
         assert got.query_batch(["a"])[0] == 5
+
+
+class TestCMSInnerProduct:
+    def test_exact_when_collision_free(self):
+        a = CountMinSketch(1 << 14, 5).update_batch(
+            ["x", "y", "z"], np.array([2, 3, 4]))
+        b = CountMinSketch(1 << 14, 5).update_batch(
+            ["y", "z", "w"], np.array([10, 1, 9]))
+        # sum fA*fB = 3*10 + 4*1 = 34
+        assert a.inner_product(b) == 34
+
+    def test_join_size_overestimate_within_bound(self):
+        rng = np.random.default_rng(7)
+        ka = np.char.add("k", rng.integers(0, 5000, 20000).astype(str))
+        kb = np.char.add("k", rng.integers(0, 5000, 8000).astype(str))
+        va, ca = np.unique(ka, return_counts=True)
+        vb, cb = np.unique(kb, return_counts=True)
+        fa = dict(zip(va, ca))
+        true = int(sum(int(fa.get(k, 0)) * int(c) for k, c in zip(vb, cb)))
+        w, d = 1 << 15, 5
+        a = CountMinSketch(w, d).update_batch(ka)
+        b = CountMinSketch(w, d).update_batch(kb)
+        est = a.inner_product(b)
+        assert est >= true                      # overestimate-only
+        eps = np.e / w                          # CM 2005 bound
+        assert est - true <= eps * len(ka) * len(kb)
+
+    def test_param_mismatch_raises(self):
+        with pytest.raises(ValueError):
+            CountMinSketch(64, 3).inner_product(CountMinSketch(128, 3))
