@@ -2,9 +2,9 @@
 
 Generalizes the three-stage Bloom-filter MapReduce pipeline of the reference
 (martimarino/Bloom-Filters-in-MapReduce: calibrate -> build -> validate, see
-/root/reference/spark/main.py:100-193) into eight mergeable sketch UDAFs —
+/root/reference/spark/main.py:100-193) into nine mergeable sketch UDAFs —
 Bloom, HyperLogLog, count-min, count sketch, t-digest, KLL, theta/KMV,
-bottom-k sample — built from scratch on the public PySpark DataFrame API
+bottom-k sample, frequent directions — built from scratch on the public PySpark DataFrame API
 with vectorized Arrow/pandas UDFs.
 
 Layout:
@@ -21,6 +21,7 @@ from sketchlib.core.tdigest import TDigest
 from sketchlib.core.kll import KLL
 from sketchlib.core.theta import ThetaSketch
 from sketchlib.core.sample import BottomKSample
+from sketchlib.core.fd import FrequentDirections
 from sketchlib.core.serde import sketch_from_bytes
 
 __version__ = "0.2.0"
@@ -34,5 +35,6 @@ __all__ = [
     "KLL",
     "ThetaSketch",
     "BottomKSample",
+    "FrequentDirections",
     "sketch_from_bytes",
 ]

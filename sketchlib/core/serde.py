@@ -30,6 +30,7 @@ TYPE_KLL = 5
 TYPE_THETA = 6
 TYPE_SAMPLE = 7
 TYPE_COUNTSKETCH = 8
+TYPE_FD = 9
 
 _REGISTRY: dict[int, type] = {}
 

@@ -159,6 +159,23 @@ def q_dedup_clusters(spark, sf_dir):
     return textops.dedup_clusters(pairs)
 
 
+def q_fd_embedding_spectrum(spark, sf_dir):
+    """Covariance spectrum of the embedding corpus from ONE fixed-size
+    mergeable state (frequent directions): top-5 squared singular
+    values + the sketch's spectral error bound. The one-pass input to
+    PCA whitening / IVF seeding at 10^12 rows; accuracy vs the exact
+    eigenvalues is test-enforced (test_fd)."""
+    from sketchlib.spark.sqlfuncs import register_sql_functions
+    udfs = register_sql_functions(spark)
+    emb = (load(spark, sf_dir, "embeddings")
+           .select(F.lit(1).alias("g"), "embedding"))
+    merged = build_sketches(emb, ["g"],
+                            [SketchSpec("f", "fd", "embedding", {"l": 32})])
+    spec = udfs["fd_spectrum"](F.col("sketch"), F.lit(5))
+    return (merged.select(F.posexplode(spec).alias("rnk", "sq_singular"))
+            .select((F.col("rnk") + 1).alias("rnk"), "sq_singular"))
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-5 neighbors for query vectors vec_id < 10.
 

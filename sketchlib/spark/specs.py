@@ -20,9 +20,10 @@ from sketchlib.core.kll import KLL
 from sketchlib.core.theta import ThetaSketch
 from sketchlib.core.sample import BottomKSample
 from sketchlib.core.countsketch import CountSketch
+from sketchlib.core.fd import FrequentDirections
 
 KINDS = {"bloom", "hll", "cms", "tdigest", "kll", "theta", "sample",
-         "countsketch"}
+         "countsketch", "fd"}
 _NUMERIC_KINDS = {"tdigest", "kll"}
 
 
@@ -75,7 +76,8 @@ class SketchSpec:
         ctor = {"bloom": BloomFilter, "hll": HyperLogLog, "cms": CountMinSketch,
                 "tdigest": TDigest, "kll": KLL, "theta": ThetaSketch,
                 "sample": BottomKSample,
-                "countsketch": CountSketch}[self.kind]
+                "countsketch": CountSketch,
+                "fd": FrequentDirections}[self.kind]
         return ctor(**kwargs)
 
     @property

@@ -140,6 +140,21 @@ def _make_udfs() -> dict:
             out.append(sk.to_bytes())
         return pd.Series(out, dtype=object)
 
+    def fd_spectrum(blobs: pd.Series, ks: pd.Series) -> pd.Series:
+        """Top-k squared singular values of a frequent-directions blob
+        — each within the sketch's spectral error bound of the true
+        covariance eigenvalues (Weyl + the FD guarantee)."""
+        from sketchlib.core.fd import FrequentDirections
+        out = []
+        for b, k in zip(blobs, ks):
+            if b is None or k is None:
+                out.append(None)
+                continue
+            vals, _ = FrequentDirections.from_bytes(bytes(b)) \
+                .top_directions(int(k))
+            out.append([float(v) for v in vals])
+        return pd.Series(out, dtype=object)
+
     def _theta_pair(fn):
         def inner(a_blobs: pd.Series, b_blobs: pd.Series) -> pd.Series:
             out = np.full(len(a_blobs), np.nan)
@@ -175,6 +190,7 @@ def _make_udfs() -> dict:
         "sketch_quantile": pandas_udf(sketch_quantile, "double"),
         "sketch_cdf": pandas_udf(sketch_cdf, "double"),
         "cms_join_size": pandas_udf(cms_join_size, "long"),
+        "fd_spectrum": pandas_udf(fd_spectrum, "array<double>"),
         "sketch_merge": pandas_udf(sketch_merge, "binary"),
         "sample_values": pandas_udf(sample_values, "array<string>"),
         # theta set algebra between two sketch columns — pairwise group
