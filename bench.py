@@ -41,6 +41,8 @@ BENCH_QUERIES = [
     "bloom_semijoin",
     "sample_docs_lang",
     "countsketch_token_freq",
+    "cms_join_size",
+    "fd_embedding_spectrum",
 ]
 
 
