@@ -133,28 +133,8 @@ class CountMinSketch:
         header = {"w": self.w, "d": self.d, "seed": self.seed, "total": self.total}
         if self.conservative:  # omitted when False: old blobs stay readable
             header["cu"] = 1
-        flat = self.table.reshape(-1)
-        vmax = int(flat.max(initial=0))
-        vmin = int(flat.min(initial=0))
-        if vmin < 0:  # weighted updates may decrement; stay signed
-            dt = (np.int16 if -0x8000 <= vmin and vmax <= 0x7FFF else
-                  np.int32 if -0x80000000 <= vmin and vmax <= 0x7FFFFFFF
-                  else np.int64)
-        else:
-            dt = (np.uint16 if vmax <= 0xFFFF else
-                  np.uint32 if vmax <= 0xFFFFFFFF else np.int64)
-        dense_len = flat.size * dt().itemsize
-        nz = np.flatnonzero(flat)
-        sparse_len = len(nz) * (4 + dt().itemsize)
-        if sparse_len < dense_len:
-            header["enc"] = "sparse"
-            header["dtype"] = np.dtype(dt).name
-            payload = (nz.astype(np.uint32).tobytes()
-                       + flat[nz].astype(dt).tobytes())
-        else:
-            header["enc"] = "dense"
-            header["dtype"] = np.dtype(dt).name
-            payload = flat.astype(dt).tobytes()
+        fields, payload = serde.pack_table(self.table.reshape(-1))
+        header.update(fields)
         return serde.pack(serde.TYPE_CMS, header, payload)
 
     @classmethod
@@ -162,16 +142,8 @@ class CountMinSketch:
         c = cls(header["w"], header["d"], header["seed"],
                 conservative=bool(header.get("cu", 0)))
         c.total = header["total"]
-        dt = np.dtype(header.get("dtype", "int64"))
-        if header.get("enc", "dense") == "sparse":
-            n = len(payload) // (4 + dt.itemsize)
-            idx = np.frombuffer(payload[:4 * n], dtype=np.uint32).astype(np.int64)
-            vals = np.frombuffer(payload[4 * n:], dtype=dt).astype(np.int64)
-            flat = c.table.reshape(-1)
-            flat[idx] = vals
-        else:
-            c.table = (np.frombuffer(payload, dtype=dt).astype(np.int64)
-                       .reshape(c.d, c.w))
+        c.table = serde.unpack_table(header, payload,
+                                     c.w * c.d).reshape(c.d, c.w)
         return c
 
     @classmethod

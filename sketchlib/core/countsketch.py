@@ -107,37 +107,16 @@ class CountSketch:
     def to_bytes(self) -> bytes:
         header = {"w": self.w, "d": self.d, "seed": self.seed,
                   "total": self.total}
-        flat = self.table.reshape(-1)
-        vmax = int(flat.max(initial=0))
-        vmin = int(flat.min(initial=0))
-        dt = (np.int16 if -0x8000 <= vmin and vmax <= 0x7FFF else
-              np.int32 if -0x80000000 <= vmin and vmax <= 0x7FFFFFFF
-              else np.int64)
-        nz = np.flatnonzero(flat)
-        if len(nz) * (4 + dt().itemsize) < flat.size * dt().itemsize:
-            header["enc"] = "sparse"
-            header["dtype"] = np.dtype(dt).name
-            payload = (nz.astype(np.uint32).tobytes()
-                       + flat[nz].astype(dt).tobytes())
-        else:
-            header["enc"] = "dense"
-            header["dtype"] = np.dtype(dt).name
-            payload = flat.astype(dt).tobytes()
+        fields, payload = serde.pack_table(self.table.reshape(-1))
+        header.update(fields)
         return serde.pack(serde.TYPE_COUNTSKETCH, header, payload)
 
     @classmethod
     def _from_parts(cls, header: dict, payload: bytes) -> "CountSketch":
         c = cls(header["w"], header["d"], header["seed"])
         c.total = header["total"]
-        dt = np.dtype(header.get("dtype", "int64"))
-        if header.get("enc", "dense") == "sparse":
-            n = len(payload) // (4 + dt.itemsize)
-            idx = np.frombuffer(payload[:4 * n], dtype=np.uint32).astype(np.int64)
-            vals = np.frombuffer(payload[4 * n:], dtype=dt).astype(np.int64)
-            c.table.reshape(-1)[idx] = vals
-        else:
-            c.table = (np.frombuffer(payload, dtype=dt).astype(np.int64)
-                       .reshape(c.d, c.w))
+        c.table = serde.unpack_table(header, payload,
+                                     c.w * c.d).reshape(c.d, c.w)
         return c
 
     @classmethod

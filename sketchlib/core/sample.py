@@ -63,12 +63,17 @@ class BottomKSample:
                 return self
         tags = hashing.hash64(arr, self.seed)
         # bound Python-object work to k payloads per batch: only the k
-        # smallest tags of this batch can possibly enter the state
-        if len(tags) > self.k:
-            cand = np.argpartition(tags, self.k - 1)[: self.k]
-            tags = tags[cand]
-            arr = arr.take(pa.array(cand))
-        return self._absorb(tags, np.array(arr.to_pylist(), dtype=object))
+        # smallest DISTINCT tags of this batch can enter the state.
+        # Dedup BEFORE the cut — taking the k smallest raw entries
+        # would let duplicates of one hot value crowd out distinct
+        # values that belong in the global bottom-k (state would then
+        # depend on batch grouping, breaking the lattice property)
+        uniq, first_idx = np.unique(tags, return_index=True)
+        if len(uniq) > self.k:
+            uniq = uniq[: self.k]
+            first_idx = first_idx[: self.k]
+        arr = arr.take(pa.array(first_idx))
+        return self._absorb(uniq, np.array(arr.to_pylist(), dtype=object))
 
     def merge(self, other: "BottomKSample") -> "BottomKSample":
         if (other.k, other.seed) != (self.k, self.seed):

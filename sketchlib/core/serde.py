@@ -62,6 +62,47 @@ def unpack(data: bytes) -> tuple[int, dict, bytes]:
     return type_id, header, data[off + hlen:]
 
 
+def pack_table(flat) -> tuple[dict, bytes]:
+    """Adaptive counter-table encoding shared by CMS and count sketch:
+    narrowest dtype that holds the value range (unsigned tiers when
+    non-negative, signed otherwise), sparse (uint32 idx + values) when
+    smaller than dense. Returns (header_fields, payload); decode with
+    ``unpack_table``. Encoding is a pure function of the values, so
+    canonical-bytes guarantees are preserved."""
+    import numpy as np
+    vmax = int(flat.max(initial=0))
+    vmin = int(flat.min(initial=0))
+    if vmin < 0:
+        dt = (np.int16 if -0x8000 <= vmin and vmax <= 0x7FFF else
+              np.int32 if -0x80000000 <= vmin and vmax <= 0x7FFFFFFF
+              else np.int64)
+    else:
+        dt = (np.uint16 if vmax <= 0xFFFF else
+              np.uint32 if vmax <= 0xFFFFFFFF else np.int64)
+    nz = np.flatnonzero(flat)
+    fields = {"dtype": np.dtype(dt).name}
+    if len(nz) * (4 + dt().itemsize) < flat.size * dt().itemsize:
+        fields["enc"] = "sparse"
+        payload = nz.astype(np.uint32).tobytes() + flat[nz].astype(dt).tobytes()
+    else:
+        fields["enc"] = "dense"
+        payload = flat.astype(dt).tobytes()
+    return fields, payload
+
+
+def unpack_table(header: dict, payload: bytes, size: int):
+    """Inverse of ``pack_table``: int64[size] flat counter array."""
+    import numpy as np
+    dt = np.dtype(header.get("dtype", "int64"))
+    if header.get("enc", "dense") == "sparse":
+        n = len(payload) // (4 + dt.itemsize)
+        flat = np.zeros(size, dtype=np.int64)
+        idx = np.frombuffer(payload[:4 * n], dtype=np.uint32).astype(np.int64)
+        flat[idx] = np.frombuffer(payload[4 * n:], dtype=dt).astype(np.int64)
+        return flat
+    return np.frombuffer(payload, dtype=dt).astype(np.int64)
+
+
 def sketch_from_bytes(data: bytes):
     """Deserialize any registered sketch from its envelope."""
     type_id, header, payload = unpack(data)

@@ -265,6 +265,20 @@ def merge_partials(partials: DataFrame, group_cols: list[str],
     return partials.groupBy(*keys).applyInPandas(merge_fn, out_schema)
 
 
+def _fold_blobs(pdf: pd.DataFrame, context: str | None = None):
+    """Deserialize + fold-merge one group's sketch blobs (shared by
+    rollup_sketches and incremental_update merge tasks)."""
+    sk = sketch_from_bytes(bytes(pdf["sketch"].iloc[0]))
+    for blob in pdf["sketch"].iloc[1:]:
+        try:
+            sk.merge(sketch_from_bytes(bytes(blob)))
+        except ValueError as e:
+            if context:
+                raise ValueError(f"{context}: {e}") from e
+            raise
+    return sk
+
+
 def rollup_sketches(sketches: DataFrame, from_cols: list[str],
                     to_cols: list[str]) -> DataFrame:
     """Roll a sketch table keyed by ``from_cols`` up to ``to_cols`` by
@@ -299,20 +313,14 @@ def rollup_sketches(sketches: DataFrame, from_cols: list[str],
     def merge_fn(key, pdf):
         if dropped:
             pdf = pdf.sort_values(dropped, kind="stable")
-        sk = sketch_from_bytes(bytes(pdf["sketch"].iloc[0]))
-        for blob in pdf["sketch"].iloc[1:]:
-            try:
-                sk.merge(sketch_from_bytes(bytes(blob)))
-            except ValueError as e:
-                # e.g. per-group Bloom params: each fine group has its own
-                # (m, k), so states across the dropped key cannot merge
-                raise ValueError(
-                    f"cannot roll up group {key}: states across the "
-                    f"dropped key(s) {dropped} have incompatible params "
-                    f"({e}); rollup requires params uniform over the "
-                    "dropped keys (HLL/CMS/theta/KLL/t-digest with fixed "
-                    "params qualify; per-group-calibrated Bloom does not)"
-                ) from e
+        # e.g. per-group Bloom params: each fine group has its own
+        # (m, k), so states across the dropped key cannot merge
+        sk = _fold_blobs(pdf, context=(
+            f"cannot roll up group {key}: states across the dropped "
+            f"key(s) {dropped} have incompatible params; rollup "
+            "requires params uniform over the dropped keys "
+            "(HLL/CMS/theta/KLL/t-digest with fixed params qualify; "
+            "per-group-calibrated Bloom does not)"))
         return pd.DataFrame({
             **{c: [key[i]] for i, c in enumerate(keys)},
             "sketch": [sk.to_bytes()],
@@ -381,9 +389,10 @@ def incremental_update(sketch_table: DataFrame, new_df: DataFrame,
         # deterministic merge order for the lossy kernels: base first
         # (larger n_rows), then delta — and stable on ties
         pdf = pdf.sort_values("n_rows", ascending=False, kind="stable")
-        sk = sketch_from_bytes(bytes(pdf["sketch"].iloc[0]))
-        for blob in pdf["sketch"].iloc[1:]:
-            sk.merge(sketch_from_bytes(bytes(blob)))
+        sk = _fold_blobs(pdf, context=(
+            f"cannot update group {key}: the stored state and the "
+            "delta build have incompatible params — pass the same "
+            "specs that built the sketch table"))
         return pd.DataFrame({
             **{c: [key[i]] for i, c in enumerate(keys)},
             "sketch": [sk.to_bytes()],

@@ -97,7 +97,8 @@ def spec_fingerprint(df: DataFrame, group_cols: list[str],
         "group_cols": group_cols,
         "specs": [{"name": s.name, "kind": s.kind, "value_col": s.value_col,
                    "params": s.params, "per_group": s.per_group_params is not None,
-                   "tokenize": s.tokenize} for s in specs],
+                   "tokenize": s.tokenize, "weight_col": s.weight_col}
+                  for s in specs],
     }, sort_keys=True)
     return hashlib.sha256(payload.encode()).hexdigest()[:16]
 

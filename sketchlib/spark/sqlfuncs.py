@@ -130,10 +130,11 @@ def _make_udfs() -> dict:
         ``build.rollup_sketches`` (salted applyInPandas)."""
         out = []
         for lst in blob_lists:
-            if lst is None or len(lst) == 0:
+            blobs = (sorted(bytes(b) for b in lst if b is not None)
+                     if lst is not None else [])
+            if not blobs:  # NULL array, empty array, or all-NULL entries
                 out.append(None)
                 continue
-            blobs = sorted(bytes(b) for b in lst if b is not None)
             sk = sketch_from_bytes(blobs[0])
             for b in blobs[1:]:
                 sk.merge(sketch_from_bytes(b))

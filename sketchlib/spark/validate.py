@@ -162,47 +162,63 @@ def accuracy_table(df: DataFrame, group_cols: list[str], specs,
         k = spec.params.get("k", 4096 if spec.kind == "theta" else 1024)
         return 4.0 / (max(k - 2, 1)) ** 0.5
 
+    dist_specs = [s for s in todo if s.kind in distinct_kinds]
+    quant_specs = [s for s in todo if s.kind in quantile_kinds]
     out = []
-    for spec in todo:
-        sk = merged.filter(F.col("sketch_name") == spec.name)
-        if spec.kind in distinct_kinds:
-            exact = (df.groupBy(*group_cols)
-                     .agg(F.countDistinct(spec.value_col).alias("exact")))
-            est = sk.select(*group_cols, "sketch_name",
-                            udfs["sketch_estimate"]("sketch").alias("est"))
-            j = (est.join(exact, group_cols)
-                 .withColumn("err", F.abs(F.col("est") - F.col("exact"))
-                             / F.col("exact"))
-                 .withColumn("bound", F.lit(float(_bound(spec)))))
-            out.append(j.select(
-                *group_cols, "sketch_name", F.lit(spec.kind).alias("kind"),
-                F.lit("distinct_rel_err").alias("metric"),
-                "est", F.col("exact").cast("double").alias("exact"),
-                "err", "bound",
-                (F.col("err") <= F.col("bound")).alias("within_bound")))
-        else:
-            est = sk.select(*group_cols, "sketch_name",
-                            udfs["sketch_quantile"]("sketch", F.lit(0.5))
-                            .alias("est"))
-            # exact rank of the estimated median, one distributed pass:
-            # join the per-group estimate back to the rows
-            ranked = (df.select(*group_cols,
-                                F.col(spec.value_col).alias("_v"))
-                      .dropna(subset=["_v"])
-                      .join(est, group_cols)
-                      .groupBy(*group_cols, "sketch_name", "est")
-                      .agg(F.avg((F.col("_v") <= F.col("est"))
-                                 .cast("double")).alias("exact")))
-            out.append(ranked
-                       .withColumn("err", F.abs(F.col("exact") - 0.5))
-                       .withColumn("bound",
-                                   F.lit(float(quantile_rank_bound)))
-                       .select(*group_cols, "sketch_name",
-                               F.lit(spec.kind).alias("kind"),
-                               F.lit("median_rank_err").alias("metric"),
-                               "est", "exact", "err", "bound",
-                               (F.col("err") <= F.col("bound"))
-                               .alias("within_bound")))
+
+    if dist_specs:
+        # ONE exact aggregation pass covers every distinct-kind spec —
+        # multiple countDistinct columns share the scan (specs often
+        # share a value_col too: hll+theta over the same column)
+        cols = sorted({s.value_col for s in dist_specs})
+        exact = df.groupBy(*group_cols).agg(
+            *[F.countDistinct(c).alias(f"__ex_{c}") for c in cols])
+        for spec in dist_specs:
+            est = (merged.filter(F.col("sketch_name") == spec.name)
+                   .select(*group_cols, "sketch_name",
+                           udfs["sketch_estimate"]("sketch").alias("est")))
+            ex = F.col(f"__ex_{spec.value_col}")
+            out.append(
+                est.join(exact, group_cols)
+                .withColumn("err", F.abs(F.col("est") - ex) / ex)
+                .withColumn("bound", F.lit(float(_bound(spec))))
+                .select(*group_cols, "sketch_name",
+                        F.lit(spec.kind).alias("kind"),
+                        F.lit("distinct_rel_err").alias("metric"),
+                        "est", ex.cast("double").alias("exact"),
+                        "err", "bound",
+                        (F.col("err") <= F.col("bound"))
+                        .alias("within_bound")))
+
+    # quantile kinds: group by value_col so each column's rows are
+    # scanned ONCE for all specs over it (kll+tdigest over n_chars =
+    # one join, not two) — the est side is <= #groups x #specs rows
+    by_col: dict = {}
+    for spec in quant_specs:
+        by_col.setdefault(spec.value_col, []).append(spec)
+    for vcol, col_specs in by_col.items():
+        ests = None
+        for spec in col_specs:
+            e = (merged.filter(F.col("sketch_name") == spec.name)
+                 .select(*group_cols, "sketch_name",
+                         F.lit(spec.kind).alias("kind"),
+                         udfs["sketch_quantile"]("sketch", F.lit(0.5))
+                         .alias("est")))
+            ests = e if ests is None else ests.unionByName(e)
+        ranked = (df.select(*group_cols, F.col(vcol).alias("_v"))
+                  .dropna(subset=["_v"])
+                  .join(ests, group_cols)
+                  .groupBy(*group_cols, "sketch_name", "kind", "est")
+                  .agg(F.avg((F.col("_v") <= F.col("est"))
+                             .cast("double")).alias("exact")))
+        out.append(ranked
+                   .withColumn("err", F.abs(F.col("exact") - 0.5))
+                   .withColumn("bound", F.lit(float(quantile_rank_bound)))
+                   .select(*group_cols, "sketch_name", "kind",
+                           F.lit("median_rank_err").alias("metric"),
+                           "est", "exact", "err", "bound",
+                           (F.col("err") <= F.col("bound"))
+                           .alias("within_bound")))
     res = out[0]
     for o in out[1:]:
         res = res.unionByName(o)

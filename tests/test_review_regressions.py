@@ -302,3 +302,24 @@ class TestRound2ReviewFixes:
             sk = spec.make("g")
             with pytest.raises(ValueError, match=msg):
                 _feed(spec, sk, pd.DataFrame({"k": ["a", "b"], "w": bad}))
+
+
+class TestRound2ReviewFixes2:
+    def test_sketch_merge_all_null_array_returns_null(self, spark):
+        from sketchlib.spark.sqlfuncs import register_sql_functions
+        register_sql_functions(spark)
+        r = spark.sql("SELECT sketch_merge(array(CAST(NULL AS BINARY))) "
+                      "AS m").first()
+        assert r["m"] is None
+
+    def test_fingerprint_covers_weight_col(self, spark):
+        import pandas as pd
+        from sketchlib.spark.checkpoint import spec_fingerprint
+        from sketchlib.spark.specs import SketchSpec
+        df = spark.createDataFrame(
+            pd.DataFrame({"g": ["a"], "k": ["x"], "w": [1]}))
+        base = [SketchSpec("c", "cms", "k", {"w": 64, "d": 3})]
+        weighted = [SketchSpec("c", "cms", "k", {"w": 64, "d": 3},
+                               weight_col="w")]
+        assert (spec_fingerprint(df, ["g"], base)
+                != spec_fingerprint(df, ["g"], weighted))

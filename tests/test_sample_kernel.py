@@ -27,11 +27,21 @@ def test_matches_global_bottom_k():
 
 
 def test_duplicates_do_not_skew():
-    """A value seen 1000x occupies exactly one slot."""
-    s = BottomKSample(k=16, seed=0)
-    s.update_batch(["hot"] * 1000 + [f"cold{i}" for i in range(100)])
-    assert sum(p == b"hot" for p in s.sample()) <= 1
-    assert len(s.tags) == 16
+    """A value seen 1000x occupies exactly one slot — across EVERY
+    seed, including those where the hot tag ranks inside the bottom-k
+    (the review-found bug: pre-dedup argpartition let hot copies crowd
+    out distinct values and made state depend on batch grouping)."""
+    for seed in range(20):
+        s = BottomKSample(k=16, seed=seed)
+        s.update_batch(["hot"] * 1000 + [f"cold{i}" for i in range(100)])
+        assert sum(p == b"hot" for p in s.sample()) <= 1, seed
+        assert len(s.tags) == 16, seed
+        # one batch vs many batches: bitwise-identical state
+        s2 = BottomKSample(k=16, seed=seed)
+        s2.update_batch(["hot"] * 500)
+        s2.update_batch([f"cold{i}" for i in range(50)] + ["hot"] * 500)
+        s2.update_batch([f"cold{i}" for i in range(50, 100)])
+        assert s2.to_bytes() == s.to_bytes(), seed
 
 
 def test_below_saturation_is_exhaustive_and_exact():
