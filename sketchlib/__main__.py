@@ -192,10 +192,20 @@ def cmd_estimate(args) -> int:
     group_cols = [c for c in df.columns
                   if c not in ("sketch_name", "sketch", "n_rows", "n_partials")]
     sel = ", ".join(group_cols)
+    extra = ""
+    if args.quantile is not None:
+        q = float(args.quantile)
+        if not 0.0 <= q <= 1.0:
+            raise SystemExit(f"--quantile must be in [0, 1], got {q}")
+        extra += (f", round(sketch_quantile(sketch, {q}), 2) "
+                  f"AS q{str(q).replace('.', '_')}")
+    if args.cdf is not None:
+        extra += (f", round(sketch_cdf(sketch, {float(args.cdf)}), 4) "
+                  "AS cdf")
     spark.sql(
         f"SELECT {sel}, sketch_name, n_rows, "
         "round(sketch_estimate(sketch), 1) AS estimate "
-        f"FROM sketches ORDER BY {sel}, sketch_name"
+        f"{extra} FROM sketches ORDER BY {sel}, sketch_name"
     ).show(200, truncate=False)
     spark.stop()
     return 0
@@ -264,6 +274,10 @@ def main(argv=None) -> int:
 
     e = sub.add_parser("estimate", help="print estimates from a sketch table")
     e.add_argument("--sketches", required=True)
+    e.add_argument("--quantile", type=float, default=None,
+                   help="also print this quantile from kll/tdigest rows")
+    e.add_argument("--cdf", type=float, default=None,
+                   help="also print rank of this value from kll/tdigest rows")
     e.add_argument("--cpus", default="*")
     e.set_defaults(fn=cmd_estimate)
 

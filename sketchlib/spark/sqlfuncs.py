@@ -83,7 +83,10 @@ def _make_udfs() -> dict:
             # type-agnostic NaN test
             if b is None or q is None or q != q:
                 continue
-            out[i] = float(sketch_from_bytes(bytes(b)).quantile(float(q)))
+            sk = sketch_from_bytes(bytes(b))
+            if not hasattr(sk, "quantile"):
+                continue  # non-quantile blob in a mixed table -> NULL
+            out[i] = float(sk.quantile(float(q)))
         return pd.Series(out)
 
     def cms_join_size(a_blobs: pd.Series, b_blobs: pd.Series) -> pd.Series:
@@ -112,8 +115,7 @@ def _make_udfs() -> dict:
             sk = sketch_from_bytes(bytes(b))
             fn = getattr(sk, "cdf", None) or getattr(sk, "rank", None)
             if fn is None:
-                raise TypeError(
-                    f"sketch_cdf needs a quantile sketch, got {type(sk).__name__}")
+                continue  # non-quantile blob in a mixed table -> NULL
             out[i] = float(fn(float(x)))
         return pd.Series(out)
 

@@ -69,9 +69,10 @@ def test_sql_cdf_matches_exact_share(spark, pages_tiny, sketch_view):
         assert abs(got - 0.5) < 0.05, (r["lang"], got)
 
 
-def test_sql_cdf_rejects_non_quantile_sketch(spark, sketch_view):
-    import pytest
-    from pyspark.errors.exceptions.captured import PythonException
-    with pytest.raises(PythonException, match="quantile sketch"):
-        spark.sql("SELECT sketch_cdf(sketch, 1.0) FROM sketches "
-                  "WHERE sketch_name = 'url_hll'").collect()
+def test_sql_cdf_and_quantile_null_for_non_quantile_sketch(spark, sketch_view):
+    """Mixed sketch tables: rank/quantile read-outs over non-quantile
+    blobs yield NULL (SQL semantics), not a task-killing exception."""
+    r = spark.sql("SELECT sketch_cdf(sketch, 1.0) AS c, "
+                  "sketch_quantile(sketch, 0.5) AS q FROM sketches "
+                  "WHERE sketch_name = 'url_hll'").first()
+    assert r["c"] is None and r["q"] is None
