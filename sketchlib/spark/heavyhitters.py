@@ -31,12 +31,14 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
+import pyarrow.compute as pa_compute
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (ArrayType, BinaryType, IntegerType, LongType,
                                StringType, StructField, StructType)
 
 from sketchlib.core.cms import CountMinSketch
 from sketchlib.core.serde import sketch_from_bytes
+from sketchlib.spark.build import tokens_arrow
 
 
 class SpaceSaving:
@@ -154,15 +156,13 @@ def cms_heavy_hitters(df: DataFrame, group_cols: list[str], text_col: str,
                     slot = [CountMinSketch(w, d, seed, conservative=conservative),
                             SpaceSaving(capacity)]
                     acc[gkey] = slot
-                toks = (sub[text_col].dropna().astype(str)
-                        .str.split(" ").explode().dropna())
-                toks = toks[toks != ""]
+                toks = tokens_arrow(sub[text_col])
                 if not len(toks):
                     continue
-                vc = toks.value_counts()
-                slot[0].update_batch(vc.index.to_numpy(),
-                                     vc.to_numpy(dtype=np.int64))
-                slot[1].add_batch(vc.index, vc.to_numpy())
+                vc = pa_compute.value_counts(toks)
+                counts = vc.field("counts").to_numpy()
+                slot[0].update_batch(vc.field("values"), counts)
+                slot[1].add_batch(vc.field("values").to_pylist(), counts)
         rows = []
         for gkey, (cms, ss) in acc.items():
             # emit the ENTIRE summary (not a top-C cut — cutting by local

@@ -122,15 +122,15 @@ def streaming_heavy_hitters(stream_df: DataFrame, group_cols: list[str],
             cms = CountMinSketch(w, d, seed, conservative=True)
             ss = SpaceSaving(capacity)
         for pdf in pdfs:
-            col = (pdf[text_col].dropna().astype(str)
-                   .str.split(" ").explode().dropna())
-            col = col[col != ""]
-            if not len(col):
+            import pyarrow.compute as pc
+            from sketchlib.spark.build import tokens_arrow
+            toks = tokens_arrow(pdf[text_col])
+            if not len(toks):
                 continue
-            vc = col.value_counts()
-            cms.update_batch(vc.index.to_numpy(),
-                             vc.to_numpy(dtype=np.int64))
-            ss.add_batch(vc.index, vc.to_numpy())
+            vc = pc.value_counts(toks)
+            counts = vc.field("counts").to_numpy()
+            cms.update_batch(vc.field("values"), counts)
+            ss.add_batch(vc.field("values").to_pylist(), counts)
         toks, cnts, errs = ss.to_state()
         state.update((cms.to_bytes(), toks, cnts, errs))
         top_toks, top_ests = topk_from_cms(cms, toks, k)
