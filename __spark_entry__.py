@@ -43,6 +43,26 @@ def _langid_oracle() -> str:
         "round(best.score / greatest(len(toks), 1), 4) AS confidence FROM sc")
 
 
+def _pii_oracle() -> str:
+    """Composes the SAME lookahead-free patterns as textops.pii_scrub,
+    in the same order, each over the previous stage's scrubbed text."""
+    from sketchlib.spark.textops import PII_PATTERNS
+    prev, sql, counts = "text", "", []
+    for i, (name, pat) in enumerate(PII_PATTERNS):
+        cur = f"t{i}"
+        src = "documents" if i == 0 else f"s{i - 1}"
+        sql += (f"{'WITH ' if i == 0 else ', '}s{i} AS (SELECT doc_id, "
+                f"len(regexp_extract_all({prev}, '{pat}')) AS c{i}, "
+                f"regexp_replace({prev}, '{pat}', '<{name.upper()}>', 'g') "
+                f"AS {cur}"
+                + "".join(f", c{j}" for j in range(i)) + f" FROM {src}) ")
+        counts.append(f"c{i}")
+        prev = cur
+    n = len(PII_PATTERNS)
+    return (sql + f"SELECT doc_id, t{n - 1} AS text_scrubbed, "
+            + " + ".join(counts) + f" AS n_redactions FROM s{n - 1}")
+
+
 def _wrap(fn: Callable) -> Callable:
     """Ship sketchlib to Spark workers before any pandas UDF runs."""
     def inner(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -72,6 +92,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _wrap(Q.q_token_counts),
         "token_counts_bpe": _wrap(Q.q_token_counts_bpe),
         "quality_scores": _wrap(Q.q_quality_scores),
+        "pii_scrub": _wrap(Q.q_pii_scrub),
         "ngram_jaccard_pairs": _wrap(Q.q_ngram_jaccard_pairs),
         "dedup_clusters": _wrap(Q.q_dedup_clusters),
         "corpus_curation": _wrap(Q.q_corpus_curation),
@@ -302,6 +323,7 @@ def oracle_sql() -> dict[str, str]:
             "AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00' "
             "GROUP BY o_orderpriority",
         "langid_heuristic": _langid_oracle(),
+        "pii_scrub": _pii_oracle(),
         "user_overlap_exact":
             "SELECT a.event_type AS type_a, b.event_type AS type_b, "
             "count(DISTINCT a.user_id) AS n_shared "

@@ -105,6 +105,15 @@ def q_token_counts_bpe(spark, sf_dir):
                                     "doc_id", "text")
 
 
+def q_pii_scrub(spark, sf_dir):
+    """Curation scrub over documents (emails/phones/IPv4 -> typed
+    placeholders); oracle-checked against DuckDB with the identical
+    lookahead-free patterns. PII-laden inputs are covered by pytest
+    fixtures (the driver corpus is synthetic clean text)."""
+    return textops.pii_scrub(load(spark, sf_dir, "documents"),
+                             "doc_id", "text")
+
+
 def q_quality_scores(spark, sf_dir):
     return textops.quality_scores(load(spark, sf_dir, "documents"),
                                   "doc_id", "text")

@@ -396,6 +396,35 @@ def token_counts_bpe(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                      F.size(pieces).cast("long").alias("n_bpe_tokens"))
 
 
+# PII patterns — lookahead-free so the SAME strings run in Java regex
+# (Spark) and RE2 (DuckDB oracle), like BPE_SPLIT_PATTERN above.
+PII_PATTERNS = (
+    # order is semantic: emails first (their digits must not half-match
+    # the phone pattern), IPv4 before phone (dotted quads ARE a valid
+    # phone-pattern match otherwise)
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"),
+    ("phone", r"\+?[0-9][0-9()\-\. ]{7,}[0-9]"),
+)
+
+
+def pii_scrub(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, text_scrubbed, n_redactions) — standard curation scrub:
+    emails / phone-ish numbers / IPv4s replaced by typed placeholders,
+    fully JVM-side (chained regexp_replace + regexp_count, whole-stage
+    codegen; no Python). Patterns are shared verbatim with the DuckDB
+    oracle. Order matters: emails first so their digits never half-match
+    the phone pattern; each later pattern is applied to the already-
+    scrubbed text, exactly as the oracle composes them."""
+    scrubbed = F.col(text_col)
+    n_red = F.lit(0).cast("long")
+    for name, pat in PII_PATTERNS:
+        n_red = n_red + F.regexp_count(scrubbed, F.lit(pat))
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{name.upper()}>")
+    return df.select(F.col(id_col), scrubbed.alias("text_scrubbed"),
+                     n_red.alias("n_redactions"))
+
+
 def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Deterministic quality features, all with built-in functions:
     char count, token count, distinct-token ratio, mean token length."""

@@ -323,3 +323,43 @@ class TestRound2ReviewFixes2:
                                weight_col="w")]
         assert (spec_fingerprint(df, ["g"], base)
                 != spec_fingerprint(df, ["g"], weighted))
+
+
+class TestPiiScrub:
+    ROWS = [
+        (1, "contact me at jane.doe+spam@example.co.uk please"),
+        (2, "call +1 (415) 555-0199 or 020 7946 0958 now"),
+        (3, "server at 192.168.0.1 and 10.0.0.255 responded"),
+        (4, "mixed: bob@x.io then 415-555-0000 then 8.8.8.8"),
+        (5, "clean text with no identifiers at all"),
+        (6, None),
+        (7, "v1.2.3 is not an ip and a@b is not an email"),
+    ]
+
+    def test_redactions_and_oracle_parity(self, spark):
+        import duckdb
+        import pandas as pd
+        from sketchlib.spark import textops
+        df = spark.createDataFrame(self.ROWS, "doc_id long, text string")
+        got = (textops.pii_scrub(df, "doc_id", "text").toPandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        by = got.set_index("doc_id")
+        assert "<EMAIL>" in by.loc[1, "text_scrubbed"]
+        assert "jane" not in by.loc[1, "text_scrubbed"]
+        assert by.loc[2, "text_scrubbed"].count("<PHONE>") == 2
+        assert by.loc[3, "text_scrubbed"].count("<IPV4>") == 2
+        assert by.loc[4, "n_redactions"] == 3
+        assert by.loc[5, "text_scrubbed"] == self.ROWS[4][1]
+        assert by.loc[5, "n_redactions"] == 0
+        assert by.loc[7, "n_redactions"] == 0
+        # DuckDB oracle parity on PII-laden rows (identical patterns)
+        import __spark_entry__ as E
+        con = duckdb.connect()
+        con.register("documents", pd.DataFrame(
+            self.ROWS, columns=["doc_id", "text"]))
+        want = (con.sql(E.oracle_sql()["pii_scrub"]).df()
+                .sort_values("doc_id").reset_index(drop=True))
+        assert got["text_scrubbed"].fillna("§").tolist() == \
+            want["text_scrubbed"].fillna("§").tolist()
+        assert got["n_redactions"].fillna(-1).tolist() == \
+            want["n_redactions"].fillna(-1).tolist()
