@@ -192,16 +192,19 @@ def cmd_estimate(args) -> int:
     group_cols = [c for c in df.columns
                   if c not in ("sketch_name", "sketch", "n_rows", "n_partials")]
     sel = ", ".join(group_cols)
+    import math
     extra = ""
     if args.quantile is not None:
         q = float(args.quantile)
         if not 0.0 <= q <= 1.0:
             raise SystemExit(f"--quantile must be in [0, 1], got {q}")
-        extra += (f", round(sketch_quantile(sketch, {q}), 2) "
-                  f"AS q{str(q).replace('.', '_')}")
+        # fixed alias: float reprs (1e-05) are not valid SQL identifiers
+        extra += f", round(sketch_quantile(sketch, {q!r}), 2) AS quantile"
     if args.cdf is not None:
-        extra += (f", round(sketch_cdf(sketch, {float(args.cdf)}), 4) "
-                  "AS cdf")
+        x = float(args.cdf)
+        if not math.isfinite(x):
+            raise SystemExit(f"--cdf must be finite, got {x}")
+        extra += f", round(sketch_cdf(sketch, {x!r}), 4) AS cdf"
     spark.sql(
         f"SELECT {sel}, sketch_name, n_rows, "
         "round(sketch_estimate(sketch), 1) AS estimate "

@@ -38,7 +38,7 @@ from pyspark.sql.types import (ArrayType, BinaryType, IntegerType, LongType,
 
 from sketchlib.core.cms import CountMinSketch
 from sketchlib.core.serde import sketch_from_bytes
-from sketchlib.spark.build import tokens_arrow
+from sketchlib.spark.build import update_from_token_counts
 
 
 class SpaceSaving:
@@ -156,13 +156,7 @@ def cms_heavy_hitters(df: DataFrame, group_cols: list[str], text_col: str,
                     slot = [CountMinSketch(w, d, seed, conservative=conservative),
                             SpaceSaving(capacity)]
                     acc[gkey] = slot
-                toks = tokens_arrow(sub[text_col])
-                if not len(toks):
-                    continue
-                vc = pa_compute.value_counts(toks)
-                counts = vc.field("counts").to_numpy()
-                slot[0].update_batch(vc.field("values"), counts)
-                slot[1].add_batch(vc.field("values").to_pylist(), counts)
+                update_from_token_counts(slot[0], slot[1], sub[text_col])
         rows = []
         for gkey, (cms, ss) in acc.items():
             # emit the ENTIRE summary (not a top-C cut — cutting by local

@@ -98,6 +98,7 @@ def streaming_heavy_hitters(stream_df: DataFrame, group_cols: list[str],
     import numpy as np
     from pyspark.sql.types import ArrayType, IntegerType
     from sketchlib.core.cms import CountMinSketch
+    from sketchlib.spark.build import update_from_token_counts
     from sketchlib.spark.heavyhitters import SpaceSaving, topk_from_cms
 
     out_schema = StructType(_group_fields(stream_df, group_cols) + [
@@ -122,15 +123,7 @@ def streaming_heavy_hitters(stream_df: DataFrame, group_cols: list[str],
             cms = CountMinSketch(w, d, seed, conservative=True)
             ss = SpaceSaving(capacity)
         for pdf in pdfs:
-            import pyarrow.compute as pc
-            from sketchlib.spark.build import tokens_arrow
-            toks = tokens_arrow(pdf[text_col])
-            if not len(toks):
-                continue
-            vc = pc.value_counts(toks)
-            counts = vc.field("counts").to_numpy()
-            cms.update_batch(vc.field("values"), counts)
-            ss.add_batch(vc.field("values").to_pylist(), counts)
+            update_from_token_counts(cms, ss, pdf[text_col])
         toks, cnts, errs = ss.to_state()
         state.update((cms.to_bytes(), toks, cnts, errs))
         top_toks, top_ests = topk_from_cms(cms, toks, k)

@@ -363,3 +363,14 @@ class TestPiiScrub:
             want["text_scrubbed"].fillna("§").tolist()
         assert got["n_redactions"].fillna(-1).tolist() == \
             want["n_redactions"].fillna(-1).tolist()
+
+
+def test_tokens_arrow_non_string_coercion():
+    """Non-string / mixed tokenize columns keep Python-str() semantics
+    (1.0 -> '1.0', matching Spark CAST AS STRING and the old path)."""
+    import pandas as pd
+    from sketchlib.spark.build import tokens_arrow
+    assert tokens_arrow(pd.Series([1.0, 2.5, None])).to_pylist() \
+        == ["1.0", "2.5"]
+    assert tokens_arrow(pd.Series(["a b", None, 3], dtype=object)) \
+        .to_pylist() == ["a", "b", "3"]
