@@ -104,3 +104,20 @@ def test_conservative_cms_bounds(stream):
     for i, t in enumerate(uniq):
         assert e_cons[i] >= true[t]
         assert e_cons[i] <= e_plain[i]
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.one_of(st.none(), st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=40)),
+    max_size=30))
+def test_tokens_arrow_matches_pandas_reference(texts):
+    """The arrow tokenizer is semantics-identical to the old pandas
+    split/explode path on arbitrary unicode, nulls, empties, and
+    repeated/multi spaces."""
+    import pandas as pd
+    from sketchlib.spark.build import tokens_arrow
+    col = pd.Series(texts, dtype=object)
+    ref = col.dropna().astype(str).str.split(" ").explode().dropna()
+    ref = ref[ref != ""].tolist()
+    got = tokens_arrow(col).to_pylist()
+    assert got == ref
