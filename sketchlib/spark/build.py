@@ -246,15 +246,20 @@ def _merged_schema(partials: DataFrame, group_cols: list[str]) -> StructType:
 
 
 def merge_partials(partials: DataFrame, group_cols: list[str],
-                   fanout: int | None = None) -> DataFrame:
+                   fanout: int | str | None = None) -> DataFrame:
     """Stage 2b: hierarchical merge of partial sketches per (group, spec).
 
     ``fanout=S`` inserts a salted pre-merge level (treeAggregate-style):
     partials first merge within (group, partition_id % S) buckets, then
     across buckets — bounds any single task's fan-in on 10k-partition
-    inputs. Partials are merged in partition_id order so the pipeline
-    is deterministic run-to-run even for the lossy quantile sketches.
+    inputs. ``fanout="auto"`` sizes the tree from the partials'
+    partition count like ``build_sketches`` does (resolved HERE so
+    every caller — including the checkpointed build — accepts it).
+    Partials are merged in partition_id order so the pipeline is
+    deterministic run-to-run even for the lossy quantile sketches.
     """
+    if fanout == "auto":
+        fanout = _auto_fanout(partials.rdd.getNumPartitions())
     out_schema = _merged_schema(partials, group_cols)
     keys = [*group_cols, "sketch_name"]
 
@@ -382,10 +387,14 @@ def build_sketches(df: DataFrame, group_cols: list[str],
     (group_cols..., sketch_name, sketch binary, n_rows, n_partials).
     """
     if fanout == "auto":
-        parts = df.rdd.getNumPartitions()
-        fanout = None if parts <= 64 else int(np.ceil(np.sqrt(parts)))
+        fanout = _auto_fanout(df.rdd.getNumPartitions())
     return merge_partials(build_partials(df, group_cols, specs),
                           group_cols, fanout=fanout)
+
+
+def _auto_fanout(parts: int) -> int | None:
+    """Single-level merge up to 64 partials/group, else ~sqrt(parts)."""
+    return None if parts <= 64 else int(np.ceil(np.sqrt(parts)))
 
 
 def incremental_update(sketch_table: DataFrame, new_df: DataFrame,

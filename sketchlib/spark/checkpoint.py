@@ -168,7 +168,7 @@ class PartialCheckpoint:
 
 def build_sketches_checkpointed(df: DataFrame, group_cols: list[str],
                                 specs: list[SketchSpec], ckpt_path: str,
-                                fanout: int | None = None) -> DataFrame:
+                                fanout: int | str | None = "auto") -> DataFrame:
     """build_sketches with a partial-level checkpoint at ``ckpt_path``.
 
     First run: builds all partials, checkpoints them, merges.

@@ -95,3 +95,14 @@ def test_iceberg_feature_detect_runs(spark):
     # without raising, and cache the answer
     assert iceberg_available(spark) in (True, False)
     assert iceberg_available(spark) == iceberg_available(spark)
+
+
+def test_checkpointed_build_accepts_auto_fanout(spark, pages_tiny, tmp_path):
+    """fanout='auto' (the CLI default) must resolve inside the
+    checkpointed path too — it crashed with a str/int comparison."""
+    from sketchlib.spark.checkpoint import build_sketches_checkpointed
+    out = build_sketches_checkpointed(
+        pages_tiny, ["lang"],
+        [SketchSpec("h", "hll", "url", {"b": 10})],
+        str(tmp_path / "ck_auto"), fanout="auto")
+    assert out.count() == 10
