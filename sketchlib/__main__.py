@@ -191,7 +191,9 @@ def cmd_estimate(args) -> int:
     df.createOrReplaceTempView("sketches")
     group_cols = [c for c in df.columns
                   if c not in ("sketch_name", "sketch", "n_rows", "n_partials")]
-    sel = ", ".join(group_cols)
+    # a globally-rolled-up table has no group columns at all
+    sel = ("".join(f"{c}, " for c in group_cols)).rstrip()
+    order = ", ".join([*group_cols, "sketch_name"])
     import math
     extra = ""
     if args.quantile is not None:
@@ -206,9 +208,9 @@ def cmd_estimate(args) -> int:
             raise SystemExit(f"--cdf must be finite, got {x}")
         extra += f", round(sketch_cdf(sketch, {x!r}), 4) AS cdf"
     spark.sql(
-        f"SELECT {sel}, sketch_name, n_rows, "
+        f"SELECT {sel} sketch_name, n_rows, "
         "round(sketch_estimate(sketch), 1) AS estimate "
-        f"{extra} FROM sketches ORDER BY {sel}, sketch_name"
+        f"{extra} FROM sketches ORDER BY {order}"
     ).show(200, truncate=False)
     spark.stop()
     return 0

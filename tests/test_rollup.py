@@ -190,3 +190,20 @@ def test_query_cms_top_tokens_decircularized(spark):
     for r in rows:
         assert r["est_cnt"] >= r["exact_cnt"]  # overestimate-only
         assert r["est_cnt"] - r["exact_cnt"] <= 0.02 * r["exact_cnt"] + 60
+
+
+def test_rollup_to_global_empty_keys(spark, pages_tiny):
+    """to_cols=[] merges EVERYTHING per sketch_name — the 'all groups
+    combined' rollup; estimate matches a direct global build."""
+    from sketchlib.spark.build import build_sketches, rollup_sketches
+    from sketchlib.spark.specs import SketchSpec
+    import pyspark.sql.functions as F
+    fine = build_sketches(pages_tiny, ["lang"],
+                          [SketchSpec("h", "hll", "url", {"b": 12})])
+    rolled = rollup_sketches(fine, ["lang"], [])
+    rows = rolled.collect()
+    assert len(rows) == 1 and rows[0]["sketch_name"] == "h"
+    direct = build_sketches(
+        pages_tiny.withColumn("g", F.lit(1)), ["g"],
+        [SketchSpec("h", "hll", "url", {"b": 12})]).collect()
+    assert bytes(rows[0]["sketch"]) == bytes(direct[0]["sketch"])
