@@ -25,6 +25,8 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -76,6 +78,7 @@ def _partials_schema(df: DataFrame, group_cols: list[str]) -> StructType:
         StructField("partial", BinaryType(), False),
         StructField("n_rows", LongType(), False),
         StructField("partition_id", IntegerType(), False),
+        StructField("chunk", IntegerType(), False),
     ])
 
 
@@ -188,28 +191,58 @@ def _feed(spec: SketchSpec, sketch, sub: pd.DataFrame,
 
 
 def build_partials(df: DataFrame, group_cols: list[str],
-                   specs: list[SketchSpec]) -> DataFrame:
+                   specs: list[SketchSpec],
+                   max_groups_in_flight: int | None = None) -> DataFrame:
     """Stage 2a: one partial sketch per (input partition, group, spec).
 
     Column-prunes to exactly the needed columns before the Python
     boundary so the parquet scan reads only those (ReadSchema check).
+
+    ``max_groups_in_flight`` (default env SKETCHLIB_MAX_GROUPS_IN_FLIGHT
+    or 8192) bounds task memory on HIGH-CARDINALITY group keys: when a
+    task is holding that many (group, spec) states it FLUSHES them as
+    partial rows (tagged with an increasing ``chunk``) and starts
+    fresh, so memory is O(max_groups x state_bytes) instead of
+    O(#groups-in-partition x state_bytes). Flushed chunks are just
+    more partials: lattice kernels merge back bitwise-identical to the
+    unflushed build; the lossy quantile kernels get one more merge
+    boundary — the same effect the partition split already has — and
+    stay deterministic because the merge totally orders partial rows
+    by (partition_id, chunk).
     """
     if not specs:
         raise ValueError("at least one SketchSpec required")
     names = [s.name for s in specs]
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate spec names: {names}")
+    if max_groups_in_flight is None:
+        max_groups_in_flight = int(os.environ.get(
+            "SKETCHLIB_MAX_GROUPS_IN_FLIGHT", "8192"))
+    if max_groups_in_flight < 1:
+        raise ValueError("max_groups_in_flight must be >= 1")
     value_cols = sorted({s.value_col for s in specs}
                         | {s.weight_col for s in specs if s.weight_col})
     sel = df.select(*group_cols, *value_cols)
     schema = _partials_schema(df, group_cols)
     n_groups = len(group_cols)
+    flush_at = max_groups_in_flight * len(specs)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else -1
         acc: dict = {}  # (group_tuple, spec_idx) -> [sketch, n_rows]
+        chunk = 0
+
+        def emit():
+            rows = []
+            for (gkey, si), (sk, n) in acc.items():
+                rows.append((*gkey, specs[si].name, sk.to_bytes(), n, pid,
+                             chunk))
+            return pd.DataFrame(rows, columns=[*group_cols, "sketch_name",
+                                               "partial", "n_rows",
+                                               "partition_id", "chunk"])
+
         for pdf in batches:
             for gkey, sub in pdf.groupby(group_cols, sort=False, dropna=False):
                 if not isinstance(gkey, tuple):
@@ -226,12 +259,12 @@ def build_partials(df: DataFrame, group_cols: list[str],
                         acc[(gkey, si)] = slot
                     _feed(spec, slot[0], sub, vcache)
                     slot[1] += len(sub)
+            if len(acc) >= flush_at:
+                yield emit()
+                acc.clear()
+                chunk += 1
         if acc:
-            rows = []
-            for (gkey, si), (sk, n) in acc.items():
-                rows.append((*gkey, specs[si].name, sk.to_bytes(), n, pid))
-            yield pd.DataFrame(rows, columns=[*group_cols, "sketch_name",
-                                              "partial", "n_rows", "partition_id"])
+            yield emit()
 
     return sel.mapInPandas(fn, schema)
 
@@ -264,7 +297,10 @@ def merge_partials(partials: DataFrame, group_cols: list[str],
     keys = [*group_cols, "sketch_name"]
 
     def merge_fn(key, pdf):
-        pdf = pdf.sort_values("partition_id", kind="stable")
+        # (partition_id, chunk) is a total order over a group's partial
+        # rows — deterministic merges even for the lossy kernels, with
+        # or without mid-task flush chunks
+        pdf = pdf.sort_values(["partition_id", "chunk"], kind="stable")
         sk = sketch_from_bytes(bytes(pdf["partial"].iloc[0]))
         for blob in pdf["partial"].iloc[1:]:
             sk.merge(sketch_from_bytes(bytes(blob)))
@@ -282,11 +318,12 @@ def merge_partials(partials: DataFrame, group_cols: list[str],
             StructField("partial", BinaryType(), False),
             StructField("n_rows", LongType(), False),
             StructField("partition_id", IntegerType(), False),
+            StructField("chunk", IntegerType(), False),
             StructField("n_partials", LongType(), False),
         ])
 
         def level1_fn(key, pdf):
-            pdf = pdf.sort_values("partition_id", kind="stable")
+            pdf = pdf.sort_values(["partition_id", "chunk"], kind="stable")
             sk = sketch_from_bytes(bytes(pdf["partial"].iloc[0]))
             for blob in pdf["partial"].iloc[1:]:
                 sk.merge(sketch_from_bytes(bytes(blob)))
@@ -295,6 +332,7 @@ def merge_partials(partials: DataFrame, group_cols: list[str],
                 "partial": [sk.to_bytes()],
                 "n_rows": [int(pdf["n_rows"].sum())],
                 "partition_id": [int(pdf["partition_id"].min())],
+                "chunk": [int(pdf["chunk"].min())],
                 "n_partials": [len(pdf)],
             })
 

@@ -146,3 +146,50 @@ def test_auto_fanout_two_level_on_wide_input(spark, pages_tiny):
     a = {(r["lang"]): bytes(r["sketch"]) for r in df.collect()}
     b = {(r["lang"]): bytes(r["sketch"]) for r in narrow.collect()}
     assert a == b
+
+
+def test_flush_bounded_memory_semantics(spark, pages_tiny_multifile):
+    """max_groups_in_flight=1 + tiny arrow batches forces repeated
+    partial flushes. Lattice kernels must come back bitwise-identical
+    to the unbounded build; the lossy quantile kernels get one more
+    merge boundary (same class of effect as the partition split) and
+    must be deterministic run-to-run with accurate quantiles."""
+    from sketchlib.spark.build import build_partials, merge_partials
+    from sketchlib.core.serde import sketch_from_bytes
+    specs = [SketchSpec("b", "bloom", "url", {"m": 1 << 14, "k": 5}),
+             SketchSpec("h", "hll", "url", {"b": 10}),
+             SketchSpec("t", "tdigest", "html_len", {"delta": 100}),
+             SketchSpec("k", "kll", "html_len", {"k": 128})]
+    import pyspark.sql.functions as F
+    df = pages_tiny_multifile.withColumn(
+        "html_len", F.length("html").cast("double"))
+    def run(mg):
+        parts = build_partials(df, ["lang"], specs,
+                               max_groups_in_flight=mg)
+        merged = merge_partials(parts, ["lang"])
+        return {(r["lang"], r["sketch_name"]):
+                (bytes(r["sketch"]), r["n_rows"]) for r in merged.collect()}
+    unbounded = run(None)
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "37")
+    try:
+        flushed = run(1)
+        flushed2 = run(1)
+        # the flush really fired: more partial rows than one per group
+        n_flush_rows = build_partials(df, ["lang"], specs,
+                                      max_groups_in_flight=1).count()
+    finally:
+        spark.conf.set(key, old)
+    n_plain_rows = build_partials(df, ["lang"], specs).count()
+    assert n_flush_rows > n_plain_rows
+    assert flushed == flushed2  # deterministic run-to-run, all kernels
+    exact_med = {r["lang"]: r["m"] for r in df.groupBy("lang").agg(
+        F.expr("percentile(html_len, 0.5)").alias("m")).collect()}
+    for (lang, name), (blob, n_rows) in flushed.items():
+        assert n_rows == unbounded[(lang, name)][1]
+        if name in ("b", "h"):   # lattice: bitwise-identical
+            assert blob == unbounded[(lang, name)][0], (lang, name)
+        else:                    # lossy: accurate within rank error
+            est = sketch_from_bytes(blob).quantile(0.5)
+            assert abs(est - exact_med[lang]) / exact_med[lang] < 0.1
