@@ -259,10 +259,14 @@ def build_partials(df: DataFrame, group_cols: list[str],
                         acc[(gkey, si)] = slot
                     _feed(spec, slot[0], sub, vcache)
                     slot[1] += len(sub)
-            if len(acc) >= flush_at:
-                yield emit()
-                acc.clear()
-                chunk += 1
+                # checked per GROUP, not per batch: one wide arrow
+                # batch must not blow past the memory bound (pandas
+                # groupby iteration order is first-occurrence —
+                # deterministic, so chunk boundaries are too)
+                if len(acc) >= flush_at:
+                    yield emit()
+                    acc.clear()
+                    chunk += 1
         if acc:
             yield emit()
 
@@ -288,22 +292,26 @@ def merge_partials(partials: DataFrame, group_cols: list[str],
     inputs. ``fanout="auto"`` sizes the tree from the partials'
     partition count like ``build_sketches`` does (resolved HERE so
     every caller — including the checkpointed build — accepts it).
-    Partials are merged in partition_id order so the pipeline is
-    deterministic run-to-run even for the lossy quantile sketches.
+    Partials are merged in (partition_id, chunk) order — a total order
+    over a group's partial rows even when the memory-bounded flush
+    split a partition into chunks — so the pipeline is deterministic
+    run-to-run for the lossy quantile sketches too.
     """
     if fanout == "auto":
         fanout = _auto_fanout(partials.rdd.getNumPartitions())
     out_schema = _merged_schema(partials, group_cols)
     keys = [*group_cols, "sketch_name"]
 
-    def merge_fn(key, pdf):
-        # (partition_id, chunk) is a total order over a group's partial
-        # rows — deterministic merges even for the lossy kernels, with
-        # or without mid-task flush chunks
+    def _fold_sorted(pdf):
+        """Deterministic fold shared by both merge levels."""
         pdf = pdf.sort_values(["partition_id", "chunk"], kind="stable")
         sk = sketch_from_bytes(bytes(pdf["partial"].iloc[0]))
         for blob in pdf["partial"].iloc[1:]:
             sk.merge(sketch_from_bytes(bytes(blob)))
+        return sk, pdf
+
+    def merge_fn(key, pdf):
+        sk, pdf = _fold_sorted(pdf)
         return pd.DataFrame({
             **{c: [key[i]] for i, c in enumerate(keys)},
             "sketch": [sk.to_bytes()],
@@ -323,10 +331,7 @@ def merge_partials(partials: DataFrame, group_cols: list[str],
         ])
 
         def level1_fn(key, pdf):
-            pdf = pdf.sort_values(["partition_id", "chunk"], kind="stable")
-            sk = sketch_from_bytes(bytes(pdf["partial"].iloc[0]))
-            for blob in pdf["partial"].iloc[1:]:
-                sk.merge(sketch_from_bytes(bytes(blob)))
+            sk, pdf = _fold_sorted(pdf)
             return pd.DataFrame({
                 **{c: [key[i]] for i, c in enumerate(keys)},
                 "partial": [sk.to_bytes()],

@@ -91,6 +91,10 @@ def spec_fingerprint(df: DataFrame, group_cols: list[str],
             ids.append(f)
     input_files = ids
     payload = json.dumps({
+        # partial-table format version: bump when the partials schema
+        # changes (v2 added the 'chunk' column) so a pre-upgrade
+        # checkpoint REFUSES to resume instead of mixing schemas
+        "partials_fmt": 2,
         "schema": df.schema.simpleString(),
         "input_files": input_files,
         "n_partitions": df.rdd.getNumPartitions(),
