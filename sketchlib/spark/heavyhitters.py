@@ -127,7 +127,8 @@ def topk_from_cms(cms: CountMinSketch, candidates,
 def cms_heavy_hitters(df: DataFrame, group_cols: list[str], text_col: str,
                       k: int = 10, capacity: int = 256,
                       w: int = 16384, d: int = 5, seed: int = 0,
-                      conservative: bool = True) -> DataFrame:
+                      conservative: bool = True,
+                      max_groups_in_flight: int | None = None) -> DataFrame:
     """Top-k tokens per group with CMS estimates.
 
     Returns (group_cols..., token, est_cnt, rnk) — est_cnt >= true count
@@ -137,7 +138,20 @@ def cms_heavy_hitters(df: DataFrame, group_cols: list[str], text_col: str,
     ``conservative`` (default on) uses conservative update for the
     partial CMS tables — strictly tighter per-partition overestimates;
     the add-merge of CU partials remains overestimate-only.
+
+    ``max_groups_in_flight`` (default env SKETCHLIB_MAX_GROUPS_IN_FLIGHT
+    or 8192) bounds task memory on high-cardinality group keys exactly
+    like ``build_partials``: full states flush as extra partial rows.
+    Certification survives the split by pigeonhole — if a token's
+    global count > N_total/capacity then some chunk has
+    count_chunk > N_chunk/capacity, so that chunk's SpaceSaving
+    retains it (same argument that covers the partition split). The
+    final merge is order-free (CMS add + candidate-set union).
     """
+    import os
+    if max_groups_in_flight is None:
+        max_groups_in_flight = int(os.environ.get(
+            "SKETCHLIB_MAX_GROUPS_IN_FLIGHT", "8192"))
     sel = df.select(*group_cols, text_col)
     partial_schema = StructType(
         [f for f in sel.schema.fields if f.name in group_cols] + [
@@ -147,6 +161,18 @@ def cms_heavy_hitters(df: DataFrame, group_cols: list[str], text_col: str,
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         acc: dict = {}  # gkey -> [cms, SpaceSaving]
+
+        def emit():
+            rows = []
+            for gkey, (cms, ss) in acc.items():
+                # emit the ENTIRE summary (not a top-C cut — cutting by
+                # local count would reintroduce the heuristic this
+                # replaces)
+                rows.append((*gkey, cms.to_bytes(),
+                             sorted(t for t, _, _ in ss.items())))
+            return pd.DataFrame(rows,
+                                columns=[*group_cols, "cms", "cands"])
+
         for pdf in batches:
             for gkey, sub in pdf.groupby(group_cols, sort=False, dropna=False):
                 if not isinstance(gkey, tuple):
@@ -157,14 +183,11 @@ def cms_heavy_hitters(df: DataFrame, group_cols: list[str], text_col: str,
                             SpaceSaving(capacity)]
                     acc[gkey] = slot
                 update_from_token_counts(slot[0], slot[1], sub[text_col])
-        rows = []
-        for gkey, (cms, ss) in acc.items():
-            # emit the ENTIRE summary (not a top-C cut — cutting by local
-            # count would reintroduce the heuristic this replaces)
-            rows.append((*gkey, cms.to_bytes(),
-                         sorted(t for t, _, _ in ss.items())))
-        if rows:
-            yield pd.DataFrame(rows, columns=[*group_cols, "cms", "cands"])
+                if len(acc) >= max_groups_in_flight:
+                    yield emit()
+                    acc.clear()
+        if acc:
+            yield emit()
 
     partials = sel.mapInPandas(build, partial_schema)
 

@@ -120,3 +120,23 @@ def test_heavy_hitters_no_token_shuffle(spark, pages_tiny):
     plan = hh._jdf.queryExecution().executedPlan().toString()
     # exactly one exchange: the partial-state shuffle into the merge
     assert plan.count("Exchange") == 1, plan
+
+
+def test_heavy_hitters_flush_preserves_topk(spark, pages_tiny_multifile):
+    """max_groups_in_flight=1 + tiny arrow batches: flushed partial
+    states must yield the SAME top-k as the unbounded run (CMS add and
+    candidate-union are order-free; certification survives chunking by
+    pigeonhole)."""
+    def run(mg):
+        return sorted((r["lang"], r["token"], r["est_cnt"], r["rnk"])
+                      for r in cms_heavy_hitters(
+                          pages_tiny_multifile, ["lang"], "text", k=5,
+                          max_groups_in_flight=mg).collect())
+    unbounded = run(None)
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "29")
+    try:
+        assert run(1) == unbounded
+    finally:
+        spark.conf.set(key, old)
