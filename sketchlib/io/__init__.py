@@ -1,0 +1,1 @@
+"""IO layer: multi-format input sources + deterministic fixtures."""

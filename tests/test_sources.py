@@ -21,7 +21,7 @@ def format_dirs(spark, tmp_path_factory):
     base = tmp_path_factory.mktemp("fmts")
     df = spark.createDataFrame(ROWS, DDL)
     paths = {}
-    for fmt in ("parquet", "json"):
+    for fmt in ("parquet", "json", "orc"):
         p = str(base / f"docs.{fmt}")
         getattr(df.coalesce(1).write, fmt)(p)
         paths[fmt] = p
