@@ -140,10 +140,19 @@ def cmd_build(args) -> int:
 
 def cmd_update(args) -> int:
     """Fold delta rows into a stored sketch table (no base re-read)."""
+    import os as _os
     from sketchlib.spark.session import get_spark
     from sketchlib.spark.build import incremental_update
     from sketchlib.io.sources import read_input
 
+    if _os.path.abspath(args.out) == _os.path.abspath(args.sketches):
+        # --out is written mode('overwrite') while --sketches is still
+        # lazily read; the same path risks 'cannot overwrite a path
+        # being read from' or silent data loss depending on committer
+        raise SystemExit(
+            "--out must differ from --sketches (the sketch table is "
+            "read lazily while --out is overwritten; an in-place update "
+            "would corrupt it) — write to a new path and rename after")
     spark = get_spark("sketchlib-update", cpus=args.cpus)
     table = spark.read.parquet(args.sketches)
     delta = read_input(spark, args.input, fmt=args.format)

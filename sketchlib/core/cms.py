@@ -111,7 +111,20 @@ class CountMinSketch:
         each sketch counts one table's join key (Cormode-Muthukrishnan
         2005 §4.2). min over rows of the row dot product;
         overestimate-only, error <= eps * N_A * N_B — the planner-grade
-        'how big is this join' answer from two fixed-size states."""
+        'how big is this join' answer from two fixed-size states.
+
+        Refuses conservative-update (CU) sketches: CU cells can sit
+        BELOW the bucket's true frequency sum (they only reach the
+        key's min-row estimate + count), so the min-row dot product
+        loses the one-sided guarantee and can UNDERESTIMATE the true
+        join size. The ``cu`` header flag survives serde, so the check
+        holds for deserialized blobs too."""
+        if self.conservative or other.conservative:
+            raise ValueError(
+                "inner_product is overestimate-only for plain-add CMS "
+                "states; a conservative-update sketch voids that bound "
+                "(CU cells can under-count bucket sums) — build join-size "
+                "sketches with conservative=False")
         if (other.w, other.d, other.seed) != (self.w, self.d, self.seed):
             raise ValueError("cannot compare CMS with different (w,d,seed)")
         dots = (self.table.astype(np.float64)

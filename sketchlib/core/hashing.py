@@ -79,6 +79,14 @@ def to_large_binary(values) -> "pa.Array":
         values = values.combine_chunks()
     if isinstance(values, pa.Array):
         t = values.type
+        if (pa.types.is_floating(t) or pa.types.is_temporal(t)
+                or pa.types.is_boolean(t) or pa.types.is_decimal(t)):
+            # same contract as the numpy branch below — not a raw
+            # ArrowNotImplementedError from the large_binary cast
+            raise TypeError(
+                f"hashable keys must be str/bytes/int, got arrow {t}; "
+                "cast float or temporal keys to a canonical string form "
+                "first")
         if pa.types.is_integer(t):
             return values.cast(pa.large_string()).cast(pa.large_binary())
         return values.cast(pa.large_binary())

@@ -124,9 +124,16 @@ def ivf_train_centroids(df: DataFrame, id_col: str, vec_col: str, dim: int,
 
     Init = the n_centroids rows with the smallest xxhash64(id) (a
     seeded deterministic sample, stable across partitionings). Each
-    iteration ships ONLY per-partition partial sums — (#partitions x
-    #centroids x dim) floats, never raw vectors — and reduces them on
-    the driver (the reference's shrink-the-shuffle move, generalized).
+    iteration ships ONLY per-partition partial sums — at most
+    (#partitions x #centroids) rows of dim floats, never raw vectors —
+    and reduces them IN THE CLUSTER: a groupBy("cid").applyInPandas
+    fold (partials sorted by partition_id, accumulated sequentially in
+    float64 — a total order, so the result is deterministic run-to-run
+    AND bitwise-identical to the former driver-side loop, which added
+    in the same partition order). The driver collects exactly
+    #centroids rows per iteration, independent of #partitions — at the
+    100 TB scan's ~800k partitions the old collect was driver-side
+    gigabytes per Lloyd iteration.
     Empty clusters keep their previous centroid. Returns
     float32[n_centroids, dim] of unit-norm centroids.
     """
@@ -141,11 +148,32 @@ def ivf_train_centroids(df: DataFrame, id_col: str, vec_col: str, dim: int,
         StructField("cid", LongType(), False),
         StructField("cnt", LongType(), False),
         StructField("vsum", ArrayType(DoubleType()), False),
+        StructField("partition_id", LongType(), False),
     ])
+    reduced_schema = StructType([
+        StructField("cid", LongType(), False),
+        StructField("cnt", LongType(), False),
+        StructField("vsum", ArrayType(DoubleType()), False),
+    ])
+
+    def reduce_fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        # sequential fold in partition_id order: deterministic (total
+        # order) and identical float-add sequence to a driver loop over
+        # partition-ordered rows
+        pdf = pdf.sort_values("partition_id", kind="stable")
+        acc = np.zeros(dim, dtype=np.float64)
+        for v in pdf["vsum"]:
+            acc += np.asarray(v, dtype=np.float64)
+        return pd.DataFrame({"cid": [key[0]], "cnt": [int(pdf["cnt"].sum())],
+                             "vsum": [acc]})
+
     for _ in range(iters):
         c = cents  # closure snapshot for this iteration
 
         def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from pyspark import TaskContext
+            ctx = TaskContext.get()
+            pid = ctx.partitionId() if ctx is not None else -1
             sums = np.zeros((len(c), dim), dtype=np.float64)
             cnts = np.zeros(len(c), dtype=np.int64)
             for pdf in batches:
@@ -160,14 +188,17 @@ def ivf_train_centroids(df: DataFrame, id_col: str, vec_col: str, dim: int,
             nz = np.flatnonzero(cnts)
             if len(nz):
                 yield pd.DataFrame({"cid": nz, "cnt": cnts[nz],
-                                    "vsum": list(sums[nz])})
+                                    "vsum": list(sums[nz]),
+                                    "partition_id": pid})
 
-        rows = sel.mapInPandas(fn, partial_schema).collect()
+        rows = (sel.mapInPandas(fn, partial_schema)
+                .groupBy("cid").applyInPandas(reduce_fn, reduced_schema)
+                .collect())
         sums = np.zeros((len(cents), dim), dtype=np.float64)
         cnts = np.zeros(len(cents), dtype=np.int64)
         for r in rows:
-            sums[r["cid"]] += np.asarray(r["vsum"])
-            cnts[r["cid"]] += r["cnt"]
+            sums[r["cid"]] = np.asarray(r["vsum"])
+            cnts[r["cid"]] = r["cnt"]
         nz = cnts > 0
         new = cents.astype(np.float64).copy()
         new[nz] = sums[nz] / cnts[nz, None]

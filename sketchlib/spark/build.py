@@ -476,8 +476,13 @@ def incremental_update(sketch_table: DataFrame, new_df: DataFrame,
 
     def merge_fn(key, pdf):
         # deterministic merge order for the lossy kernels: base first
-        # (larger n_rows), then delta — and stable on ties
-        pdf = pdf.sort_values("n_rows", ascending=False, kind="stable")
+        # (larger n_rows), then delta. Row arrival order inside
+        # applyInPandas is shuffle-dependent, so ties on n_rows (equal
+        # base/delta sizes, repeated updates) need a content-based
+        # secondary key — the blob bytes — to make the fold a total
+        # order independent of arrival order.
+        pdf = pdf.assign(_blob=pdf["sketch"].map(bytes)).sort_values(
+            ["n_rows", "_blob"], ascending=[False, True], kind="stable")
         sk = _fold_blobs(pdf, context=(
             f"cannot update group {key}: the stored state and the "
             "delta build have incompatible params — pass the same "

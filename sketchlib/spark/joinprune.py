@@ -18,9 +18,14 @@ Scale notes (100 TB):
   same serde as every other sketch here) and reuse to prune *future*
   scans without re-reading the dim side — Catalyst's injected filter
   cannot be persisted or shared.
-- The build shuffles nothing: one partial filter per input partition
-  (sparse-encoded blobs, see ``core.bloom.to_bytes``) is collected and
-  OR-merged on the driver — #partitions rows, not #keys.
+- The build emits one partial filter per input partition
+  (sparse-encoded blobs, see ``core.bloom.to_bytes``) and OR-merges
+  them through the SAME salted ``merge_partials`` tree the sketch
+  build uses — the driver collects exactly ONE merged blob, never
+  #partitions of them. At the 100 TB scan's ~800k input partitions
+  the old driver-side OR loop was a memory/CPU funnel; the tree
+  bounds every merge task's fan-in at ~sqrt(#partitions) and the
+  collect at O(1).
 - The prune is one broadcast of the blob + an Arrow-batched
   ``mapInPandas`` scan; no per-row Python. For a fact table that is
   scanned anyway, the prune is bandwidth-bound, and every pruned row is
@@ -47,6 +52,45 @@ def _as_key(df: DataFrame, col: str, out: str) -> DataFrame:
     return df.withColumn(out, F.col(col).cast("string"))
 
 
+def _key_bloom_merged_df(df: DataFrame, key_col: str, p: float,
+                         n_keys: int | None, seed: int) -> DataFrame:
+    """ONE-row DataFrame holding the fully-merged key filter.
+
+    Plan shape: pruned scan -> mapInPandas partial filters (one sparse
+    blob per input partition, merge_partials-shaped rows) -> the SAME
+    salted hierarchical merge tree the sketch build uses
+    (``build.merge_partials``, fanout="auto") -> one (sketch, n_rows)
+    row. No raw key ever shuffles; the driver never sees more than the
+    single merged blob.
+    """
+    from sketchlib.spark.build import merge_partials
+
+    keyed = _as_key(df, key_col, _KEY).select(_KEY).dropna()
+    if n_keys is None:
+        n_keys = keyed.count()
+    m, k = bloom_params(max(int(n_keys), 1), p)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else -1
+        bf = BloomFilter(m, k, seed)
+        n = 0
+        for b in batches:
+            if len(b):
+                bf.update_batch(b[_KEY].to_numpy())
+                n += len(b)
+        if n:
+            yield pd.DataFrame({"g": [1], "sketch_name": ["key_bloom"],
+                                "partial": [bf.to_bytes()], "n_rows": [n],
+                                "partition_id": [pid], "chunk": [0]})
+
+    partials = keyed.mapInPandas(
+        fn, schema=("g int, sketch_name string, partial binary, "
+                    "n_rows long, partition_id int, chunk int"))
+    return merge_partials(partials, ["g"], fanout="auto")
+
+
 def build_key_bloom(df: DataFrame, key_col: str, p: float = 0.01,
                     n_keys: int | None = None, seed: int = 0) -> BloomFilter:
     """Build ONE Bloom filter over ``df[key_col]``, distributedly.
@@ -56,28 +100,18 @@ def build_key_bloom(df: DataFrame, key_col: str, p: float = 0.01,
     to the row count of ``df`` — an upper bound on the distinct count,
     so the realized FPR is <= the designed ``p``.
 
-    Plan shape: pruned scan -> mapInPandas partial filters -> driver
-    OR-merge of #partitions sparse blobs. No shuffle, no key collect.
+    The OR-merge runs in the cluster via the salted
+    ``build.merge_partials`` tree; the driver collects exactly one
+    merged blob regardless of the input's partition count (Bloom merge
+    is associative+commutative, so the tree result is bitwise-identical
+    to any sequential fold).
     """
-    keyed = _as_key(df, key_col, _KEY).select(_KEY).dropna()
-    if n_keys is None:
-        n_keys = keyed.count()
-    m, k = bloom_params(max(int(n_keys), 1), p)
-
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        bf = BloomFilter(m, k, seed)
-        any_rows = False
-        for b in batches:
-            if len(b):
-                bf.update_batch(b[_KEY].to_numpy())
-                any_rows = True
-        if any_rows:
-            yield pd.DataFrame({"blob": [bf.to_bytes()]})
-
-    out = BloomFilter(m, k, seed)
-    for row in keyed.mapInPandas(fn, schema="blob binary").collect():
-        out.merge(BloomFilter.from_bytes(bytes(row["blob"])))
-    return out
+    rows = _key_bloom_merged_df(df, key_col, p, n_keys, seed).collect()
+    if not rows:  # empty input: a valid filter that contains nothing
+        m, k = bloom_params(max(int(n_keys or 1), 1), p)
+        return BloomFilter(m, k, seed)
+    assert len(rows) == 1, f"expected one merged filter row, got {len(rows)}"
+    return BloomFilter.from_bytes(bytes(rows[0]["sketch"]))
 
 
 def bloom_prune(fact: DataFrame, fact_key: str, bf: BloomFilter) -> DataFrame:

@@ -50,15 +50,34 @@ def collect_sketches(merged: DataFrame, group_cols: list[str],
 
 
 def bloom_validate(df: DataFrame, filters: dict, group_cols: list[str],
-                   value_col: str, designed_p: float) -> DataFrame:
+                   value_col: str, designed_p: float,
+                   max_broadcast_bytes: int = 1 << 30) -> DataFrame:
     """Measured-FPR / false-negative table, one row per group's filter.
 
     Returns (group_cols..., n_keys, false_negatives, probes,
     false_positives, measured_fpr, designed_p) where measured_fpr =
     cross-group hits / cross-group probes against that group's filter.
+
+    Every row probes every group's filter (the reference's
+    all-cross-groups semantics, main.py:55-70) — G x scan work and a
+    sum-of-m broadcast, fine for the designed few-groups case but a
+    job-killer if someone passes a high-cardinality key. The guard
+    refuses when the serialized filters exceed ``max_broadcast_bytes``
+    (default 1 GiB ~ executor broadcast comfort) instead of melting the
+    cluster; shard the groups across calls or validate per-partition.
     """
     spark = SparkSession.getActiveSession()
-    bc = spark.sparkContext.broadcast({k: v.to_bytes() for k, v in filters.items()})
+    blobs = {k: v.to_bytes() for k, v in filters.items()}
+    total = sum(len(b) for b in blobs.values())
+    if total > max_broadcast_bytes:
+        raise ValueError(
+            f"bloom_validate would broadcast {total} bytes of filters "
+            f"({len(blobs)} groups) > max_broadcast_bytes="
+            f"{max_broadcast_bytes}; validation probes every row against "
+            "every group's filter, so cost scales with #groups x scan — "
+            "shard the groups across calls (or raise the budget "
+            "deliberately)")
+    bc = spark.sparkContext.broadcast(blobs)
     single = len(group_cols) == 1
     sel = df.select(*group_cols, value_col)
     group_fields = [f for f in sel.schema.fields if f.name in group_cols]

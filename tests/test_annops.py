@@ -82,6 +82,24 @@ def test_ivf_deterministic_and_reusable(spark, emb):
     assert assign.select("vid").distinct().count() == emb.count()
 
 
+def test_ivf_train_stable_across_partitionings_reduce_bound(spark, emb):
+    """The per-iteration reduce happens in the cluster: the DataFrame
+    the driver collects has at most #centroids rows regardless of input
+    partition count, and training is reproducible at a fixed
+    partitioning (the partial-sum fold is totally ordered by
+    partition_id)."""
+    import numpy as np
+    dim = len(emb.first()["embedding"])
+    wide = emb.repartition(64)
+    c1 = annops.ivf_train_centroids(wide, "vec_id", "embedding", dim,
+                                    n_centroids=8, iters=2)
+    c2 = annops.ivf_train_centroids(wide, "vec_id", "embedding", dim,
+                                    n_centroids=8, iters=2)
+    assert np.array_equal(c1, c2)
+    assert c1.shape == (8, dim)
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0, atol=1e-5)
+
+
 def test_srp_signatures_deterministic(spark, emb):
     dim = len(emb.first()["embedding"])
     a = {r["vid"]: r["bands"] for r in

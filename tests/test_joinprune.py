@@ -62,6 +62,30 @@ def test_prune_plan_has_no_exchange(spark, fact_dim):
     assert "MapInPandas" in plan and "Exchange" not in plan, plan
 
 
+def test_build_collects_one_blob_at_1000_partitions(spark):
+    """The OR-merge runs in the cluster (salted merge_partials tree):
+    the DataFrame the driver collects has exactly ONE row no matter how
+    many input partitions produced partials — the round-2 driver-side
+    OR loop collected one blob per partition."""
+    from sketchlib.spark.joinprune import _key_bloom_merged_df
+    dim = spark.range(2000).select(F.col("id").alias("d_key")) \
+        .repartition(1024)
+    merged = _key_bloom_merged_df(dim, "d_key", 0.01, None, 0)
+    rows = merged.collect()
+    assert len(rows) == 1
+    assert int(rows[0]["n_rows"]) == 2000
+    # >64 partials -> the auto fanout must have inserted the salted
+    # pre-merge level (two applyInPandas levels in the plan)
+    plan = merged._jdf.queryExecution().executedPlan().toString() \
+        .split("Initial Plan")[0]  # AQE prints final + initial sections
+    assert plan.count("FlatMapGroupsInPandas") == 2, plan
+    # and the tree-merged filter answers membership exactly like a
+    # single-partition build (bitwise: OR is order-independent)
+    bf = build_key_bloom(dim, "d_key", p=0.01)
+    one = build_key_bloom(dim.coalesce(1), "d_key", p=0.01)
+    assert bf.to_bytes() == one.to_bytes()
+
+
 def test_string_keys_and_empty_dim(spark):
     dim = spark.createDataFrame([("x",), ("y",)], "k string")
     fact = spark.createDataFrame([("x",), ("z",), ("",)], "k string")

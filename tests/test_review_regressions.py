@@ -374,3 +374,95 @@ def test_tokens_arrow_non_string_coercion():
         == ["1.0", "2.5"]
     assert tokens_arrow(pd.Series(["a b", None, 3], dtype=object)) \
         .to_pylist() == ["a", "b", "3"]
+
+
+class TestRound3AdviceFixes:
+    """Round-3 advisor items: CU inner-product guard, deterministic
+    incremental merge-order tiebreak, arrow float TypeError, in-place
+    update refusal, bloom_validate broadcast budget."""
+
+    def test_cms_cu_inner_product_refused(self):
+        """CU cells can sit below bucket sums, so the min-row dot
+        product can UNDERESTIMATE the true join size — inner_product
+        must refuse CU sketches (flag survives serde)."""
+        import pytest
+        from sketchlib.core.cms import CountMinSketch
+        plain = CountMinSketch(64, 2, seed=1).update_batch(["a", "b"])
+        cu = CountMinSketch(64, 2, seed=1, conservative=True) \
+            .update_batch(["a", "b"])
+        with pytest.raises(ValueError, match="conservative"):
+            plain.inner_product(cu)
+        with pytest.raises(ValueError, match="conservative"):
+            cu.inner_product(plain)
+        # the flag survives serde, so deserialized blobs refuse too
+        thawed = CountMinSketch.from_bytes(cu.to_bytes())
+        with pytest.raises(ValueError, match="conservative"):
+            plain.inner_product(thawed)
+        # plain x plain still works and stays an overestimate
+        other = CountMinSketch(64, 2, seed=1).update_batch(["a", "c"])
+        assert plain.inner_product(other) >= 1
+
+    def test_arrow_float_keys_friendly_typeerror(self):
+        """A pyarrow float/temporal array raises the same TypeError as
+        the numpy path, not a raw ArrowNotImplementedError."""
+        import pyarrow as pa
+        import pytest
+        from sketchlib.core.hashing import to_large_binary
+        for arr in (pa.array([1.5, 2.5]),
+                    pa.chunked_array([pa.array([1.5])]),
+                    pa.array([True, False]),
+                    pa.array([1, 2]).cast(pa.timestamp("us"))):
+            with pytest.raises(TypeError, match="hashable keys"):
+                to_large_binary(arr)
+        # ints still canonicalize to decimal-string bytes
+        assert to_large_binary(pa.array([12, 3])).to_pylist() \
+            == [b"12", b"3"]
+
+    def test_cmd_update_in_place_refused(self, tmp_path):
+        """--out == --sketches must be rejected before any Spark work
+        (lazy read + overwrite of the same path corrupts the table)."""
+        import argparse
+        import pytest
+        from sketchlib.__main__ import cmd_update
+        p = str(tmp_path / "sk")
+        args = argparse.Namespace(out=p, sketches=p, input="x.parquet",
+                                  format=None, sketch=["h=hll:text"],
+                                  cpus=1)
+        with pytest.raises(SystemExit, match="differ"):
+            cmd_update(args)
+
+    def test_bloom_validate_broadcast_budget(self, spark):
+        """Oversized filter sets are refused with actionable guidance
+        instead of melting the cluster with a G x scan probe."""
+        import pytest
+        from sketchlib.core.bloom import BloomFilter
+        from sketchlib.spark.validate import bloom_validate
+        df = spark.createDataFrame([("a", "x"), ("b", "y")],
+                                   "g string, v string")
+        filters = {"a": BloomFilter(8192, 3), "b": BloomFilter(8192, 3)}
+        with pytest.raises(ValueError, match="max_broadcast_bytes"):
+            bloom_validate(df, filters, ["g"], "v", 0.01,
+                           max_broadcast_bytes=16)
+        # within budget still runs
+        out = bloom_validate(df, filters, ["g"], "v", 0.01)
+        assert out.count() == 2
+
+    def test_incremental_update_tie_order_deterministic(self, spark):
+        """Equal-n_rows base/delta states (KLL: lossy, order-sensitive)
+        merge in a content-based total order — same result run-to-run
+        regardless of shuffle arrival order."""
+        from sketchlib.spark.build import build_sketches, incremental_update
+        from sketchlib.spark.specs import SketchSpec
+        import pyspark.sql.functions as F
+        specs = [SketchSpec("k", "kll", "v", {"k": 64})]
+        base_df = spark.range(500).select(F.lit("g").alias("g"),
+                                          F.col("id").cast("double").alias("v"))
+        delta_df = spark.range(500, 1000).select(
+            F.lit("g").alias("g"), F.col("id").cast("double").alias("v"))
+        base = build_sketches(base_df, ["g"], specs)
+        blobs = set()
+        for _ in range(3):
+            r = incremental_update(base, delta_df, ["g"], specs).collect()
+            assert len(r) == 1
+            blobs.add(bytes(r[0]["sketch"]))
+        assert len(blobs) == 1
