@@ -48,54 +48,63 @@ def dedup_clusters(pairs: DataFrame, a_col: str = "a_id",
     keep-one-per-cluster rule downstream of any pair generator (exact
     md5, n-gram Jaccard, MinHash-LSH, SimHash, embedding cosine).
 
-    Min-label propagation: labels start as the node id; each round every
-    node takes the min of its own and its neighbors' labels; converged
-    when no label changes. Rounds needed = component diameter — near-dup
-    clusters are shallow (dup clusters of size s have diameter <= s, and
-    LSH pair graphs are locally dense), so this terminates in a handful
-    of shuffles; raises after ``max_iter`` rather than looping forever.
-    Only nodes that appear in ``pairs`` are emitted (singletons are
-    trivially their own cluster and never shuffle).
+    Min-label propagation WITH pointer jumping: each round every node
+    (1) takes the min of its own and its neighbors' labels, then
+    (2) shortcuts to its label's label (``label(label(v))``) — the
+    classic pointer-doubling step, sound because a label is always the
+    id of a node in the same component, so the label's label is too.
+    Propagation distance better than doubles per round (d -> 2d + 2),
+    so rounds needed grow with log(diameter), not diameter — a
+    10^6-long path converges in ~20 rounds instead of 10^6. Converged
+    when no label changes; raises after ``max_iter`` rather than
+    looping forever. Only nodes that appear in ``pairs`` are emitted
+    (singletons are trivially their own cluster and never shuffle).
 
-    Each round persists its labels and unpersists the previous round so
-    the iterative join doesn't replay the full lineage every iteration.
+    Every round's labels are eagerly localCheckpoint-ed: the pointer
+    jump is a SELF-join (labels referenced twice), so without lineage
+    truncation the logical plan would double each round and planning
+    itself would blow up after ~10 rounds; checkpoint blocks from prior
+    rounds are released by the ContextCleaner when their DataFrames go
+    out of scope.
     """
     edges = (pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
              .union(pairs.select(F.col(b_col).alias("src"),
                                  F.col(a_col).alias("dst")))
-             .distinct())
+             .distinct()).localCheckpoint(eager=True)
     labels = (edges.select(F.col("src").alias("node")).distinct()
-              .withColumn("label", F.col("node"))).persist()
-    labels.count()
+              .withColumn("label", F.col("node"))).localCheckpoint(eager=True)
     for _ in range(max_iter):
         nbr_min = (edges.join(labels, edges["src"] == labels["node"])
                    .groupBy(F.col("dst").alias("node"))
                    .agg(F.min("label").alias("nbr_label")))
-        new_labels = (labels.join(nbr_min, "node", "left")
-                      .select("node",
-                              F.least("label", F.coalesce("nbr_label", "label"))
-                              .alias("label"))).persist()
+        # (1) neighbor-min — materialized: the shortcut self-join below
+        # reads it twice and must not double the lineage
+        tent = (labels.join(nbr_min, "node", "left")
+                .select("node",
+                        F.least("label", F.coalesce("nbr_label", "label"))
+                        .alias("label"))).localCheckpoint(eager=True)
+        # (2) pointer jump: label(v) <- min(label(v), label(label(v)))
+        t, p = tent.alias("t"), tent.alias("p")
+        new_labels = (t.join(p, F.col("t.label") == F.col("p.node"), "left")
+                      .select(F.col("t.node").alias("node"),
+                              F.least(F.col("t.label"),
+                                      F.coalesce(F.col("p.label"),
+                                                 F.col("t.label")))
+                              .alias("label"))).localCheckpoint(eager=True)
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "node")
                    .filter(F.col("n.label") != F.col("o.label")).count())
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
     else:
-        labels.unpersist()  # no leak on the failure path
         raise RuntimeError(
-            f"dedup_clusters saw labels still changing after {max_iter} "
-            "rounds — component diameter is >= max_iter (convergence is "
-            "verified by one quiet round, so max_iter must exceed the "
-            "diameter by 1); raise max_iter")
-    # truncate the iterative lineage and release the per-round cache:
-    # the result is pinned by the localCheckpoint, not by a leaked persist
-    out = labels.select(F.col("node").alias("doc_id"),
-                        F.col("label").alias("cluster_id")) \
-        .localCheckpoint(eager=True)
-    labels.unpersist()
-    return out
+            f"dedup_clusters did not converge within {max_iter} rounds — "
+            "with pointer jumping the covered propagation distance "
+            "exceeds 2^rounds, so this means max_iter is set very low "
+            "for the graph's diameter; raise max_iter")
+    return labels.select(F.col("node").alias("doc_id"),
+                         F.col("label").alias("cluster_id"))
 
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
@@ -246,17 +255,22 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     shuffle on small keys. est_jaccard = fraction of equal signature
     components (unbiased estimator of true Jaccard).
 
-    The signature plan feeds three join sides; by default it is cached
-    for the session (signatures are 8*n_hashes bytes/doc). At pipeline
-    scale, materialize ``minhash_signatures`` to a table yourself and
-    pass it via ``signatures`` — no hidden cache is created then.
+    The signature plan feeds three join sides; by default it is
+    materialized ONCE via an eager ``localCheckpoint`` (signatures are
+    8*n_hashes bytes/doc). Unlike ``.cache()``, the checkpoint blocks
+    belong to the returned plan, not the session's cache manager — the
+    ContextCleaner releases them when the result is garbage-collected,
+    so no cached table leaks into the session. At pipeline scale,
+    materialize ``minhash_signatures`` to a table yourself and pass it
+    via ``signatures``.
     """
     if n_hashes % bands:
         raise ValueError("bands must divide n_hashes")
     rows_per_band = n_hashes // bands
     if signatures is None:
         signatures = minhash_signatures(df, id_col, text_col, n_hashes,
-                                        shingle_n, seed).cache()
+                                        shingle_n, seed) \
+            .localCheckpoint(eager=True)
     sigs = signatures.withColumnRenamed("doc_id_mh", "doc")
 
     band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
@@ -339,12 +353,14 @@ def simhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
 
     Banding on 4 x 16-bit chunks: two signatures within hamming 3 must
     agree exactly on at least one chunk (pigeonhole), so candidates come
-    from 4 equi-joins, never a cross join. Signatures are cached by
-    default (8 bytes/doc); pass a materialized ``signatures`` table at
-    pipeline scale to avoid the hidden cache.
+    from 4 equi-joins, never a cross join. Signatures are materialized
+    once via eager ``localCheckpoint`` (8 bytes/doc; blocks released by
+    the ContextCleaner with the result, nothing left in the session's
+    cache manager); pass a materialized ``signatures`` table at
+    pipeline scale.
     """
     sh = signatures if signatures is not None else simhash(
-        df, id_col, text_col, seed).cache()
+        df, id_col, text_col, seed).localCheckpoint(eager=True)
     chunks = sh.select(
         "doc", "simhash",
         F.explode(F.array(*[

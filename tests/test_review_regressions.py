@@ -466,3 +466,35 @@ class TestRound3AdviceFixes:
             assert len(r) == 1
             blobs.add(bytes(r[0]["sketch"]))
         assert len(blobs) == 1
+
+
+class TestRound3ScaleFixes:
+    """Round-3 verdict items: O(log d) connected components and no
+    hidden session-level caches from the pair generators."""
+
+    def test_dedup_clusters_deep_chain_log_rounds(self, spark):
+        """A 60-node path (diameter 59) converges in <= 8 rounds via
+        pointer jumping — plain min-propagation (round 2) needed ~60
+        rounds and raised at max_iter=20."""
+        pairs = spark.createDataFrame([(i, i + 1) for i in range(60)],
+                                      "a_id long, b_id long")
+        got = {r["doc_id"]: r["cluster_id"]
+               for r in textops.dedup_clusters(pairs, max_iter=8).collect()}
+        assert got == {i: 0 for i in range(61)}
+
+    def test_pair_generators_leave_no_cached_tables(self, spark):
+        """minhash_lsh_pairs / simhash_candidate_pairs without a
+        signatures= argument must not leave anything in the session's
+        cache manager (round-2 used .cache(), which lingers until an
+        explicit unpersist)."""
+        cm = spark._jsparkSession.sharedState().cacheManager()
+        cm.clearCache()
+        docs = spark.createDataFrame(
+            [(i, "the quick brown fox jumps over the lazy dog %d" % (i % 3))
+             for i in range(30)], "doc_id long, text string")
+        textops.minhash_lsh_pairs(docs, "doc_id", "text",
+                                  threshold=0.5).collect()
+        assert cm.isEmpty()
+        textops.simhash_candidate_pairs(docs, "doc_id", "text",
+                                        max_hamming=3).collect()
+        assert cm.isEmpty()
