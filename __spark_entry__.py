@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split_counts": _wrap(Q.q_hash_split_counts),
         "ann_cosine_topk": _wrap(Q.q_ann_cosine_topk),
         "fd_embedding_spectrum": _wrap(Q.q_fd_embedding_spectrum),
+        "embedding_spectrum_exact": _wrap(Q.q_embedding_spectrum_exact),
         "pricing_summary": _wrap(Q.q_pricing_summary),
         "shipping_priority": _wrap(Q.q_shipping_priority),
         "bloom_semijoin": _wrap(Q.q_bloom_semijoin),

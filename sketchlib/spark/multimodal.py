@@ -13,7 +13,14 @@ signatures — is real and tested. Codecs:
   P6 (comments, 8/16-bit maxval) to uint8 RGB; ``image_thumbnail`` is
   the block-mean resize operator; ``image_feature_vector`` emits the
   64-dim luminance thumbnail. ``encode_ppm`` synthesizes fixtures.
-- video / compressed formats (png/jpeg/mp3/mp4) remain a
+- **image/PNG is REAL** (stdlib ``zlib`` + numpy): ``decode_png``
+  parses IHDR/PLTE/tRNS/IDAT, inflates, un-filters all five PNG
+  filter types, and handles gray / RGB / palette / alpha at 8- and
+  16-bit depth (alpha composited over black, 16-bit downscaled).
+  Interlaced (Adam7) files raise ValueError — transcode at ingest.
+  ``encode_png`` synthesizes fixtures with a chosen filter type so
+  every un-filter branch is round-trip-tested.
+- video / remaining compressed formats (jpeg/mp3/mp4) remain a
   clearly-marked stub (PIL/ffmpeg are not in this container):
   ``decode_stub`` raises NotImplementedError unless ``fake=True``,
   which produces a deterministic fake decode so downstream plumbing
@@ -162,6 +169,196 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     return (px16.astype(np.uint32) * 255 // maxval).astype(np.uint8)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# channels per PNG color type: gray, RGB, palette, gray+alpha, RGBA
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+    return (struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body)))
+
+
+def _paeth_pred(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (spec §9.4) for scalars 0..255."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
+    """uint8 RGB [h, w, 3] -> PNG bytes (color type 2, bit depth 8).
+
+    Every scanline uses ``filter_type`` (0=None 1=Sub 2=Up 3=Average
+    4=Paeth) so each of ``decode_png``'s un-filter branches can be
+    round-trip-tested; real encoders pick per-row, decode handles any
+    mix."""
+    import struct
+    import zlib
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError(f"expected [h, w, 3] RGB, got shape {px.shape}")
+    if filter_type not in range(5):
+        raise ValueError(f"filter_type must be 0..4, got {filter_type}")
+    h, w = px.shape[:2]
+    bpp = 3
+    raw = px.reshape(h, w * bpp).astype(np.int16)
+    prev = np.zeros(w * bpp, dtype=np.int16)
+    lines = []
+    for r in range(h):
+        cur = raw[r]
+        left = np.concatenate([np.zeros(bpp, np.int16), cur[:-bpp]])
+        if filter_type == 0:
+            filt = cur
+        elif filter_type == 1:
+            filt = cur - left
+        elif filter_type == 2:
+            filt = cur - prev
+        elif filter_type == 3:
+            filt = cur - ((left + prev) >> 1)
+        else:
+            upleft = np.concatenate([np.zeros(bpp, np.int16), prev[:-bpp]])
+            pred = np.fromiter(
+                (_paeth_pred(int(a), int(b), int(c))
+                 for a, b, c in zip(left, prev, upleft)),
+                dtype=np.int16, count=w * bpp)
+            filt = cur - pred
+        lines.append(bytes([filter_type]) + (filt & 0xFF).astype(np.uint8)
+                     .tobytes())
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(b"".join(lines)))
+            + _png_chunk(b"IEND", b""))
+
+
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse PNG scanline filtering -> uint8[h, stride].
+
+    Filters 0/1/2 are fully vectorized (Sub via per-lane cumsum mod
+    256); Average and Paeth carry a within-row left dependency, so
+    those rows fall back to a per-pixel loop vectorized across the
+    pixel's byte lanes — fine for fixture/test scale. The 100 TB-scale
+    posture stays: transcode exotic media once at ingest (PPM decodes
+    allocation-free), decode_png makes PNG corpora work end-to-end."""
+    if len(raw) != h * (1 + stride):
+        raise ValueError(
+            f"bad PNG pixel payload: expected {h * (1 + stride)} bytes "
+            f"after inflate, got {len(raw)}")
+    data = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
+    ftypes = data[:, 0]
+    if (ftypes > 4).any():
+        raise ValueError(f"bad PNG filter type {int(ftypes.max())}")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for r in range(h):
+        ft = int(ftypes[r])
+        cur = data[r, 1:].copy()
+        if ft == 0:
+            rec = cur
+        elif ft == 1:  # Sub: recon = filt + left -> per-lane cumsum mod 256
+            rec = cur.reshape(-1, bpp).astype(np.uint64).cumsum(axis=0) \
+                .astype(np.uint8).reshape(-1)
+        elif ft == 2:  # Up
+            rec = cur + prev
+        elif ft == 3:  # Average
+            rec = cur
+            up = prev.astype(np.int16)
+            rec[:bpp] = (cur[:bpp].astype(np.int16)
+                         + (up[:bpp] >> 1)).astype(np.uint8)
+            for k in range(bpp, stride, bpp):
+                left = rec[k - bpp:k].astype(np.int16)
+                rec[k:k + bpp] = (cur[k:k + bpp]
+                                  + ((left + up[k:k + bpp]) >> 1)
+                                  .astype(np.uint8))
+        else:  # Paeth
+            rec = cur
+            up = prev.astype(np.int16)
+            upleft = np.concatenate([np.zeros(bpp, np.int16), up[:-bpp]])
+            rec[:bpp] = cur[:bpp] + up[:bpp].astype(np.uint8)
+            for k in range(bpp, stride, bpp):
+                left = rec[k - bpp:k].astype(np.int16)
+                b, c = up[k:k + bpp], upleft[k:k + bpp]
+                p = left + b - c
+                pa, pb, pc = np.abs(p - left), np.abs(p - b), np.abs(p - c)
+                pred = np.where((pa <= pb) & (pa <= pc), left,
+                                np.where(pb <= pc, b, c))
+                rec[k:k + bpp] = cur[k:k + bpp] + pred.astype(np.uint8)
+        out[r] = rec
+        prev = rec
+    return out
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """REAL image codec: PNG -> uint8 RGB [h, w, 3], stdlib zlib + numpy.
+
+    Supports bit depth 8/16 for gray / RGB / gray+alpha / RGBA and
+    8-bit palette (PLTE, with tRNS alpha); 16-bit samples downscale to
+    8 (high byte, per spec recommendation); alpha composites over
+    black. Adam7-interlaced and sub-byte-depth files raise ValueError
+    — rare in web corpora; transcode those at ingest.
+    """
+    import struct
+    import zlib
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload (bad signature)")
+    pos, ihdr, plte, trns, idat = 8, None, None, None, []
+    while pos + 8 <= len(payload):
+        (length,), tag = struct.unpack(">I", payload[pos:pos + 4]), \
+            payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + length]
+        pos += 12 + length  # length + tag + body + crc
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"tRNS":
+            trns = body
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("truncated PNG: missing IHDR or IDAT")
+    w, h, depth, ctype, comp, fmeth, interlace = ihdr
+    if comp or fmeth:
+        raise ValueError(f"bad PNG compression/filter method {comp}/{fmeth}")
+    if interlace:
+        raise ValueError("Adam7-interlaced PNG not supported — transcode "
+                         "at ingest")
+    if ctype not in _PNG_CHANNELS:
+        raise ValueError(f"bad PNG color type {ctype}")
+    if depth not in (8, 16) or (ctype == 3 and depth != 8):
+        raise ValueError(f"unsupported PNG bit depth {depth} for color "
+                         f"type {ctype} (1/2/4-bit files: transcode at "
+                         "ingest)")
+    nch = _PNG_CHANNELS[ctype]
+    sample_bytes = depth // 8
+    bpp = nch * sample_bytes
+    mat = _png_unfilter(zlib.decompress(b"".join(idat)), h, w * bpp, bpp)
+    if depth == 16:  # big-endian u2 -> high byte (spec's 16->8 downsample)
+        samples = mat.reshape(h, w, nch, 2)[:, :, :, 0]
+    else:
+        samples = mat.reshape(h, w, nch)
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE chunk")
+        return plte[samples[:, :, 0]].copy()
+    if ctype == 0:
+        return np.repeat(samples, 3, axis=2).copy()
+    if ctype == 2:
+        return samples.copy()
+    # alpha channels composite over black (feature contract wants RGB)
+    color, alpha = samples[:, :, :-1], samples[:, :, -1:].astype(np.uint16)
+    if ctype == 4:
+        color = np.repeat(color, 3, axis=2)
+    return ((color.astype(np.uint16) * alpha) // 255).astype(np.uint8)
+
+
 def image_thumbnail(pixels: np.ndarray, out_h: int = 8,
                     out_w: int = 8) -> np.ndarray:
     """Block-mean resize (the 'resize' operator): uint8 RGB [h, w, 3]
@@ -197,9 +394,10 @@ def image_feature_vector(pixels: np.ndarray,
 
 def decode_stub(payload: bytes, kind: str, fake: bool = False) -> np.ndarray:
     """Codec boundary for the kinds WITHOUT a real decoder here
-    (video / compressed image/audio formats). Real decode of those
-    needs PIL/ffmpeg — absent in this container; WAV audio has the
-    real ``decode_wav`` and PPM images the real ``decode_ppm``.
+    (video / jpeg / compressed audio). Real decode of those needs
+    PIL/ffmpeg — absent in this container; WAV audio has the real
+    ``decode_wav``, PPM images ``decode_ppm``, PNG images
+    ``decode_png``.
 
     ``fake=True`` returns a deterministic pseudo-decode (seeded from the
     payload's own bytes) with the right shape contract:
@@ -234,6 +432,9 @@ def _decode_one(payload: bytes, kind: str, mime: str | None,
         is_p6 = payload[:2] == b"P6"
         if is_declared or (mime is None and is_p6):
             return image_feature_vector(decode_ppm(payload))
+        is_png = payload[:8] == _PNG_SIG
+        if mime == "image/png" or (mime is None and is_png):
+            return image_feature_vector(decode_png(payload))
     return decode_stub(payload, kind, fake=fake)
 
 
@@ -290,9 +491,10 @@ def make_fake_media(spark, n: int = 300, seed: int = 5):
     """Deterministic fake media table matching MEDIA_SCHEMA (tests).
 
     Audio rows carry REAL (tiny) PCM WAV payloads and image rows REAL
-    PPM payloads — synthesized through ``encode_wav`` / ``encode_ppm``
-    — so both real decode paths are exercised end-to-end; video
-    payloads stay opaque bytes for the stub path.
+    PPM or PNG payloads (alternating, PNG filter type cycling 0..4) —
+    synthesized through ``encode_wav`` / ``encode_ppm`` /
+    ``encode_png`` — so all three real decode paths are exercised
+    end-to-end; video payloads stay opaque bytes for the stub path.
     """
     rng = np.random.default_rng(seed)
     kinds = np.array(["image", "audio", "video"], dtype=object)[
@@ -311,17 +513,16 @@ def make_fake_media(spark, n: int = 300, seed: int = 5):
             dur = int(round(1000 * n_samp / rate))
         elif k == "image":
             hi, wi = int(rng.integers(8, 64)), int(rng.integers(8, 64))
-            payload = encode_ppm(rng.integers(0, 256, (hi, wi, 3),
-                                              dtype=np.uint8))
+            px = rng.integers(0, 256, (hi, wi, 3), dtype=np.uint8)
+            payload = (encode_ppm(px) if i % 2 else
+                       encode_png(px, filter_type=i // 2 % 5))
             dur = None
         else:
             size = int(rng.integers(100, 5000))
             payload = rng.integers(0, 256, size, dtype=np.uint8).tobytes()
             dur = int(rng.integers(1000, 60000))
             wi, hi = int(rng.integers(16, 1920)), int(rng.integers(16, 1080))
-        rows.append((i, k, payload,
-                     {"image": "image/x-portable-pixmap",
-                      "audio": "audio/wav",
-                      "video": "video/mp4"}[k],
-                     wi, hi, dur))
+        mime = {"audio": "audio/wav", "video": "video/mp4"}.get(k) or \
+            ("image/x-portable-pixmap" if i % 2 else "image/png")
+        rows.append((i, k, payload, mime, wi, hi, dur))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

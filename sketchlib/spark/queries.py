@@ -185,6 +185,48 @@ def q_fd_embedding_spectrum(spark, sf_dir):
             .select((F.col("rnk") + 1).alias("rnk"), "sq_singular"))
 
 
+def q_embedding_spectrum_exact(spark, sf_dir):
+    """EXACT top-5 squared singular values of the embedding matrix —
+    the in-catalog accuracy companion of q_fd_embedding_spectrum.
+
+    Distributed shape: one d x d Gram partial (A'A) per input
+    partition from mapInPandas, reduced JVM-side (posexplode ->
+    groupBy(pos).sum — d^2 rows cross the wire, never vectors),
+    eigendecomposed on the driver (d x d is tiny). At 10^12 rows this
+    is one scan + a d^2-row shuffle; the FD sketch answers the same
+    question from a mergeable fixed-size state without the scan.
+    Values rounded to 2 decimals so float-sum jitter cannot flap the
+    driver's value-hash check.
+    """
+    from collections.abc import Iterator
+    import numpy as np
+    emb = load(spark, sf_dir, "embeddings").select("embedding")
+    dim = len(emb.first()["embedding"])
+
+    def gram(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        g = _np.zeros((dim, dim), dtype=_np.float64)
+        any_rows = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = _np.stack(pdf["embedding"].to_numpy()).astype(_np.float64)
+            g += mat.T @ mat
+            any_rows = True
+        if any_rows:
+            yield pd.DataFrame({"gram": [g.reshape(-1)]})
+
+    summed = (emb.mapInPandas(gram, "gram array<double>")
+              .select(F.posexplode("gram").alias("pos", "v"))
+              .groupBy("pos").agg(F.sum("v").alias("v")).collect())
+    g = np.zeros(dim * dim)
+    for r in summed:
+        g[r["pos"]] = r["v"]
+    evals = np.linalg.eigvalsh(g.reshape(dim, dim))[::-1][:5]
+    rows = [(i + 1, round(float(v), 2)) for i, v in enumerate(evals)]
+    return spark.createDataFrame(rows, "rnk int, sq_singular double")
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-5 neighbors for query vectors vec_id < 10.
 

@@ -115,3 +115,23 @@ def test_query_spectrum_matches_exact_eigenvalues(spark):
     got = out["sq_singular"].to_numpy()
     assert len(got) == 5
     assert np.all(np.abs(got - exact[:5]) <= bound)
+
+
+def test_exact_spectrum_companion_matches_local_svd(spark):
+    """The distributed Gram-partial exact companion agrees with a local
+    SVD, and the FD estimate sits within its bound of THIS catalog
+    query (closing the last kernel family's in-catalog accuracy loop)."""
+    from sketchlib.spark.queries import (q_embedding_spectrum_exact,
+                                         q_fd_embedding_spectrum)
+    sf = "/root/testdata/sf0.001"
+    got = (q_embedding_spectrum_exact(spark, sf)
+           .toPandas().sort_values("rnk")["sq_singular"].to_numpy())
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").toPandas()
+    a = np.array(emb["embedding"].to_list(), dtype=np.float64)
+    want = np.linalg.svd(a, compute_uv=False)[:5] ** 2
+    assert len(got) == 5
+    assert np.allclose(got, want, atol=0.02)  # catalog rounds to 2dp
+    est = (q_fd_embedding_spectrum(spark, sf)
+           .toPandas().sort_values("rnk")["sq_singular"].to_numpy())
+    bound = 2.0 * float((a * a).sum()) / 32
+    assert np.all(np.abs(est - got) <= bound)

@@ -124,16 +124,23 @@ class TestPpmCodec:
         assert np.allclose(th2[0], 1.0) and np.allclose(th2[1], 0.0)
 
     def test_extract_features_real_image_path(self, spark, media):
-        from sketchlib.spark.multimodal import (decode_ppm,
+        from sketchlib.spark.multimodal import (decode_png, decode_ppm,
                                                 image_feature_vector)
         imgs = media.filter("kind = 'image'")
         feats = {r["media_id"]: r["feature"]
                  for r in extract_features(imgs, fake=False).collect()}
         assert len(feats) == imgs.count() > 0
-        # spot-check one row against a local decode
-        row = imgs.limit(1).collect()[0]
-        want = image_feature_vector(decode_ppm(bytes(row["payload"])))
-        assert np.allclose(feats[row["media_id"]], want, atol=1e-6)
+        # spot-check one row of each codec against a local decode
+        seen = set()
+        for row in imgs.collect():
+            payload = bytes(row["payload"])
+            dec = decode_png if payload[:1] == b"\x89" else decode_ppm
+            if dec in seen:
+                continue
+            seen.add(dec)
+            want = image_feature_vector(dec(payload))
+            assert np.allclose(feats[row["media_id"]], want, atol=1e-6)
+        assert len(seen) == 2  # fixture carries both PPM and PNG rows
 
 
 def test_frame_sample_plan(spark, media):
@@ -142,3 +149,110 @@ def test_frame_sample_plan(spark, media):
     vids = media.filter("kind = 'video'").count()
     assert len({r["media_id"] for r in rows}) == vids
     assert all(r["sample_ms"] % 5000 == 0 for r in rows)
+
+
+class TestPngCodec:
+    """Pure stdlib-zlib/numpy PNG decode: every filter type, every
+    supported color type, 16-bit depth, palette, and the refusals."""
+
+    def test_roundtrip_every_filter_type(self):
+        from sketchlib.spark.multimodal import decode_png, encode_png
+        rng = np.random.default_rng(3)
+        px = rng.integers(0, 256, (11, 9, 3), dtype=np.uint8)
+        for ft in range(5):
+            got = decode_png(encode_png(px, filter_type=ft))
+            assert np.array_equal(got, px), f"filter {ft}"
+
+    def test_gradient_image_filters_agree(self):
+        # smooth gradients exercise the predictors' wrap-around math
+        from sketchlib.spark.multimodal import decode_png, encode_png
+        y, x = np.mgrid[0:16, 0:20]
+        px = np.stack([(y * 16) % 256, (x * 13) % 256,
+                       (x * y) % 256], axis=2).astype(np.uint8)
+        outs = [decode_png(encode_png(px, filter_type=f)) for f in range(5)]
+        for o in outs:
+            assert np.array_equal(o, px)
+
+    def _chunks(self, *parts):
+        from sketchlib.spark.multimodal import _PNG_SIG, _png_chunk
+        return _PNG_SIG + b"".join(_png_chunk(t, b) for t, b in parts)
+
+    def _ihdr(self, w, h, depth, ctype, interlace=0):
+        import struct
+        return struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
+
+    def test_gray_palette_alpha_16bit(self):
+        import zlib
+        from sketchlib.spark.multimodal import decode_png
+        # gray 8-bit 2x2 (filter 0 rows)
+        raw = b"\x00" + bytes([0, 255]) + b"\x00" + bytes([128, 64])
+        png = self._chunks((b"IHDR", self._ihdr(2, 2, 8, 0)),
+                           (b"IDAT", zlib.compress(raw)), (b"IEND", b""))
+        px = decode_png(png)
+        assert px.shape == (2, 2, 3)
+        assert (px[0, 1] == 255).all() and (px[1, 0] == 128).all()
+        # palette: 2 entries, 1x2
+        plte = bytes([255, 0, 0, 0, 0, 255])
+        raw = b"\x00" + bytes([0, 1])
+        png = self._chunks((b"IHDR", self._ihdr(2, 1, 8, 3)),
+                           (b"PLTE", plte),
+                           (b"IDAT", zlib.compress(raw)), (b"IEND", b""))
+        px = decode_png(png)
+        assert tuple(px[0, 0]) == (255, 0, 0) and tuple(px[0, 1]) == (0, 0, 255)
+        # RGBA: alpha composites over black
+        raw = b"\x00" + bytes([200, 100, 50, 255, 200, 100, 50, 0])
+        png = self._chunks((b"IHDR", self._ihdr(2, 1, 8, 6)),
+                           (b"IDAT", zlib.compress(raw)), (b"IEND", b""))
+        px = decode_png(png)
+        assert tuple(px[0, 0]) == (200, 100, 50) and tuple(px[0, 1]) == (0, 0, 0)
+        # gray+alpha half-transparent
+        raw = b"\x00" + bytes([200, 128])
+        png = self._chunks((b"IHDR", self._ihdr(1, 1, 8, 4)),
+                           (b"IDAT", zlib.compress(raw)), (b"IEND", b""))
+        assert tuple(decode_png(png)[0, 0]) == (100, 100, 100)
+        # 16-bit RGB takes the high byte
+        raw = b"\x00" + bytes([0xAB, 0xCD, 0x12, 0x34, 0xFF, 0x00])
+        png = self._chunks((b"IHDR", self._ihdr(1, 1, 16, 2)),
+                           (b"IDAT", zlib.compress(raw)), (b"IEND", b""))
+        assert tuple(decode_png(png)[0, 0]) == (0xAB, 0x12, 0xFF)
+
+    def test_multiple_idat_chunks(self):
+        import zlib
+        from sketchlib.spark.multimodal import decode_png
+        raw = zlib.compress(b"\x00" + bytes([7, 8, 9]))
+        png = self._chunks((b"IHDR", self._ihdr(1, 1, 8, 2)),
+                           (b"IDAT", raw[:5]), (b"IDAT", raw[5:]),
+                           (b"IEND", b""))
+        assert tuple(decode_png(png)[0, 0]) == (7, 8, 9)
+
+    def test_refusals(self):
+        import zlib
+        from sketchlib.spark.multimodal import decode_png
+        with pytest.raises(ValueError, match="signature"):
+            decode_png(b"P6\n1 1\n255\nxxx")
+        with pytest.raises(ValueError, match="interlaced"):
+            decode_png(self._chunks(
+                (b"IHDR", self._ihdr(1, 1, 8, 2, interlace=1)),
+                (b"IDAT", zlib.compress(b"\x00abc")), (b"IEND", b"")))
+        with pytest.raises(ValueError, match="bit depth"):
+            decode_png(self._chunks(
+                (b"IHDR", self._ihdr(1, 1, 4, 0)),
+                (b"IDAT", zlib.compress(b"\x00a")), (b"IEND", b"")))
+        with pytest.raises(ValueError, match="IHDR or IDAT"):
+            decode_png(self._chunks((b"IEND", b"")))
+
+    def test_extract_features_dispatches_png(self, spark):
+        """A declared image/png row decodes for real (fake=False) and
+        matches a local decode+feature run."""
+        from sketchlib.spark.multimodal import (MEDIA_SCHEMA, decode_png,
+                                                encode_png,
+                                                image_feature_vector)
+        rng = np.random.default_rng(9)
+        px = rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+        payload = encode_png(px, filter_type=4)
+        df = spark.createDataFrame(
+            [(1, "image", payload, "image/png", 32, 24, None)], MEDIA_SCHEMA)
+        feats = extract_features(df, fake=False).collect()
+        assert len(feats) == 1
+        want = image_feature_vector(decode_png(payload))
+        assert np.allclose(feats[0]["feature"], want, atol=1e-6)
