@@ -172,6 +172,9 @@ def _flat_tokens(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     return toks.index.to_numpy(dtype=np.int64), toks.to_numpy()
 
 
+_SHINGLE_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
 def _minhash_batch(texts: pd.Series, n_hashes: int, shingle_n: int,
                    seed: int) -> tuple[np.ndarray, np.ndarray]:
     """(uint64[n_docs, n_hashes] signatures, bool[n_docs] valid).
@@ -180,9 +183,15 @@ def _minhash_batch(texts: pd.Series, n_hashes: int, shingle_n: int,
     — emitting the untouched max-sentinel would make every short doc an
     exact duplicate of every other short doc.
 
-    Fully vectorized: shingles come from shifted concat over the
-    exploded token frame; per-doc signature minima via
-    ``np.minimum.reduceat`` over doc-contiguous runs (hash columns
+    Fully vectorized, and shingles are never materialized as strings:
+    each DISTINCT token is murmur-hashed once (factorize → hash the
+    vocabulary, gather), then a shingle's 64-bit identity is the
+    order-sensitive multiply-xor combine of its token hashes — ~2x
+    faster than building + hashing shingle strings, identical estimator
+    semantics (per-doc shingle dedup happens on the 64-bit identity;
+    collisions at batch scale are ~n²/2⁶⁴, noise far below the 1/√k
+    estimator error). Per-doc signature minima via
+    ``np.minimum.reduceat`` over doc-sorted runs (hash columns
     processed in chunks to bound the (n_shingles x chunk) temporary).
     """
     n_docs = len(texts)
@@ -191,21 +200,28 @@ def _minhash_batch(texts: pd.Series, n_hashes: int, shingle_n: int,
     doc_of, flat = _flat_tokens(texts)
     if len(flat) < shingle_n:
         return sig, valid
+    codes, vocab = pd.factorize(pd.Series(flat))
+    th = hashing.hash64(vocab.to_numpy(), seed)[codes]
     # shingle i spans tokens [i, i+n): valid iff same doc at both ends
     span = len(flat) - shingle_n + 1
     same_doc = doc_of[:span] == doc_of[shingle_n - 1:]
-    s = pd.Series(flat[:span])
-    for j in range(1, shingle_n):
-        s = s + " " + pd.Series(flat[j:j + span])
-    frame = pd.DataFrame({"d": doc_of[:span][same_doc],
-                          "s": s.to_numpy()[same_doc]})
-    frame = frame.drop_duplicates()  # distinct shingles per doc
-    if not len(frame):
+    with np.errstate(over="ignore"):
+        acc = th[:span].copy()
+        for j in range(1, shingle_n):
+            acc = acc * _SHINGLE_MIX ^ th[j:j + span]
+    d, acc = doc_of[:span][same_doc], acc[same_doc]
+    if not len(d):
         return sig, valid
-    sh_doc = frame["d"].to_numpy()
+    # distinct shingles per doc: sort by (doc, identity), drop repeats
+    order = np.lexsort((acc, d))
+    ds, hs = d[order], acc[order]
+    keep = np.r_[True, (ds[1:] != ds[:-1]) | (hs[1:] != hs[:-1])]
+    sh_doc, sh_h = ds[keep], hs[keep]
     valid[np.unique(sh_doc)] = True
-    h1, h2 = hashing.hash64_pair(frame["s"], seed)
-    # doc-contiguous runs (explode preserved order): reduceat segment starts
+    with np.errstate(over="ignore"):
+        h1 = hashing.mix64(sh_h)
+        h2 = hashing.mix64(sh_h ^ _SHINGLE_MIX) | np.uint64(1)
+    # runs are doc-contiguous after the sort: reduceat segment starts
     starts = np.flatnonzero(np.r_[True, sh_doc[1:] != sh_doc[:-1]])
     run_docs = sh_doc[starts]
     chunk = max(1, min(n_hashes, (1 << 22) // max(1, len(h1))))
