@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _wrap(Q.q_token_counts),
         "token_counts_bpe": _wrap(Q.q_token_counts_bpe),
         "quality_scores": _wrap(Q.q_quality_scores),
+        "repetition_scores": _wrap(Q.q_repetition_scores),
         "pii_scrub": _wrap(Q.q_pii_scrub),
         "ngram_jaccard_pairs": _wrap(Q.q_ngram_jaccard_pairs),
         "dedup_clusters": _wrap(Q.q_dedup_clusters),
@@ -187,6 +188,23 @@ def oracle_sql() -> dict[str, str]:
             "round(len(list_distinct(toks)) / len(toks), 4) AS uniq_ratio, "
             "round((n_chars_raw - (len(toks) - 1)) / len(toks), 4) "
             "AS avg_token_len FROM t",
+        "repetition_scores":
+            "WITH l AS (SELECT doc_id, string_split(text, chr(10)) "
+            "AS lines FROM documents), "
+            "ls AS (SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines, "
+            "round((len(lines) - len(list_distinct(lines))) / len(lines), 4) "
+            "AS dup_line_frac FROM l), "
+            "t AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+            "x -> x != '') AS t FROM documents), "
+            "b AS (SELECT doc_id, unnest(list_transform(range(1, len(t)), "
+            "i -> t[i] || ' ' || t[i+1])) AS bigram FROM t "
+            "WHERE len(t) >= 2), "
+            "c AS (SELECT doc_id, bigram, count(*) AS cnt FROM b "
+            "GROUP BY doc_id, bigram), "
+            "tb AS (SELECT doc_id, round(max(cnt) / sum(cnt), 4) "
+            "AS top_bigram_frac FROM c GROUP BY doc_id) "
+            "SELECT ls.doc_id, n_lines, dup_line_frac, tb.top_bigram_frac "
+            "FROM ls LEFT JOIN tb ON ls.doc_id = tb.doc_id",
         "ngram_jaccard_pairs":
             # shingle-frequency cap (<= 1000) mirrors the implementation's
             # max_shingle_freq default so impl and oracle agree at ANY

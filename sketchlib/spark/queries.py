@@ -119,6 +119,14 @@ def q_quality_scores(spark, sf_dir):
                                   "doc_id", "text")
 
 
+def q_repetition_scores(spark, sf_dir):
+    """Gopher-style within-doc repetition gates (dup-line fraction,
+    top-bigram share) — fully oracle-checked; newline-bearing and
+    degenerate-repetition inputs covered by pytest fixtures."""
+    return textops.repetition_scores(load(spark, sf_dir, "documents"),
+                                     "doc_id", "text")
+
+
 def q_ngram_jaccard_pairs(spark, sf_dir):
     """Exact word-3-gram Jaccard >= 0.5 pairs (MinHash-LSH companion)."""
     return textops.ngram_jaccard_pairs(load(spark, sf_dir, "documents"),

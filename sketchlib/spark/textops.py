@@ -457,6 +457,50 @@ def pii_scrub(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                      n_red.alias("n_redactions"))
 
 
+def repetition_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher/C4-style within-document repetition signals:
+    (id, n_lines, dup_line_frac, top_bigram_frac).
+
+    - ``dup_line_frac``: fraction of newline-separated lines that are
+      duplicates of an earlier line (0.0 for single-line docs) — the
+      boilerplate/navigation-chrome signal.
+    - ``top_bigram_frac``: share of all word-bigram occurrences taken
+      by the single most frequent bigram (NULL when the doc has < 2
+      tokens) — the degenerate-repetition signal ("click here click
+      here ...") used as a Gopher quality gate.
+
+    One declarative plan, no Python: lines via split('\\n'); bigrams
+    via the same sequence/slice shingle expression as
+    ``ngram_jaccard_pairs`` at n=2, aggregated per doc with
+    max(cnt)/sum(cnt). Both are plain groupBys on (doc, value) — at
+    10^12 docs the shuffle key includes doc_id, so cardinality is
+    bounded by corpus token count and partial aggregation absorbs the
+    per-doc skew.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    base = df.select(F.col(id_col), F.col(text_col))
+    line_stats = base.select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.round((F.size(lines) - F.size(F.array_distinct(lines)))
+                / F.size(lines), 4).alias("dup_line_frac"))
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    bi = (base.select(F.col(id_col).alias("_doc"), toks.alias("t"))
+          .filter(F.size(F.col("t")) >= 2)
+          .select("_doc", F.explode(
+              F.transform(F.sequence(F.lit(0), F.size(F.col("t")) - 2),
+                          lambda i: F.concat_ws(" ", F.slice(F.col("t"),
+                                                             i + 1, 2)))
+          ).alias("bigram")))
+    top = (bi.groupBy("_doc", "bigram").agg(F.count("*").alias("cnt"))
+           .groupBy("_doc")
+           .agg(F.round(F.max("cnt") / F.sum("cnt"), 4)
+                .alias("top_bigram_frac")))
+    return (line_stats.join(top, line_stats[id_col] == top["_doc"], "left")
+            .select(F.col(id_col), "n_lines", "dup_line_frac",
+                    "top_bigram_frac"))
+
+
 def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Deterministic quality features, all with built-in functions:
     char count, token count, distinct-token ratio, mean token length."""

@@ -498,3 +498,46 @@ class TestRound3ScaleFixes:
         textops.simhash_candidate_pairs(docs, "doc_id", "text",
                                         max_hamming=3).collect()
         assert cm.isEmpty()
+
+
+class TestRepetitionScores:
+    """Gopher-style repetition gates: hand-checked values + DuckDB
+    oracle parity on newline/degenerate inputs the driver corpus
+    lacks."""
+
+    ROWS = [
+        (1, "a b a b a b a b"),                 # degenerate bigram doc
+        (2, "one two three four five six"),     # clean doc
+        (3, "line1\nline2\nline1\nline1"),      # duplicate lines
+        (4, "solo"),                            # single token: no bigrams
+        (5, "x y\nx y\nx y"),                   # dup lines AND dup bigrams
+    ]
+
+    def test_values_and_oracle_parity(self, spark):
+        import duckdb
+        import pandas as pd
+        import __spark_entry__ as E
+        df = spark.createDataFrame(self.ROWS, "doc_id long, text string")
+        got = (textops.repetition_scores(df, "doc_id", "text")
+               .toPandas().sort_values("doc_id").reset_index(drop=True))
+        by = got.set_index("doc_id")
+        # doc 1: bigrams = [a b, b a] x alternating -> 'a b' 4 of 7
+        assert by.loc[1, "top_bigram_frac"] == round(4 / 7, 4)
+        assert by.loc[1, "dup_line_frac"] == 0.0
+        # doc 2: 5 distinct bigrams -> top share 1/5
+        assert by.loc[2, "top_bigram_frac"] == 0.2
+        # doc 3: 4 lines, 2 distinct -> half are repeats
+        assert by.loc[3, "n_lines"] == 4
+        assert by.loc[3, "dup_line_frac"] == 0.5
+        # doc 4: no bigrams -> NULL
+        assert pd.isna(by.loc[4, "top_bigram_frac"])
+        # doc 5: 3 lines 1 distinct; bigrams 'x y' dominate
+        assert by.loc[5, "dup_line_frac"] == round(2 / 3, 4)
+        con = duckdb.connect()
+        con.register("documents", pd.DataFrame(
+            self.ROWS, columns=["doc_id", "text"]))
+        want = (con.sql(E.oracle_sql()["repetition_scores"]).df()
+                .sort_values("doc_id").reset_index(drop=True))
+        for c in ("n_lines", "dup_line_frac", "top_bigram_frac"):
+            assert got[c].fillna(-1).tolist() == \
+                want[c].fillna(-1).tolist(), c
