@@ -101,6 +101,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _wrap(Q.q_ann_cosine_topk),
         "fd_embedding_spectrum": _wrap(Q.q_fd_embedding_spectrum),
         "embedding_spectrum_exact": _wrap(Q.q_embedding_spectrum_exact),
+        "props_json_stats": _wrap(Q.q_props_json_stats),
+        "label_centroids": _wrap(Q.q_label_centroids),
         "pricing_summary": _wrap(Q.q_pricing_summary),
         "shipping_priority": _wrap(Q.q_shipping_priority),
         "bloom_semijoin": _wrap(Q.q_bloom_semijoin),
@@ -205,6 +207,19 @@ def oracle_sql() -> dict[str, str]:
             "AS top_bigram_frac FROM c GROUP BY doc_id) "
             "SELECT ls.doc_id, n_lines, dup_line_frac, tb.top_bigram_frac "
             "FROM ls LEFT JOIN tb ON ls.doc_id = tb.doc_id",
+        "props_json_stats":
+            "SELECT event_type, "
+            "count(CAST(json_extract_string(props, '$.k') AS BIGINT)) "
+            "AS n_with_k, "
+            "CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) "
+            "AS BIGINT) AS sum_k, "
+            "round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) "
+            "AS avg_k FROM events GROUP BY event_type",
+        "label_centroids":
+            "SELECT label, pos, round(avg(CAST(v AS DOUBLE)), 4) "
+            "AS centroid_v FROM (SELECT label, unnest(embedding) AS v, "
+            "generate_subscripts(embedding, 1) AS pos FROM embeddings) "
+            "GROUP BY label, pos",
         "ngram_jaccard_pairs":
             # shingle-frequency cap (<= 1000) mirrors the implementation's
             # max_shingle_freq default so impl and oracle agree at ANY

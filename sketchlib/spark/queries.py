@@ -193,6 +193,33 @@ def q_fd_embedding_spectrum(spark, sf_dir):
             .select((F.col("rnk") + 1).alias("rnk"), "sq_singular"))
 
 
+def q_props_json_stats(spark, sf_dir):
+    """Semi-structured extraction: parse the events table's JSON
+    ``props`` column JVM-side (``get_json_object``, whole-stage
+    codegen — the in-row companion of the file-level JSON source
+    reader) and aggregate the extracted field per event_type.
+    Fully oracle-checked against DuckDB's json_extract_string."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (ev.groupBy("event_type")
+            .agg(F.count(k).alias("n_with_k"),
+                 F.sum(k).alias("sum_k"),
+                 F.round(F.avg(k), 4).alias("avg_k")))
+
+
+def q_label_centroids(spark, sf_dir):
+    """Per-label mean embedding (class prototypes), fully distributed:
+    posexplode to (label, pos, v) then partial-aggregated avg — the
+    exact, SQL-expressible companion of IVF centroid training (shuffle
+    carries #labels x dim partial sums, never vectors). 1-based pos
+    matches the oracle's generate_subscripts."""
+    emb = load(spark, sf_dir, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("pos0", "v"))
+    return (ex.groupBy(F.col("label"), (F.col("pos0") + 1).alias("pos"))
+            .agg(F.round(F.avg(F.col("v").cast("double")), 4)
+                 .alias("centroid_v")))
+
+
 def q_embedding_spectrum_exact(spark, sf_dir):
     """EXACT top-5 squared singular values of the embedding matrix —
     the in-catalog accuracy companion of q_fd_embedding_spectrum.

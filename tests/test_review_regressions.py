@@ -541,3 +541,37 @@ class TestRepetitionScores:
         for c in ("n_lines", "dup_line_frac", "top_bigram_frac"):
             assert got[c].fillna(-1).tolist() == \
                 want[c].fillna(-1).tolist(), c
+
+
+class TestRound3NewQueries:
+    def test_props_json_missing_and_malformed(self, spark):
+        """get_json_object yields NULL for absent keys / bad JSON —
+        count skips them, sum/avg aggregate only parsed rows."""
+        import pyspark.sql.functions as F
+        df = spark.createDataFrame(
+            [("a", '{"k": 10}'), ("a", '{"j": 5}'), ("a", "not json"),
+             ("a", '{"k": 20}'), ("b", None)],
+            "event_type string, props string")
+        k = F.get_json_object("props", "$.k").cast("long")
+        got = {r["event_type"]: (r["n"], r["s"])
+               for r in df.groupBy("event_type")
+               .agg(F.count(k).alias("n"), F.sum(k).alias("s")).collect()}
+        assert got["a"] == (2, 30)
+        assert got["b"] == (0, None)
+
+    def test_label_centroids_values(self, spark):
+        from sketchlib.spark.queries import q_label_centroids
+        import pyspark.sql.functions as F
+        emb = spark.createDataFrame(
+            [(1, [1.0, 2.0], 7), (2, [3.0, 6.0], 7), (3, [10.0, 0.0], 8)],
+            "vec_id long, embedding array<float>, label int")
+        emb.createOrReplaceTempView("_tmp")
+        import sketchlib.spark.queries as Q
+        orig = Q.load
+        try:
+            Q.load = lambda spark, sf, name: emb
+            rows = {(r["label"], r["pos"]): r["centroid_v"]
+                    for r in q_label_centroids(spark, "x").collect()}
+        finally:
+            Q.load = orig
+        assert rows == {(7, 1): 2.0, (7, 2): 4.0, (8, 1): 10.0, (8, 2): 0.0}
