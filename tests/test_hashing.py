@@ -52,3 +52,22 @@ def test_probe_indices_shape_and_range():
 
 def test_empty_batch():
     assert hashing.murmur3_32([], 0).shape == (0,)
+
+
+def test_digest16_batch_matches_scalar():
+    """The vectorized long-key digest is byte-identical to the per-key
+    path for every key (round 3: the per-key Python loop became a
+    reduceat fold — 4.7x on whole-page fingerprints)."""
+    import numpy as np
+    from sketchlib.core.hashing import _digest16, _digest16_batch
+    rng = np.random.default_rng(13)
+    keys = [rng.integers(0, 256, int(rng.integers(257, 4096)),
+                         dtype=np.uint8).tobytes() for _ in range(64)]
+    # include exact multiples of 8 and off-by-one straddles
+    keys += [bytes(range(256)) * 2, b"x" * 257, b"y" * 264, b"z" * 263]
+    data = np.frombuffer(b"".join(keys), dtype=np.uint8)
+    lens = np.array([len(k) for k in keys])
+    starts = np.r_[0, np.cumsum(lens[:-1])]
+    batch = _digest16_batch(data, starts, lens)
+    for i, k in enumerate(keys):
+        assert batch[i].tobytes() == _digest16(k), i
