@@ -66,14 +66,6 @@ def _digest16(data: bytes) -> bytes:
     return lo.to_bytes(8, "little") + hi.to_bytes(8, "little")
 
 
-def _ragged_arange(lens: np.ndarray) -> np.ndarray:
-    """[0..lens[0]), [0..lens[1]), ... concatenated (int64)."""
-    c = np.cumsum(lens)
-    out = np.arange(int(c[-1]), dtype=np.int64)
-    out -= np.repeat(np.r_[np.int64(0), c[:-1]], lens)
-    return out
-
-
 def _digest16_batch(data: np.ndarray, starts: np.ndarray,
                     lengths: np.ndarray) -> np.ndarray:
     """uint8[n, 16] digests of n long keys in one vectorized pass —
