@@ -208,13 +208,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT ls.doc_id, n_lines, dup_line_frac, tb.top_bigram_frac "
             "FROM ls LEFT JOIN tb ON ls.doc_id = tb.doc_id",
         "props_json_stats":
+            # TRY_CAST matches Spark's cast('long') NULL-on-failure
+            # semantics, so a non-integer k diverges in neither engine
             "SELECT event_type, "
-            "count(CAST(json_extract_string(props, '$.k') AS BIGINT)) "
+            "count(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) "
             "AS n_with_k, "
-            "CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) "
+            "CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) "
             "AS BIGINT) AS sum_k, "
-            "round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) "
-            "AS avg_k FROM events GROUP BY event_type",
+            "round(avg(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)),"
+            " 4) AS avg_k FROM events GROUP BY event_type",
         "label_centroids":
             "SELECT label, pos, round(avg(CAST(v AS DOUBLE)), 4) "
             "AS centroid_v FROM (SELECT label, unnest(embedding) AS v, "

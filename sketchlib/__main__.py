@@ -145,7 +145,7 @@ def cmd_update(args) -> int:
     from sketchlib.spark.build import incremental_update
     from sketchlib.io.sources import read_input
 
-    if _os.path.abspath(args.out) == _os.path.abspath(args.sketches):
+    if _os.path.realpath(args.out) == _os.path.realpath(args.sketches):
         # --out is written mode('overwrite') while --sketches is still
         # lazily read; the same path risks 'cannot overwrite a path
         # being read from' or silent data loss depending on committer

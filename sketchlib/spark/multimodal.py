@@ -313,6 +313,8 @@ def decode_png(payload: bytes) -> np.ndarray:
         body = payload[pos + 8:pos + 8 + length]
         pos += 12 + length  # length + tag + body + crc
         if tag == b"IHDR":
+            if len(body) != 13:
+                raise ValueError(f"truncated PNG IHDR ({len(body)} bytes)")
             ihdr = struct.unpack(">IIBBBBB", body)
         elif tag == b"PLTE":
             plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
@@ -339,7 +341,11 @@ def decode_png(payload: bytes) -> np.ndarray:
     nch = _PNG_CHANNELS[ctype]
     sample_bytes = depth // 8
     bpp = nch * sample_bytes
-    mat = _png_unfilter(zlib.decompress(b"".join(idat)), h, w * bpp, bpp)
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
+    mat = _png_unfilter(raw, h, w * bpp, bpp)
     if depth == 16:  # big-endian u2 -> high byte (spec's 16->8 downsample)
         samples = mat.reshape(h, w, nch, 2)[:, :, :, 0]
     else:
@@ -347,7 +353,21 @@ def decode_png(payload: bytes) -> np.ndarray:
     if ctype == 3:
         if plte is None:
             raise ValueError("palette PNG without PLTE chunk")
-        return plte[samples[:, :, 0]].copy()
+        codes = samples[:, :, 0]
+        if int(codes.max()) >= len(plte):
+            raise ValueError(
+                f"palette index {int(codes.max())} out of range "
+                f"(PLTE has {len(plte)} entries)")
+        rgb = plte[codes]
+        if trns is None:
+            return rgb.copy()
+        # tRNS: one alpha byte per palette entry (missing entries are
+        # opaque); composite over black like the RGBA/gray+alpha paths
+        alpha_tab = np.full(len(plte), 255, dtype=np.uint8)
+        alpha_tab[:min(len(trns), len(plte))] = \
+            np.frombuffer(trns[:len(plte)], dtype=np.uint8)
+        a = alpha_tab[codes].astype(np.uint16)[:, :, None]
+        return ((rgb.astype(np.uint16) * a) // 255).astype(np.uint8)
     if ctype == 0:
         return np.repeat(samples, 3, axis=2).copy()
     if ctype == 2:

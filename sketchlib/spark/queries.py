@@ -200,7 +200,9 @@ def q_props_json_stats(spark, sf_dir):
     reader) and aggregate the extracted field per event_type.
     Fully oracle-checked against DuckDB's json_extract_string."""
     ev = load(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("long")
+    # try_cast: NULL on non-integer k (ANSI cast would error), matching
+    # the oracle's TRY_CAST
+    k = F.get_json_object("props", "$.k").try_cast("long")
     return (ev.groupBy("event_type")
             .agg(F.count(k).alias("n_with_k"),
                  F.sum(k).alias("sum_k"),

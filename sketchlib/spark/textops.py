@@ -26,6 +26,25 @@ from pyspark.sql.types import (ArrayType, BinaryType, LongType, StringType,
 
 from sketchlib.core import hashing
 
+def _materialize(df: DataFrame) -> DataFrame:
+    """Eagerly materialize a DataFrame that later stages read multiple
+    times (or whose lineage must be truncated for an iterative loop).
+
+    Uses the RELIABLE ``checkpoint`` when the session has a checkpoint
+    dir configured (``sc.setCheckpointDir`` — survives executor loss /
+    preemption on a real cluster), else ``localCheckpoint`` (blocks
+    live on executors: fastest, fine for local mode, and released by
+    the ContextCleaner with the result instead of lingering in the
+    session's cache manager the way ``.cache()`` does). Callers that
+    cannot afford materialization-at-construction pass their own
+    pre-built ``signatures`` table instead.
+    """
+    sc = df.sparkSession.sparkContext
+    if sc._jsc.sc().getCheckpointDir().isDefined():
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 # ---------------------------------------------------------------------------
 # exact dedup + n-gram Jaccard — pure DataFrame compositions
 # ---------------------------------------------------------------------------
@@ -60,37 +79,41 @@ def dedup_clusters(pairs: DataFrame, a_col: str = "a_id",
     looping forever. Only nodes that appear in ``pairs`` are emitted
     (singletons are trivially their own cluster and never shuffle).
 
-    Every round's labels are eagerly localCheckpoint-ed: the pointer
-    jump is a SELF-join (labels referenced twice), so without lineage
-    truncation the logical plan would double each round and planning
-    itself would blow up after ~10 rounds; checkpoint blocks from prior
-    rounds are released by the ContextCleaner when their DataFrames go
-    out of scope.
+    Every round's labels are eagerly checkpointed (``_materialize``:
+    reliable checkpoint when the session has a checkpoint dir, local
+    otherwise): the pointer jump is a SELF-join (labels referenced
+    twice), so without lineage truncation the logical plan would
+    double each round and planning itself would blow up after ~10
+    rounds; local-checkpoint blocks from prior rounds are released by
+    the ContextCleaner when their DataFrames go out of scope.
     """
-    edges = (pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-             .union(pairs.select(F.col(b_col).alias("src"),
-                                 F.col(a_col).alias("dst")))
-             .distinct()).localCheckpoint(eager=True)
-    labels = (edges.select(F.col("src").alias("node")).distinct()
-              .withColumn("label", F.col("node"))).localCheckpoint(eager=True)
+    edges = _materialize(
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"),
+                            F.col(a_col).alias("dst")))
+        .distinct())
+    labels = _materialize(edges.select(F.col("src").alias("node")).distinct()
+                          .withColumn("label", F.col("node")))
     for _ in range(max_iter):
         nbr_min = (edges.join(labels, edges["src"] == labels["node"])
                    .groupBy(F.col("dst").alias("node"))
                    .agg(F.min("label").alias("nbr_label")))
         # (1) neighbor-min — materialized: the shortcut self-join below
         # reads it twice and must not double the lineage
-        tent = (labels.join(nbr_min, "node", "left")
-                .select("node",
-                        F.least("label", F.coalesce("nbr_label", "label"))
-                        .alias("label"))).localCheckpoint(eager=True)
+        tent = _materialize(
+            labels.join(nbr_min, "node", "left")
+            .select("node",
+                    F.least("label", F.coalesce("nbr_label", "label"))
+                    .alias("label")))
         # (2) pointer jump: label(v) <- min(label(v), label(label(v)))
         t, p = tent.alias("t"), tent.alias("p")
-        new_labels = (t.join(p, F.col("t.label") == F.col("p.node"), "left")
-                      .select(F.col("t.node").alias("node"),
-                              F.least(F.col("t.label"),
-                                      F.coalesce(F.col("p.label"),
-                                                 F.col("t.label")))
-                              .alias("label"))).localCheckpoint(eager=True)
+        new_labels = _materialize(
+            t.join(p, F.col("t.label") == F.col("p.node"), "left")
+            .select(F.col("t.node").alias("node"),
+                    F.least(F.col("t.label"),
+                            F.coalesce(F.col("p.label"),
+                                       F.col("t.label")))
+                    .alias("label")))
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "node")
                    .filter(F.col("n.label") != F.col("o.label")).count())
@@ -272,21 +295,23 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     components (unbiased estimator of true Jaccard).
 
     The signature plan feeds three join sides; by default it is
-    materialized ONCE via an eager ``localCheckpoint`` (signatures are
-    8*n_hashes bytes/doc). Unlike ``.cache()``, the checkpoint blocks
-    belong to the returned plan, not the session's cache manager — the
+    materialized ONCE via an eager checkpoint (``_materialize``:
+    reliable when a checkpoint dir is set — survives executor loss on
+    a real cluster — else local; signatures are 8*n_hashes bytes/doc).
+    Unlike ``.cache()``, local-checkpoint blocks belong to the
+    returned plan, not the session's cache manager — the
     ContextCleaner releases them when the result is garbage-collected,
-    so no cached table leaks into the session. At pipeline scale,
-    materialize ``minhash_signatures`` to a table yourself and pass it
-    via ``signatures``.
+    so no cached table leaks into the session. Note the materialization
+    runs WHEN THIS FUNCTION IS CALLED; at pipeline scale, materialize
+    ``minhash_signatures`` to a table yourself and pass it via
+    ``signatures``.
     """
     if n_hashes % bands:
         raise ValueError("bands must divide n_hashes")
     rows_per_band = n_hashes // bands
     if signatures is None:
-        signatures = minhash_signatures(df, id_col, text_col, n_hashes,
-                                        shingle_n, seed) \
-            .localCheckpoint(eager=True)
+        signatures = _materialize(minhash_signatures(
+            df, id_col, text_col, n_hashes, shingle_n, seed))
     sigs = signatures.withColumnRenamed("doc_id_mh", "doc")
 
     band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
@@ -373,13 +398,14 @@ def simhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
     Banding on 4 x 16-bit chunks: two signatures within hamming 3 must
     agree exactly on at least one chunk (pigeonhole), so candidates come
     from 4 equi-joins, never a cross join. Signatures are materialized
-    once via eager ``localCheckpoint`` (8 bytes/doc; blocks released by
-    the ContextCleaner with the result, nothing left in the session's
+    once at call time via an eager checkpoint (``_materialize``;
+    8 bytes/doc; local-checkpoint blocks are released by the
+    ContextCleaner with the result, nothing left in the session's
     cache manager); pass a materialized ``signatures`` table at
     pipeline scale.
     """
-    sh = signatures if signatures is not None else simhash(
-        df, id_col, text_col, seed).localCheckpoint(eager=True)
+    sh = signatures if signatures is not None else _materialize(
+        simhash(df, id_col, text_col, seed))
     chunks = sh.select(
         "doc", "simhash",
         F.explode(F.array(*[
@@ -482,11 +508,16 @@ def repetition_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """
     lines = F.split(F.col(text_col), "\n")
     base = df.select(F.col(id_col), F.col(text_col))
+    notnull = F.col(text_col).isNotNull()
+    # explicit NULL guard: legacy size(NULL) is -1, which would report
+    # a null doc as n_lines=-1 / dup_line_frac=0.0 while the oracle's
+    # len(NULL) is NULL
     line_stats = base.select(
         F.col(id_col),
-        F.size(lines).cast("long").alias("n_lines"),
-        F.round((F.size(lines) - F.size(F.array_distinct(lines)))
-                / F.size(lines), 4).alias("dup_line_frac"))
+        F.when(notnull, F.size(lines).cast("long")).alias("n_lines"),
+        F.when(notnull,
+               F.round((F.size(lines) - F.size(F.array_distinct(lines)))
+                       / F.size(lines), 4)).alias("dup_line_frac"))
     toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
     bi = (base.select(F.col(id_col).alias("_doc"), toks.alias("t"))
           .filter(F.size(F.col("t")) >= 2)

@@ -82,22 +82,68 @@ def test_ivf_deterministic_and_reusable(spark, emb):
     assert assign.select("vid").distinct().count() == emb.count()
 
 
-def test_ivf_train_stable_across_partitionings_reduce_bound(spark, emb):
-    """The per-iteration reduce happens in the cluster: the DataFrame
-    the driver collects has at most #centroids rows regardless of input
-    partition count, and training is reproducible at a fixed
-    partitioning (the partial-sum fold is totally ordered by
-    partition_id)."""
+def test_ivf_train_deterministic_at_each_partition_width(spark, emb):
+    """Training is reproducible run-to-run at a fixed partitioning —
+    the cluster-side partial-sum fold is totally ordered by
+    partition_id — checked at two widths. (Centroids are NOT expected
+    to be bitwise-equal ACROSS widths: the partial-sum groupings
+    differ, exactly like the round-2 driver-side reduce.)"""
     import numpy as np
     dim = len(emb.first()["embedding"])
-    wide = emb.repartition(64)
-    c1 = annops.ivf_train_centroids(wide, "vec_id", "embedding", dim,
-                                    n_centroids=8, iters=2)
-    c2 = annops.ivf_train_centroids(wide, "vec_id", "embedding", dim,
-                                    n_centroids=8, iters=2)
-    assert np.array_equal(c1, c2)
-    assert c1.shape == (8, dim)
-    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0, atol=1e-5)
+    for width in (8, 64):
+        wide = emb.repartition(width)
+        c1 = annops.ivf_train_centroids(wide, "vec_id", "embedding", dim,
+                                        n_centroids=8, iters=2)
+        c2 = annops.ivf_train_centroids(wide, "vec_id", "embedding", dim,
+                                        n_centroids=8, iters=2)
+        assert np.array_equal(c1, c2), width
+        assert c1.shape == (8, dim)
+        assert np.allclose(np.linalg.norm(c1, axis=1), 1.0, atol=1e-5)
+
+
+def test_ivf_reduce_collects_at_most_n_centroids_rows(spark, emb):
+    """The per-iteration reduce happens in the cluster: replicate one
+    iteration's partial->reduce plan at 64 input partitions and assert
+    the DataFrame the driver would collect has <= n_centroids rows
+    (round 2 collected one row per (partition, centroid))."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (ArrayType, DoubleType, LongType,
+                                   StructField, StructType)
+    import pyspark.sql.functions as F
+    dim = len(emb.first()["embedding"])
+    cents = annops.ivf_train_centroids(emb, "vec_id", "embedding", dim,
+                                       n_centroids=8, iters=1)
+    wide = emb.repartition(64).select(
+        F.col("vec_id").cast("long").alias("_id"), "embedding")
+    schema = StructType([
+        StructField("cid", LongType(), False),
+        StructField("cnt", LongType(), False),
+        StructField("vsum", ArrayType(DoubleType()), False),
+        StructField("partition_id", LongType(), False)])
+
+    def fn(batches):
+        from pyspark import TaskContext
+        pid = TaskContext.get().partitionId()
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float32)
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True),
+                              1e-12)
+            cid = (mat @ cents.T).argmax(axis=1)
+            cnts = np.bincount(cid, minlength=len(cents))
+            nz = np.flatnonzero(cnts)
+            sums = np.zeros((len(cents), dim))
+            np.add.at(sums, cid, mat)
+            yield pd.DataFrame({"cid": nz, "cnt": cnts[nz],
+                                "vsum": list(sums[nz]), "partition_id": pid})
+
+    partials = wide.mapInPandas(fn, schema)
+    assert partials.count() > 8  # many partials: one per (partition, cid)
+    reduced = partials.groupBy("cid").agg(
+        F.sum("cnt").alias("cnt"))  # the reduce keys the driver collects
+    assert reduced.count() <= 8
 
 
 def test_srp_signatures_deterministic(spark, emb):

@@ -256,3 +256,59 @@ class TestPngCodec:
         assert len(feats) == 1
         want = image_feature_vector(decode_png(payload))
         assert np.allclose(feats[0]["feature"], want, atol=1e-6)
+
+
+class TestPngCodecRound3Review:
+    """Review fixes: tRNS palette alpha applied, ValueError contract on
+    malformed payloads."""
+
+    def _chunks(self, *parts):
+        from sketchlib.spark.multimodal import _PNG_SIG, _png_chunk
+        return _PNG_SIG + b"".join(_png_chunk(t, b) for t, b in parts)
+
+    def _ihdr(self, w, h, depth, ctype):
+        import struct
+        return struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 0)
+
+    def test_trns_palette_alpha_composites(self):
+        import zlib
+        from sketchlib.spark.multimodal import decode_png
+        plte = bytes([200, 100, 50, 0, 0, 255])
+        raw = b"\x00" + bytes([0, 1, 0])
+        png = self._chunks((b"IHDR", self._ihdr(3, 1, 8, 3)),
+                           (b"PLTE", plte),
+                           (b"tRNS", bytes([128])),  # entry 0 half-alpha
+                           (b"IDAT", zlib.compress(raw)), (b"IEND", b""))
+        px = decode_png(png)
+        # entry 0 composited over black at alpha 128; entry 1 (no tRNS
+        # byte) stays opaque
+        assert tuple(px[0, 0]) == (100, 50, 25)
+        assert tuple(px[0, 1]) == (0, 0, 255)
+        assert tuple(px[0, 2]) == (100, 50, 25)
+
+    def test_malformed_payloads_raise_valueerror(self):
+        import zlib
+        import pytest
+        from sketchlib.spark.multimodal import decode_png
+        # truncated IHDR body
+        with pytest.raises(ValueError, match="IHDR"):
+            decode_png(self._chunks((b"IHDR", b"\x00\x01"),
+                                    (b"IDAT", b"x"), (b"IEND", b"")))
+        # corrupt IDAT stream
+        with pytest.raises(ValueError, match="IDAT"):
+            decode_png(self._chunks((b"IHDR", self._ihdr(1, 1, 8, 2)),
+                                    (b"IDAT", b"\xff\xfe\xfd"),
+                                    (b"IEND", b"")))
+        # palette index beyond PLTE
+        png = self._chunks((b"IHDR", self._ihdr(1, 1, 8, 3)),
+                           (b"PLTE", bytes([1, 2, 3])),
+                           (b"IDAT", zlib.compress(b"\x00\x05")),
+                           (b"IEND", b""))
+        with pytest.raises(ValueError, match="palette index"):
+            decode_png(png)
+        # inflated size disagrees with header
+        png = self._chunks((b"IHDR", self._ihdr(4, 4, 8, 2)),
+                           (b"IDAT", zlib.compress(b"\x00abc")),
+                           (b"IEND", b""))
+        with pytest.raises(ValueError, match="pixel payload"):
+            decode_png(png)

@@ -545,14 +545,15 @@ class TestRepetitionScores:
 
 class TestRound3NewQueries:
     def test_props_json_missing_and_malformed(self, spark):
-        """get_json_object yields NULL for absent keys / bad JSON —
-        count skips them, sum/avg aggregate only parsed rows."""
+        """get_json_object yields NULL for absent keys / bad JSON, and
+        try_cast yields NULL for non-integer k (ANSI cast would throw)
+        — count skips them, sum/avg aggregate only parsed rows."""
         import pyspark.sql.functions as F
         df = spark.createDataFrame(
             [("a", '{"k": 10}'), ("a", '{"j": 5}'), ("a", "not json"),
-             ("a", '{"k": 20}'), ("b", None)],
+             ("a", '{"k": 20}'), ("a", '{"k": "abc"}'), ("b", None)],
             "event_type string, props string")
-        k = F.get_json_object("props", "$.k").cast("long")
+        k = F.get_json_object("props", "$.k").try_cast("long")
         got = {r["event_type"]: (r["n"], r["s"])
                for r in df.groupBy("event_type")
                .agg(F.count(k).alias("n"), F.sum(k).alias("s")).collect()}
@@ -575,3 +576,38 @@ class TestRound3NewQueries:
         finally:
             Q.load = orig
         assert rows == {(7, 1): 2.0, (7, 2): 4.0, (8, 1): 10.0, (8, 2): 0.0}
+
+
+def test_repetition_scores_null_text_yields_nulls(spark):
+    """NULL text -> all-NULL stats (oracle len(NULL) semantics), not
+    the legacy size(NULL)=-1 junk."""
+    import pandas as pd
+    df = spark.createDataFrame([(1, None), (2, "a b")],
+                               "doc_id long, text string")
+    got = (textops.repetition_scores(df, "doc_id", "text")
+           .toPandas().set_index("doc_id"))
+    assert pd.isna(got.loc[1, "n_lines"])
+    assert pd.isna(got.loc[1, "dup_line_frac"])
+    assert pd.isna(got.loc[1, "top_bigram_frac"])
+    assert got.loc[2, "n_lines"] == 1
+
+
+def test_materialize_uses_reliable_checkpoint_when_dir_set(spark, tmp_path):
+    """With a checkpoint dir configured, _materialize survives executor
+    loss (reliable checkpoint); without one it stays local."""
+    from sketchlib.spark.textops import _materialize
+    df = spark.range(10)
+    local = _materialize(df)
+    assert local.count() == 10
+    sc = spark.sparkContext
+    assert not sc._jsc.sc().getCheckpointDir().isDefined()
+    sc.setCheckpointDir(str(tmp_path / "ck"))
+    try:
+        reliable = _materialize(spark.range(7))
+        assert reliable.count() == 7
+        import os
+        assert any(os.scandir(str(tmp_path / "ck")))  # files written
+    finally:
+        # other tests assume no checkpoint dir -> reset to undefined
+        none = getattr(getattr(sc._jvm.scala, "None$"), "MODULE$")
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(none)
