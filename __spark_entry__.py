@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _wrap(Q.q_pii_scrub),
         "ngram_jaccard_pairs": _wrap(Q.q_ngram_jaccard_pairs),
         "dedup_clusters": _wrap(Q.q_dedup_clusters),
+        "dedup_clusters_minhash": _wrap(Q.q_dedup_clusters_minhash),
         "corpus_curation": _wrap(Q.q_corpus_curation),
         "hash_split_counts": _wrap(Q.q_hash_split_counts),
         "ann_cosine_topk": _wrap(Q.q_ann_cosine_topk),

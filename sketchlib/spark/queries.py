@@ -176,6 +176,23 @@ def q_dedup_clusters(spark, sf_dir):
     return textops.dedup_clusters(pairs)
 
 
+def q_dedup_clusters_minhash(spark, sf_dir):
+    """The SCALE-PATH dedup pipeline end-to-end: MinHash-LSH candidate
+    pairs -> pointer-jumping connected components -> one keep row per
+    cluster. Rows-only (signatures are estimator-based); the exact
+    twin is q_dedup_clusters over the n-gram-Jaccard graph, and the
+    LSH pair generator's recall vs exact is test-enforced. At 10^12
+    docs this chain never goes all-pairs: banded equi-joins for
+    candidates, O(log diameter) label rounds for clusters."""
+    pairs = textops.minhash_lsh_pairs(load(spark, sf_dir, "documents"),
+                                      "doc_id", "text", threshold=0.5)
+    clusters = textops.dedup_clusters(pairs)
+    return (clusters.groupBy("cluster_id")
+            .agg(F.count("*").alias("cluster_size"),
+                 F.min("doc_id").alias("keep_id"))
+            .filter(F.col("cluster_size") >= 2))
+
+
 def q_fd_embedding_spectrum(spark, sf_dir):
     """Covariance spectrum of the embedding corpus from ONE fixed-size
     mergeable state (frequent directions): top-5 squared singular

@@ -71,3 +71,22 @@ def test_digest16_batch_matches_scalar():
     batch = _digest16_batch(data, starts, lens)
     for i, k in enumerate(keys):
         assert batch[i].tobytes() == _digest16(k), i
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.binary(min_size=257, max_size=1200), min_size=1,
+                max_size=12))
+def test_digest16_batch_fuzz_parity(keys):
+    """Hypothesis: batch digest == per-key digest for arbitrary long
+    byte strings (any length mod 8, NULs, repeats)."""
+    import numpy as np
+    from sketchlib.core.hashing import _digest16, _digest16_batch
+    data = np.frombuffer(b"".join(keys), dtype=np.uint8)
+    lens = np.array([len(k) for k in keys])
+    starts = np.r_[0, np.cumsum(lens[:-1])]
+    batch = _digest16_batch(data, starts, lens)
+    for i, k in enumerate(keys):
+        assert batch[i].tobytes() == _digest16(k)
