@@ -40,7 +40,7 @@ def _materialize(df: DataFrame) -> DataFrame:
     pre-built ``signatures`` table instead.
     """
     sc = df.sparkSession.sparkContext
-    if sc._jsc.sc().getCheckpointDir().isDefined():
+    if sc.getCheckpointDir() is not None:
         return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True)
 
