@@ -21,13 +21,19 @@ from sketchlib.core.params import cms_params
 
 @serde.register_sketch(serde.TYPE_CMS)
 class CountMinSketch:
-    __slots__ = ("w", "d", "seed", "total", "table", "conservative")
+    __slots__ = ("w", "d", "seed", "total", "table", "conservative",
+                 "cu_tainted")
 
     def __init__(self, w: int, d: int, seed: int = 0,
                  conservative: bool = False):
         """``conservative=True`` makes update_batch default to
         conservative update (see update_batch) — settable here so the
-        Spark build path can request it via SketchSpec params."""
+        Spark build path can request it via SketchSpec params.
+        ``cu_tainted`` records whether ANY update ever ran in CU mode
+        (including a per-call override on a plain sketch): once true,
+        cells may under-count bucket sums forever, so the
+        ``inner_product`` guard and the serialized ``cu`` header key
+        off the taint, not the default mode."""
         if w < 1 or d < 1:
             raise ValueError(f"w and d must be >= 1, got w={w}, d={d}")
         if w * d > 0xFFFFFFFF:
@@ -38,6 +44,7 @@ class CountMinSketch:
         self.seed = int(seed)
         self.total = 0
         self.conservative = bool(conservative)
+        self.cu_tainted = bool(conservative)
         self.table = np.zeros((self.d, self.w), dtype=np.int64)
 
     @classmethod
@@ -74,6 +81,12 @@ class CountMinSketch:
         n = len(values)
         if n == 0:
             return self
+        if conservative:
+            # a single CU update makes cells under-count bucket sums
+            # FOREVER — taint the sketch so inner_product's guard and
+            # the serialized 'cu' header stay truthful even when CU was
+            # requested per-call on a plain-constructed sketch
+            self.cu_tainted = True
         if counts is None:
             counts = np.ones(n, dtype=np.int64)
         else:
@@ -119,7 +132,7 @@ class CountMinSketch:
         loses the one-sided guarantee and can UNDERESTIMATE the true
         join size. The ``cu`` header flag survives serde, so the check
         holds for deserialized blobs too."""
-        if self.conservative or other.conservative:
+        if self.cu_tainted or other.cu_tainted:
             raise ValueError(
                 "inner_product is overestimate-only for plain-add CMS "
                 "states; a conservative-update sketch voids that bound "
@@ -136,6 +149,7 @@ class CountMinSketch:
             raise ValueError("cannot merge CMS with different (w,d,seed)")
         self.table += other.table
         self.total += other.total
+        self.cu_tainted = self.cu_tainted or other.cu_tainted
         return self
 
     def to_bytes(self) -> bytes:
@@ -144,7 +158,7 @@ class CountMinSketch:
         Partial CMS states from one input partition shuffle 4-16x
         smaller this way (same idea as Bloom sparse partials)."""
         header = {"w": self.w, "d": self.d, "seed": self.seed, "total": self.total}
-        if self.conservative:  # omitted when False: old blobs stay readable
+        if self.cu_tainted:  # omitted when False: old blobs stay readable
             header["cu"] = 1
         fields, payload = serde.pack_table(self.table.reshape(-1))
         header.update(fields)

@@ -297,10 +297,11 @@ def decode_png(payload: bytes) -> np.ndarray:
     """REAL image codec: PNG -> uint8 RGB [h, w, 3], stdlib zlib + numpy.
 
     Supports bit depth 8/16 for gray / RGB / gray+alpha / RGBA and
-    8-bit palette (PLTE, with tRNS alpha); 16-bit samples downscale to
-    8 (high byte, per spec recommendation); alpha composites over
-    black. Adam7-interlaced and sub-byte-depth files raise ValueError
-    — rare in web corpora; transcode those at ingest.
+    8-bit palette (PLTE, with tRNS alpha); tRNS on gray/RGB is the
+    spec's color key (matching pixels fully transparent); 16-bit
+    samples downscale to 8 (high byte, per spec recommendation); alpha
+    composites over black. Adam7-interlaced and sub-byte-depth files
+    raise ValueError — rare in web corpora; transcode those at ingest.
     """
     import struct
     import zlib
@@ -347,9 +348,23 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
     mat = _png_unfilter(raw, h, w * bpp, bpp)
     if depth == 16:  # big-endian u2 -> high byte (spec's 16->8 downsample)
-        samples = mat.reshape(h, w, nch, 2)[:, :, :, 0]
+        full = mat.reshape(h, w, nch, 2)
+        samples = full[:, :, :, 0]
+        samples_full = ((full[:, :, :, 0].astype(np.uint16) << 8)
+                        | full[:, :, :, 1])
     else:
         samples = mat.reshape(h, w, nch)
+        samples_full = samples.astype(np.uint16)
+    # tRNS on gray/RGB is a COLOR KEY: pixels exactly matching the key
+    # (compared at full bit depth) are fully transparent -> black under
+    # the composite-over-black contract
+    colorkey_mask = None
+    if trns is not None and ctype in (0, 2):
+        key = np.frombuffer(trns, dtype=">u2")
+        if len(key) >= nch:
+            colorkey_mask = (samples_full
+                             == key[:nch].astype(np.uint16)[None, None, :]
+                             ).all(axis=2)
     if ctype == 3:
         if plte is None:
             raise ValueError("palette PNG without PLTE chunk")
@@ -368,10 +383,12 @@ def decode_png(payload: bytes) -> np.ndarray:
             np.frombuffer(trns[:len(plte)], dtype=np.uint8)
         a = alpha_tab[codes].astype(np.uint16)[:, :, None]
         return ((rgb.astype(np.uint16) * a) // 255).astype(np.uint8)
-    if ctype == 0:
-        return np.repeat(samples, 3, axis=2).copy()
-    if ctype == 2:
-        return samples.copy()
+    if ctype in (0, 2):
+        rgb = (np.repeat(samples, 3, axis=2) if ctype == 0
+               else samples).copy()
+        if colorkey_mask is not None:
+            rgb[colorkey_mask] = 0
+        return rgb
     # alpha channels composite over black (feature contract wants RGB)
     color, alpha = samples[:, :, :-1], samples[:, :, -1:].astype(np.uint16)
     if ctype == 4:

@@ -38,6 +38,11 @@ def _materialize(df: DataFrame) -> DataFrame:
     session's cache manager the way ``.cache()`` does). Callers that
     cannot afford materialization-at-construction pass their own
     pre-built ``signatures`` table instead.
+
+    NOTE: Spark does NOT delete reliable checkpoint files by default —
+    set ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (our
+    ``get_spark`` does) or the checkpoint dir grows with every
+    iterative round until quota exhaustion.
     """
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is not None:

@@ -68,15 +68,20 @@ def bloom_validate(df: DataFrame, filters: dict, group_cols: list[str],
     """
     spark = SparkSession.getActiveSession()
     blobs = {k: v.to_bytes() for k, v in filters.items()}
-    total = sum(len(b) for b in blobs.values())
+    # budget the INFLATED size (sum of m/8): blobs ship sparse-encoded,
+    # but every executor deserializes each filter to its full bit
+    # array — a few-KB wire payload can inflate to gigabytes when m was
+    # provisioned for far more keys than were inserted
+    total = sum(v.m // 8 + 1 for v in filters.values())
     if total > max_broadcast_bytes:
         raise ValueError(
-            f"bloom_validate would broadcast {total} bytes of filters "
-            f"({len(blobs)} groups) > max_broadcast_bytes="
-            f"{max_broadcast_bytes}; validation probes every row against "
-            "every group's filter, so cost scales with #groups x scan — "
-            "shard the groups across calls (or raise the budget "
-            "deliberately)")
+            f"bloom_validate filters inflate to {total} bytes of bit "
+            f"arrays per executor ({len(blobs)} groups; serialized "
+            f"{sum(len(b) for b in blobs.values())} B) > "
+            f"max_broadcast_bytes={max_broadcast_bytes}; validation "
+            "probes every row against every group's filter, so cost "
+            "scales with #groups x scan — shard the groups across calls "
+            "(or raise the budget deliberately)")
     bc = spark.sparkContext.broadcast(blobs)
     single = len(group_cols) == 1
     sel = df.select(*group_cols, value_col)

@@ -312,3 +312,54 @@ class TestPngCodecRound3Review:
                            (b"IEND", b""))
         with pytest.raises(ValueError, match="pixel payload"):
             decode_png(png)
+
+
+class TestPngColorKey:
+    def _chunks(self, *parts):
+        from sketchlib.spark.multimodal import _PNG_SIG, _png_chunk
+        return _PNG_SIG + b"".join(_png_chunk(t, b) for t, b in parts)
+
+    def _ihdr(self, w, h, depth, ctype):
+        import struct
+        return struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 0)
+
+    def test_rgb_color_key_pixels_go_black(self):
+        import zlib
+        from sketchlib.spark.multimodal import decode_png
+        # 2 pixels: (10,20,30) keyed transparent, (10,20,31) kept
+        raw = b"\x00" + bytes([10, 20, 30, 10, 20, 31])
+        trns = (10).to_bytes(2, "big") + (20).to_bytes(2, "big") + \
+            (30).to_bytes(2, "big")
+        png = self._chunks((b"IHDR", self._ihdr(2, 1, 8, 2)),
+                           (b"tRNS", trns),
+                           (b"IDAT", zlib.compress(raw)), (b"IEND", b""))
+        px = decode_png(png)
+        assert tuple(px[0, 0]) == (0, 0, 0)
+        assert tuple(px[0, 1]) == (10, 20, 31)
+
+    def test_gray_color_key(self):
+        import zlib
+        from sketchlib.spark.multimodal import decode_png
+        raw = b"\x00" + bytes([77, 78])
+        png = self._chunks((b"IHDR", self._ihdr(2, 1, 8, 0)),
+                           (b"tRNS", (77).to_bytes(2, "big")),
+                           (b"IDAT", zlib.compress(raw)), (b"IEND", b""))
+        px = decode_png(png)
+        assert tuple(px[0, 0]) == (0, 0, 0)
+        assert tuple(px[0, 1]) == (78, 78, 78)
+
+    def test_16bit_color_key_full_depth_compare(self):
+        import zlib
+        from sketchlib.spark.multimodal import decode_png
+        # key 0xABCD: pixel1 matches exactly; pixel2 differs only in
+        # the LOW byte (would wrongly match under an 8-bit compare)
+        p1 = bytes([0xAB, 0xCD]) * 3
+        p2 = bytes([0xAB, 0xCE]) * 3
+        raw = b"\x00" + p1 + p2
+        trns = bytes([0xAB, 0xCD]) * 3
+        png = self._chunks((b"IHDR", self._ihdr(2, 1, 16, 2)),
+                           (b"tRNS", trns),
+                           (b"IDAT", zlib.compress(raw)), (b"IEND", b""))
+        px = decode_png(png)
+        assert tuple(px[0, 0]) == (0, 0, 0)
+        assert tuple(px[0, 1]) == (0xAB, 0xAB, 0xAB)

@@ -611,3 +611,40 @@ def test_materialize_uses_reliable_checkpoint_when_dir_set(spark, tmp_path):
         # other tests assume no checkpoint dir -> reset to undefined
         none = getattr(getattr(sc._jvm.scala, "None$"), "MODULE$")
         getattr(sc._jsc.sc(), "checkpointDir_$eq")(none)
+
+
+def test_cms_per_call_cu_override_taints_sketch():
+    """update_batch(conservative=True) on a plain-constructed sketch
+    must taint it: inner_product refuses, and the 'cu' header flag
+    survives serde and merge (review finding: the guard was
+    bypassable)."""
+    s = CountMinSketch(64, 2, seed=1)
+    s.update_batch(["a", "b"], conservative=True)
+    plain = CountMinSketch(64, 2, seed=1).update_batch(["a"])
+    with pytest.raises(ValueError, match="conservative"):
+        s.inner_product(plain)
+    thawed = CountMinSketch.from_bytes(s.to_bytes())
+    with pytest.raises(ValueError, match="conservative"):
+        plain.inner_product(thawed)
+    # taint propagates through merge of a plain target
+    merged = CountMinSketch(64, 2, seed=1).update_batch(["c"]).merge(thawed)
+    with pytest.raises(ValueError, match="conservative"):
+        merged.inner_product(plain)
+    # default update mode unchanged by the taint: a later default-mode
+    # batch on s is plain-add (total still counts adds exactly)
+    assert s.conservative is False and s.cu_tainted is True
+
+
+def test_bloom_validate_budget_uses_inflated_size(spark):
+    """Sparse few-KB blobs that inflate to huge bit arrays must trip
+    the guard (review finding: wire bytes passed while executors
+    OOMed)."""
+    from sketchlib.core.bloom import BloomFilter
+    from sketchlib.spark.validate import bloom_validate
+    df = spark.createDataFrame([("a", "x")], "g string, v string")
+    # m = 80M bits -> 10 MB inflated; near-empty -> tiny serialized
+    big = BloomFilter(80_000_000, 3).update_batch(["only-one-key"])
+    assert len(big.to_bytes()) < 10_000  # sparse on the wire
+    with pytest.raises(ValueError, match="inflate"):
+        bloom_validate(df, {"a": big}, ["g"], "v", 0.01,
+                       max_broadcast_bytes=1 << 20)
