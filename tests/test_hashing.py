@@ -73,10 +73,11 @@ def test_digest16_batch_matches_scalar():
         assert batch[i].tobytes() == _digest16(k), i
 
 
-from hypothesis import given, settings, strategies as st
+from hypothesis import HealthCheck, given, settings, strategies as st
 
 
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
 @given(st.lists(st.binary(min_size=257, max_size=1200), min_size=1,
                 max_size=12))
 def test_digest16_batch_fuzz_parity(keys):
