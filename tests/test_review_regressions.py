@@ -648,3 +648,31 @@ def test_bloom_validate_budget_uses_inflated_size(spark):
     with pytest.raises(ValueError, match="inflate"):
         bloom_validate(df, {"a": big}, ["g"], "v", 0.01,
                        max_broadcast_bytes=1 << 20)
+
+
+def test_label_centroids_plan_partial_agg_no_python(spark):
+    """The centroid query must partial-aggregate before its exchange
+    (shuffle carries #labels x dim partial rows, not exploded values)
+    and contain no Python boundary at all."""
+    from sketchlib.spark.queries import q_label_centroids
+    df = q_label_centroids(spark, "/root/testdata/sf0.001")
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString() \
+        .split("Initial Plan")[0]
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+    # partial -> exchange -> final: two HashAggregates around the shuffle
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_props_json_plan_jvm_only(spark):
+    """JSON extraction stays in whole-stage codegen — no Python."""
+    from sketchlib.spark.queries import q_props_json_stats
+    df = q_props_json_stats(spark, "/root/testdata/sf0.001")
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString() \
+        .split("Initial Plan")[0]
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+    assert "*(" in plan  # codegen'd stages print as *(n) in this format
+    # column pruning reached the scan: only the two needed columns
+    assert "ReadSchema: struct<event_type:string,props:string>" in plan
