@@ -16,10 +16,10 @@ signatures — is real and tested. Codecs:
 - **image/PNG is REAL** (stdlib ``zlib`` + numpy): ``decode_png``
   parses IHDR/PLTE/tRNS/IDAT, inflates, un-filters all five PNG
   filter types, and handles gray / RGB / palette / alpha at 8- and
-  16-bit depth (alpha composited over black, 16-bit downscaled).
-  Interlaced (Adam7) files raise ValueError — transcode at ingest.
-  ``encode_png`` synthesizes fixtures with a chosen filter type so
-  every un-filter branch is round-trip-tested.
+  16-bit depth plus Adam7 interlacing (alpha composited over black,
+  tRNS color keys honored, 16-bit downscaled). ``encode_png``
+  synthesizes fixtures with a chosen filter type and optional
+  interlacing so every un-filter branch is round-trip-tested.
 - video / remaining compressed formats (jpeg/mp3/mp4) remain a
   clearly-marked stub (PIL/ffmpeg are not in this container):
   ``decode_stub`` raises NotImplementedError unless ``fake=True``,
@@ -172,6 +172,9 @@ def decode_ppm(payload: bytes) -> np.ndarray:
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 # channels per PNG color type: gray, RGB, palette, gray+alpha, RGBA
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# Adam7 interlace passes: (x_start, y_start, x_step, y_step), spec §8.2
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
 
 
 def _png_chunk(tag: bytes, body: bytes) -> bytes:
@@ -190,20 +193,8 @@ def _paeth_pred(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
-    """uint8 RGB [h, w, 3] -> PNG bytes (color type 2, bit depth 8).
-
-    Every scanline uses ``filter_type`` (0=None 1=Sub 2=Up 3=Average
-    4=Paeth) so each of ``decode_png``'s un-filter branches can be
-    round-trip-tested; real encoders pick per-row, decode handles any
-    mix."""
-    import struct
-    import zlib
-    px = np.asarray(pixels, dtype=np.uint8)
-    if px.ndim != 3 or px.shape[2] != 3:
-        raise ValueError(f"expected [h, w, 3] RGB, got shape {px.shape}")
-    if filter_type not in range(5):
-        raise ValueError(f"filter_type must be 0..4, got {filter_type}")
+def _filter_scanlines(px: np.ndarray, filter_type: int) -> bytes:
+    """Filter an [h, w, 3] uint8 sub-image into PNG scanline bytes."""
     h, w = px.shape[:2]
     bpp = 3
     raw = px.reshape(h, w * bpp).astype(np.int16)
@@ -230,9 +221,36 @@ def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
         lines.append(bytes([filter_type]) + (filt & 0xFF).astype(np.uint8)
                      .tobytes())
         prev = cur
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return b"".join(lines)
+
+
+def encode_png(pixels: np.ndarray, filter_type: int = 0,
+               interlace: bool = False) -> bytes:
+    """uint8 RGB [h, w, 3] -> PNG bytes (color type 2, bit depth 8).
+
+    Every scanline uses ``filter_type`` (0=None 1=Sub 2=Up 3=Average
+    4=Paeth) so each of ``decode_png``'s un-filter branches can be
+    round-trip-tested; real encoders pick per-row, decode handles any
+    mix. ``interlace=True`` writes the Adam7 pass structure (each pass
+    filtered independently, spec §8.2)."""
+    import struct
+    import zlib
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError(f"expected [h, w, 3] RGB, got shape {px.shape}")
+    if filter_type not in range(5):
+        raise ValueError(f"filter_type must be 0..4, got {filter_type}")
+    h, w = px.shape[:2]
+    if interlace:
+        body = b"".join(
+            _filter_scanlines(px[y0::ys, x0::xs], filter_type)
+            for x0, y0, xs, ys in _ADAM7
+            if px[y0::ys, x0::xs].shape[0] and px[y0::ys, x0::xs].shape[1])
+    else:
+        body = _filter_scanlines(px, filter_type)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, int(interlace))
     return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
-            + _png_chunk(b"IDAT", zlib.compress(b"".join(lines)))
+            + _png_chunk(b"IDAT", zlib.compress(body))
             + _png_chunk(b"IEND", b""))
 
 
@@ -296,12 +314,14 @@ def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
 def decode_png(payload: bytes) -> np.ndarray:
     """REAL image codec: PNG -> uint8 RGB [h, w, 3], stdlib zlib + numpy.
 
-    Supports bit depth 8/16 for gray / RGB / gray+alpha / RGBA and
-    8-bit palette (PLTE, with tRNS alpha); tRNS on gray/RGB is the
-    spec's color key (matching pixels fully transparent); 16-bit
-    samples downscale to 8 (high byte, per spec recommendation); alpha
-    composites over black. Adam7-interlaced and sub-byte-depth files
-    raise ValueError — rare in web corpora; transcode those at ingest.
+    Supports bit depth 8/16 for gray / RGB / gray+alpha / RGBA, 8-bit
+    palette (PLTE, with tRNS alpha), and Adam7 interlacing (each pass
+    unfiltered independently, scattered into the pixel grid); tRNS on
+    gray/RGB is the spec's color key (matching pixels fully
+    transparent); 16-bit samples downscale to 8 (high byte, per spec
+    recommendation); alpha composites over black. Sub-byte depths
+    (1/2/4-bit) raise ValueError — rare in web corpora; transcode
+    those at ingest.
     """
     import struct
     import zlib
@@ -330,9 +350,8 @@ def decode_png(payload: bytes) -> np.ndarray:
     w, h, depth, ctype, comp, fmeth, interlace = ihdr
     if comp or fmeth:
         raise ValueError(f"bad PNG compression/filter method {comp}/{fmeth}")
-    if interlace:
-        raise ValueError("Adam7-interlaced PNG not supported — transcode "
-                         "at ingest")
+    if interlace not in (0, 1):
+        raise ValueError(f"bad PNG interlace method {interlace}")
     if ctype not in _PNG_CHANNELS:
         raise ValueError(f"bad PNG color type {ctype}")
     if depth not in (8, 16) or (ctype == 3 and depth != 8):
@@ -346,7 +365,25 @@ def decode_png(payload: bytes) -> np.ndarray:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error as e:
         raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
-    mat = _png_unfilter(raw, h, w * bpp, bpp)
+    if interlace:  # Adam7: unfilter each pass, scatter into the grid
+        grid = np.zeros((h, w, bpp), dtype=np.uint8)
+        off = 0
+        for x0, y0, xs, ys in _ADAM7:
+            hp = len(range(y0, h, ys))
+            wp = len(range(x0, w, xs))
+            if not hp or not wp:
+                continue
+            nbytes = hp * (1 + wp * bpp)
+            sub = _png_unfilter(raw[off:off + nbytes], hp, wp * bpp, bpp)
+            off += nbytes
+            grid[y0::ys, x0::xs] = sub.reshape(hp, wp, bpp)
+        if off != len(raw):
+            raise ValueError(
+                f"bad PNG pixel payload: Adam7 passes expect {off} bytes "
+                f"after inflate, got {len(raw)}")
+        mat = grid.reshape(h, w * bpp)
+    else:
+        mat = _png_unfilter(raw, h, w * bpp, bpp)
     if depth == 16:  # big-endian u2 -> high byte (spec's 16->8 downsample)
         full = mat.reshape(h, w, nch, 2)
         samples = full[:, :, :, 0]

@@ -230,10 +230,12 @@ class TestPngCodec:
         from sketchlib.spark.multimodal import decode_png
         with pytest.raises(ValueError, match="signature"):
             decode_png(b"P6\n1 1\n255\nxxx")
-        with pytest.raises(ValueError, match="interlaced"):
-            decode_png(self._chunks(
-                (b"IHDR", self._ihdr(1, 1, 8, 2, interlace=1)),
-                (b"IDAT", zlib.compress(b"\x00abc")), (b"IEND", b"")))
+        # Adam7 is SUPPORTED now: a 1x1 interlaced image is one
+        # single-pixel pass
+        px = decode_png(self._chunks(
+            (b"IHDR", self._ihdr(1, 1, 8, 2, interlace=1)),
+            (b"IDAT", zlib.compress(b"\x00abc")), (b"IEND", b"")))
+        assert tuple(px[0, 0]) == (ord("a"), ord("b"), ord("c"))
         with pytest.raises(ValueError, match="bit depth"):
             decode_png(self._chunks(
                 (b"IHDR", self._ihdr(1, 1, 4, 0)),
@@ -363,3 +365,38 @@ class TestPngColorKey:
         px = decode_png(png)
         assert tuple(px[0, 0]) == (0, 0, 0)
         assert tuple(px[0, 1]) == (0xAB, 0xAB, 0xAB)
+
+
+class TestPngAdam7:
+    def test_interlaced_roundtrip_all_filters(self):
+        from sketchlib.spark.multimodal import decode_png, encode_png
+        rng = np.random.default_rng(21)
+        # sizes straddle the 8x8 pass grid: tiny, non-multiples, exact
+        for (h, w) in [(1, 1), (3, 5), (8, 8), (13, 21), (16, 9)]:
+            px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            for ft in range(5):
+                got = decode_png(encode_png(px, filter_type=ft,
+                                            interlace=True))
+                assert np.array_equal(got, px), (h, w, ft)
+
+    def test_interlaced_equals_progressive(self):
+        from sketchlib.spark.multimodal import decode_png, encode_png
+        y, x = np.mgrid[0:24, 0:17]
+        px = np.stack([(y * 11) % 256, (x * 7) % 256,
+                       (x + y) % 256], axis=2).astype(np.uint8)
+        a = decode_png(encode_png(px, interlace=False))
+        b = decode_png(encode_png(px, interlace=True))
+        assert np.array_equal(a, b)
+
+    def test_truncated_interlaced_raises(self):
+        import zlib
+        import pytest
+        import struct
+        from sketchlib.spark.multimodal import (_PNG_SIG, _png_chunk,
+                                                decode_png)
+        ihdr = struct.pack(">IIBBBBB", 16, 16, 8, 2, 0, 0, 1)
+        png = (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+               + _png_chunk(b"IDAT", zlib.compress(b"\x00" + b"x" * 10))
+               + _png_chunk(b"IEND", b""))
+        with pytest.raises(ValueError, match="pixel payload"):
+            decode_png(png)
