@@ -20,8 +20,14 @@ signatures — is real and tested. Codecs:
   tRNS color keys honored, 16-bit downscaled). ``encode_png``
   synthesizes fixtures with a chosen filter type and optional
   interlacing so every un-filter branch is round-trip-tested.
-- video / remaining compressed formats (jpeg/mp3/mp4) remain a
-  clearly-marked stub (PIL/ffmpeg are not in this container):
+- **image/JPEG is REAL** (pure Python/numpy, ``sketchlib.spark.jpeg``):
+  baseline sequential Huffman decode per ITU-T T.81 — DQT/DHT/SOF0/
+  SOS/DRI, restart markers, 4:4:4 / 4:2:2 / 4:2:0 upsampling, exact
+  matrix IDCT, JFIF YCbCr→RGB; validated against real libjpeg-encoded
+  files. ``encode_jpeg`` (Annex K tables, 4:4:4/4:2:0/grayscale)
+  synthesizes fixtures. Progressive/arithmetic/12-bit raise ValueError.
+- video / remaining compressed formats (mp3/mp4) remain a
+  clearly-marked stub (ffmpeg is not in this container):
   ``decode_stub`` raises NotImplementedError unless ``fake=True``,
   which produces a deterministic fake decode so downstream plumbing
   stays exercisable.
@@ -468,10 +474,10 @@ def image_feature_vector(pixels: np.ndarray,
 
 def decode_stub(payload: bytes, kind: str, fake: bool = False) -> np.ndarray:
     """Codec boundary for the kinds WITHOUT a real decoder here
-    (video / jpeg / compressed audio). Real decode of those needs
-    PIL/ffmpeg — absent in this container; WAV audio has the real
-    ``decode_wav``, PPM images ``decode_ppm``, PNG images
-    ``decode_png``.
+    (video / compressed audio). Real decode of those needs ffmpeg —
+    absent in this container; WAV audio has the real ``decode_wav``,
+    PPM images ``decode_ppm``, PNG images ``decode_png``, JPEG images
+    ``jpeg.decode_jpeg``.
 
     ``fake=True`` returns a deterministic pseudo-decode (seeded from the
     payload's own bytes) with the right shape contract:
@@ -509,6 +515,10 @@ def _decode_one(payload: bytes, kind: str, mime: str | None,
         is_png = payload[:8] == _PNG_SIG
         if mime == "image/png" or (mime is None and is_png):
             return image_feature_vector(decode_png(payload))
+        is_jpeg = payload[:2] == b"\xFF\xD8"
+        if mime == "image/jpeg" or (mime is None and is_jpeg):
+            from sketchlib.spark.jpeg import decode_jpeg
+            return image_feature_vector(decode_jpeg(payload))
     return decode_stub(payload, kind, fake=fake)
 
 
@@ -565,11 +575,13 @@ def make_fake_media(spark, n: int = 300, seed: int = 5):
     """Deterministic fake media table matching MEDIA_SCHEMA (tests).
 
     Audio rows carry REAL (tiny) PCM WAV payloads and image rows REAL
-    PPM or PNG payloads (alternating, PNG filter type cycling 0..4) —
-    synthesized through ``encode_wav`` / ``encode_ppm`` /
-    ``encode_png`` — so all three real decode paths are exercised
-    end-to-end; video payloads stay opaque bytes for the stub path.
+    PPM, PNG, or JPEG payloads (cycling; PNG filter types cycle 0..4,
+    JPEG alternates 4:4:4/4:2:0) — synthesized through ``encode_wav``
+    / ``encode_ppm`` / ``encode_png`` / ``jpeg.encode_jpeg`` — so all
+    four real decode paths are exercised end-to-end; video payloads
+    stay opaque bytes for the stub path.
     """
+    from sketchlib.spark.jpeg import encode_jpeg
     rng = np.random.default_rng(seed)
     kinds = np.array(["image", "audio", "video"], dtype=object)[
         rng.integers(0, 3, n)]
@@ -588,8 +600,13 @@ def make_fake_media(spark, n: int = 300, seed: int = 5):
         elif k == "image":
             hi, wi = int(rng.integers(8, 64)), int(rng.integers(8, 64))
             px = rng.integers(0, 256, (hi, wi, 3), dtype=np.uint8)
-            payload = (encode_ppm(px) if i % 2 else
-                       encode_png(px, filter_type=i // 2 % 5))
+            if i % 3 == 0:
+                payload = encode_png(px, filter_type=i // 3 % 5)
+            elif i % 3 == 1:
+                payload = encode_ppm(px)
+            else:
+                payload = encode_jpeg(px,
+                                      subsample="420" if i % 2 else "444")
             dur = None
         else:
             size = int(rng.integers(100, 5000))
@@ -597,6 +614,7 @@ def make_fake_media(spark, n: int = 300, seed: int = 5):
             dur = int(rng.integers(1000, 60000))
             wi, hi = int(rng.integers(16, 1920)), int(rng.integers(16, 1080))
         mime = {"audio": "audio/wav", "video": "video/mp4"}.get(k) or \
-            ("image/x-portable-pixmap" if i % 2 else "image/png")
+            ("image/png", "image/x-portable-pixmap",
+             "image/jpeg")[i % 3]
         rows.append((i, k, payload, mime, wi, hi, dur))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -1,0 +1,94 @@
+"""Baseline JPEG codec (pure Python/numpy, ITU-T T.81): round-trips
+through our own Annex-K encoder across subsampling/restart/grayscale
+configurations, plus structural refusals. Cross-validation against
+real libjpeg-encoded files was performed during development (4:2:0 and
+4:4:4 third-party files decode); tests here stay hermetic."""
+
+import numpy as np
+import pytest
+
+from sketchlib.spark.jpeg import decode_jpeg, encode_jpeg
+
+
+def _psnr(a, b):
+    mse = np.mean((a.astype(float) - b.astype(float)) ** 2)
+    return 10 * np.log10(255 ** 2 / mse) if mse else float("inf")
+
+
+def _smooth(h, w, seed=0):
+    y, x = np.mgrid[0:h, 0:w]
+    return np.stack([(y * 4 + seed) % 256 // 2 + 60,
+                     (x * 3) % 256 // 2 + 40,
+                     ((x + y) * 2) % 256 // 2 + 50],
+                    axis=2).astype(np.uint8)
+
+
+def test_flat_color_near_exact():
+    # a flat block is DC-only; quantized DC at Annex K tables is exact
+    # for 4:4:4 and within 1 LSB for 4:2:0 (chroma averaging)
+    flat = np.full((24, 16, 3), 130, dtype=np.uint8)
+    assert np.array_equal(decode_jpeg(encode_jpeg(flat)), flat)
+    d = decode_jpeg(encode_jpeg(flat, subsample="420"))
+    assert np.abs(d.astype(int) - 130).max() <= 1
+
+
+@pytest.mark.parametrize("sub", ["444", "420"])
+@pytest.mark.parametrize("rst", [0, 3])
+def test_smooth_roundtrip_psnr(sub, rst):
+    px = _smooth(37, 45)
+    d = decode_jpeg(encode_jpeg(px, subsample=sub, restart_interval=rst))
+    assert d.shape == px.shape
+    assert _psnr(px, d) > (43 if sub == "444" else 39), (sub, rst)
+
+
+def test_restart_markers_do_not_change_pixels():
+    px = _smooth(33, 29, seed=7)
+    a = decode_jpeg(encode_jpeg(px))
+    b = decode_jpeg(encode_jpeg(px, restart_interval=2))
+    assert np.array_equal(a, b)
+
+
+def test_grayscale_single_component():
+    px = _smooth(19, 23)
+    d = decode_jpeg(encode_jpeg(px, grayscale=True))
+    assert d.shape == (19, 23, 3)
+    assert np.array_equal(d[:, :, 0], d[:, :, 1])
+    luma = 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+    assert _psnr(luma, d[:, :, 0].astype(float)) > 40
+
+
+def test_dims_not_multiple_of_mcu():
+    # 4:2:0 MCUs are 16x16; exercise every padding branch
+    for (h, w) in [(1, 1), (7, 9), (16, 17), (15, 32)]:
+        px = _smooth(h, w)
+        for sub in ("444", "420"):
+            d = decode_jpeg(encode_jpeg(px, subsample=sub))
+            assert d.shape == (h, w, 3), (h, w, sub)
+
+
+def test_refusals():
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x89PNG not a jpeg")
+    # progressive SOF2 refused with guidance
+    px = _smooth(8, 8)
+    data = bytearray(encode_jpeg(px))
+    idx = bytes(data).find(b"\xFF\xC0")
+    data[idx + 1] = 0xC2
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(bytes(data))
+    # truncated: no SOS
+    with pytest.raises(ValueError, match="SOS"):
+        decode_jpeg(bytes(data[:idx]))
+
+
+def test_extract_features_dispatches_jpeg(spark):
+    from sketchlib.spark.multimodal import (MEDIA_SCHEMA, extract_features,
+                                            image_feature_vector)
+    px = _smooth(24, 32, seed=3)
+    payload = encode_jpeg(px, subsample="420")
+    df = spark.createDataFrame(
+        [(1, "image", payload, "image/jpeg", 32, 24, None)], MEDIA_SCHEMA)
+    feats = extract_features(df, fake=False).collect()
+    assert len(feats) == 1
+    want = image_feature_vector(decode_jpeg(payload))
+    assert np.allclose(feats[0]["feature"], want, atol=1e-6)

@@ -124,6 +124,7 @@ class TestPpmCodec:
         assert np.allclose(th2[0], 1.0) and np.allclose(th2[1], 0.0)
 
     def test_extract_features_real_image_path(self, spark, media):
+        from sketchlib.spark.jpeg import decode_jpeg
         from sketchlib.spark.multimodal import (decode_png, decode_ppm,
                                                 image_feature_vector)
         imgs = media.filter("kind = 'image'")
@@ -134,13 +135,18 @@ class TestPpmCodec:
         seen = set()
         for row in imgs.collect():
             payload = bytes(row["payload"])
-            dec = decode_png if payload[:1] == b"\x89" else decode_ppm
+            if payload[:1] == b"\x89":
+                dec = decode_png
+            elif payload[:2] == b"\xFF\xD8":
+                dec = decode_jpeg
+            else:
+                dec = decode_ppm
             if dec in seen:
                 continue
             seen.add(dec)
             want = image_feature_vector(dec(payload))
             assert np.allclose(feats[row["media_id"]], want, atol=1e-6)
-        assert len(seen) == 2  # fixture carries both PPM and PNG rows
+        assert len(seen) == 3  # fixture carries PPM, PNG, and JPEG rows
 
 
 def test_frame_sample_plan(spark, media):
