@@ -468,25 +468,25 @@ def encode_jpeg(pixels: np.ndarray, grayscale: bool = False,
     px = np.asarray(pixels, dtype=np.uint8)
     if px.ndim != 3 or px.shape[2] != 3:
         raise ValueError(f"expected [h, w, 3] RGB, got shape {px.shape}")
-    if subsample not in ("444", "420"):
-        raise ValueError(f"subsample must be '444' or '420', got "
+    if subsample not in ("444", "422", "420"):
+        raise ValueError(f"subsample must be '444', '422' or '420', got "
                          f"{subsample!r}")
     h, w = px.shape[:2]
     r, g, b = (px[:, :, i].astype(np.float64) for i in range(3))
     y = 0.299 * r + 0.587 * g + 0.114 * b - 128.0
     cb = -0.168736 * r - 0.331264 * g + 0.5 * b
     cr = 0.5 * r - 0.418688 * g - 0.081312 * b
-    sub420 = subsample == "420" and not grayscale
-    if sub420:
-        # luma padded to 16-multiples; chroma = 2x2 block mean, padded
-        # to 8-multiples of the half-resolution grid
-        lh, lw = -(-h // 16) * 16, -(-w // 16) * 16
+    if subsample != "444" and not grayscale:
+        # chroma block-mean-downsampled: 2x2 for 4:2:0, 2x1 (x only)
+        # for 4:2:2; luma padded to the MCU multiple first
+        fy, fx = (2, 2) if subsample == "420" else (1, 2)
+        lh, lw = -(-h // (8 * fy)) * 8 * fy, -(-w // (8 * fx)) * 8 * fx
         y = np.pad(y, ((0, lh - h), (0, lw - w)), mode="edge")
         cpad = [np.pad(p, ((0, lh - h), (0, lw - w)), mode="edge")
                 for p in (cb, cr)]
-        cb, cr = (p.reshape(lh // 2, 2, lw // 2, 2).mean(axis=(1, 3))
+        cb, cr = (p.reshape(lh // fy, fy, lw // fx, fx).mean(axis=(1, 3))
                   for p in cpad)
-        samp = [(2, 2), (1, 1), (1, 1)]
+        samp = [(fx, fy), (1, 1), (1, 1)]
     else:
         samp = [(1, 1)] * 3
     planes = [y] if grayscale else [y, cb, cr]

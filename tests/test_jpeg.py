@@ -32,7 +32,7 @@ def test_flat_color_near_exact():
     assert np.abs(d.astype(int) - 130).max() <= 1
 
 
-@pytest.mark.parametrize("sub", ["444", "420"])
+@pytest.mark.parametrize("sub", ["444", "422", "420"])
 @pytest.mark.parametrize("rst", [0, 3])
 def test_smooth_roundtrip_psnr(sub, rst):
     px = _smooth(37, 45)
@@ -61,7 +61,7 @@ def test_dims_not_multiple_of_mcu():
     # 4:2:0 MCUs are 16x16; exercise every padding branch
     for (h, w) in [(1, 1), (7, 9), (16, 17), (15, 32)]:
         px = _smooth(h, w)
-        for sub in ("444", "420"):
+        for sub in ("444", "422", "420"):
             d = decode_jpeg(encode_jpeg(px, subsample=sub))
             assert d.shape == (h, w, 3), (h, w, sub)
 
