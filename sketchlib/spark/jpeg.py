@@ -153,6 +153,10 @@ class _BitReader:
         self.nbits = 0
 
     def _fill(self) -> None:
+        # CRITICAL: drop already-consumed high bits, else acc grows into
+        # an unbounded bignum and every shift is O(bits seen) — decode
+        # time quadratic in scan size (measured 41 s for a 224 KB scan)
+        self.acc &= (1 << self.nbits) - 1
         d = self.data
         while self.nbits <= 24:
             if self.pos >= len(d):
@@ -244,10 +248,18 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     while pos + 4 <= n:
         if payload[pos] != 0xFF:
             raise ValueError(f"bad JPEG marker alignment at {pos}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        while pos + 1 < n and payload[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 4 > n:
+            break
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI before SOS
             break
-        (seglen,) = struct.unpack(">H", payload[pos + 2:pos + 4])
+        try:
+            (seglen,) = struct.unpack(">H", payload[pos + 2:pos + 4])
+        except struct.error as e:
+            raise ValueError(f"truncated JPEG segment at {pos}") from e
         body = payload[pos + 4:pos + 2 + seglen]
         if marker == 0xDB:  # DQT
             b = 0
@@ -273,15 +285,33 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 huff[(cls, tid)] = _build_huff(bits, vals)
                 b += 17 + nv
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            if len(body) < 6:
+                raise ValueError("truncated JPEG SOF segment")
             prec, fh, fw, nc = body[0], *struct.unpack(">HH", body[1:5]), \
                 body[5]
             if prec != 8:
                 raise ValueError(f"unsupported JPEG precision {prec}")
+            if nc not in (1, 3):
+                raise ValueError(
+                    f"unsupported JPEG component count {nc} — grayscale "
+                    "and YCbCr only (4-component CMYK/YCCK: transcode at "
+                    "ingest)")
+            if len(body) < 6 + 3 * nc:
+                raise ValueError("truncated JPEG SOF segment")
             comps = []
             for i in range(nc):
                 cid, samp, tq = body[6 + 3 * i:9 + 3 * i]
-                comps.append({"id": cid, "h": samp >> 4, "v": samp & 0xF,
-                              "tq": tq})
+                ch, cv = samp >> 4, samp & 0xF
+                if not (1 <= ch <= 4 and 1 <= cv <= 4):
+                    raise ValueError(
+                        f"bad JPEG sampling factors {ch}x{cv}")
+                comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            if any(hmax % c["h"] or vmax % c["v"] for c in comps):
+                raise ValueError(
+                    "unsupported JPEG sampling (non-integer chroma "
+                    "ratio) — transcode at ingest")
             frame = {"h": fh, "w": fw, "comps": comps}
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
@@ -290,15 +320,28 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 "hierarchical) — baseline sequential only; transcode at "
                 "ingest")
         elif marker == 0xDD:  # DRI
+            if len(body) < 2:
+                raise ValueError("truncated JPEG DRI segment")
             (restart,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS -> entropy data follows
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
+            if not body:
+                raise ValueError("truncated JPEG SOS segment")
             ns = body[0]
+            if len(body) < 1 + 2 * ns:
+                raise ValueError("truncated JPEG SOS segment")
             sel = {}
             for i in range(ns):
                 cs, tt = body[1 + 2 * i], body[2 + 2 * i]
                 sel[cs] = (tt >> 4, tt & 0xF)
+            missing = [c["id"] for c in frame["comps"]
+                       if c["id"] not in sel]
+            if missing:
+                raise ValueError(
+                    "unsupported JPEG scan layout: non-interleaved "
+                    f"multi-scan (components {missing} absent from the "
+                    "first scan) — transcode at ingest")
             return _decode_scan(payload, pos + 2 + seglen, frame, qt,
                                 huff, sel, restart)
         pos += 2 + seglen
@@ -350,7 +393,7 @@ def _decode_scan(data: bytes, pos: int, frame, qt, huff, sel,
             p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
         out.append(p[:fh, :fw])
     if len(out) == 1:
-        g = np.clip(out[0] + 128.0, 0, 255).astype(np.uint8)
+        g = np.clip(out[0] + 128.0, 0, 255).round().astype(np.uint8)
         return np.repeat(g[:, :, None], 3, axis=2)
     y, cb, cr = out[0] + 128.0, out[1], out[2]
     r = y + 1.402 * cr
@@ -405,6 +448,9 @@ class _BitWriter:
             self.out.append(b)
             if b == 0xFF:
                 self.out.append(0x00)  # byte stuffing
+        # drop emitted bits — without this, acc becomes an ever-growing
+        # bignum and encode time is quadratic in output size
+        self.acc &= (1 << self.nbits) - 1
 
     def flush(self) -> bytes:
         if self.nbits:

@@ -248,10 +248,12 @@ def encode_png(pixels: np.ndarray, filter_type: int = 0,
         raise ValueError(f"filter_type must be 0..4, got {filter_type}")
     h, w = px.shape[:2]
     if interlace:
-        body = b"".join(
-            _filter_scanlines(px[y0::ys, x0::xs], filter_type)
-            for x0, y0, xs, ys in _ADAM7
-            if px[y0::ys, x0::xs].shape[0] and px[y0::ys, x0::xs].shape[1])
+        parts = []
+        for x0, y0, xs, ys in _ADAM7:
+            sub = px[y0::ys, x0::xs]
+            if sub.shape[0] and sub.shape[1]:
+                parts.append(_filter_scanlines(sub, filter_type))
+        body = b"".join(parts)
     else:
         body = _filter_scanlines(px, filter_type)
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, int(interlace))

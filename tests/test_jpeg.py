@@ -92,3 +92,66 @@ def test_extract_features_dispatches_jpeg(spark):
     assert len(feats) == 1
     want = image_feature_vector(decode_jpeg(payload))
     assert np.allclose(feats[0]["feature"], want, atol=1e-6)
+
+
+class TestJpegReviewFixes:
+    """Round-3 review findings: linear-time bit I/O, structural
+    ValueError contract, CMYK/multi-scan refusals, grayscale rounding,
+    fill bytes."""
+
+    def test_decode_time_linear_in_scan_size(self):
+        """The bit accumulator must be masked — unmasked bignums made
+        decode quadratic (41 s for a 224 KB scan before the fix)."""
+        import time
+        rng = np.random.default_rng(1)
+        big = rng.integers(0, 256, (256, 256, 3), dtype=np.uint8)
+        data = encode_jpeg(big)
+        assert len(data) > 50_000  # noise compresses badly: a real scan
+        t0 = time.time()
+        out = decode_jpeg(data)
+        assert out.shape == (256, 256, 3)
+        assert time.time() - t0 < 5.0  # quadratic took minutes here
+
+    def _patch_sof(self, data: bytes, fn) -> bytes:
+        d = bytearray(data)
+        i = bytes(d).find(b"\xFF\xC0")
+        fn(d, i)
+        return bytes(d)
+
+    def test_cmyk_component_count_refused(self):
+        data = encode_jpeg(_smooth(8, 8))
+        bad = self._patch_sof(data, lambda d, i: d.__setitem__(i + 9, 4))
+        with pytest.raises(ValueError, match="component count"):
+            decode_jpeg(bad)
+
+    def test_zero_sampling_factor_refused(self):
+        data = encode_jpeg(_smooth(8, 8))
+        # component 0 sampling byte -> 0x01 (h=0)
+        bad = self._patch_sof(data, lambda d, i: d.__setitem__(i + 11, 0x01))
+        with pytest.raises(ValueError, match="sampling"):
+            decode_jpeg(bad)
+
+    def test_truncated_segments_raise_valueerror(self):
+        data = encode_jpeg(_smooth(8, 8))
+        i = data.find(b"\xFF\xC0")
+        with pytest.raises(ValueError):
+            decode_jpeg(data[:i + 6])  # cut inside SOF
+        # DRI with a short body
+        dri = b"\xFF\xDD\x00\x03\x01"
+        with pytest.raises(ValueError, match="DRI|truncated"):
+            decode_jpeg(b"\xFF\xD8" + dri + data[2:i]
+                        + b"\xFF\xD9")
+
+    def test_fill_bytes_before_marker_ok(self):
+        """T.81 B.1.1.2: 0xFF fill bytes may precede any marker."""
+        data = encode_jpeg(_smooth(9, 11))
+        i = data.find(b"\xFF\xDB")
+        padded = data[:i] + b"\xFF\xFF\xFF" + data[i:]
+        assert np.array_equal(decode_jpeg(padded), decode_jpeg(data))
+
+    def test_grayscale_rounds_not_truncates(self):
+        # flat gray 130: decoded luma must be exactly 130, not 129
+        flat = np.full((16, 16, 3), 130, dtype=np.uint8)
+        d = decode_jpeg(encode_jpeg(flat, grayscale=True))
+        assert int(np.abs(d.astype(int) - 130).max()) <= 1
+        assert d[0, 0, 0] == 130
