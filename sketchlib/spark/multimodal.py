@@ -26,8 +26,11 @@ signatures — is real and tested. Codecs:
   matrix IDCT, JFIF YCbCr→RGB; validated against real libjpeg-encoded
   files. ``encode_jpeg`` (Annex K tables, 4:4:4/4:2:0/grayscale)
   synthesizes fixtures. Progressive/arithmetic/12-bit raise ValueError.
-- video / remaining compressed formats (mp3/mp4) remain a
-  clearly-marked stub (ffmpeg is not in this container):
+- **video/MP4 container metadata is REAL** (``probe_mp4`` /
+  ``video_metadata``: stdlib ISO-BMFF box walk — brand, duration,
+  per-track handler and resolution; the filter-before-decode step).
+  FRAME decode (mp3/mp4 media samples) remains a clearly-marked stub
+  (ffmpeg is not in this container):
   ``decode_stub`` raises NotImplementedError unless ``fake=True``,
   which produces a deterministic fake decode so downstream plumbing
   stays exercisable.
@@ -474,6 +477,133 @@ def image_feature_vector(pixels: np.ndarray,
     return luma.ravel().astype(np.float32)[:n_bins]
 
 
+def encode_mp4_stub(duration_ms: int, width: int, height: int,
+                    timescale: int = 1000, mdat: bytes = b"") -> bytes:
+    """Minimal valid ISO-BMFF (MP4) box tree for fixtures: ftyp +
+    moov(mvhd + trak(tkhd + mdia(mdhd + hdlr['vide']))) + empty mdat.
+    No media samples — enough structure for ``probe_mp4`` to read
+    duration/resolution/handler the way any real player's header scan
+    does."""
+    import struct
+
+    def box(tag: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + tag + payload
+
+    dur = int(duration_ms * timescale // 1000)
+    mvhd = box(b"mvhd", struct.pack(">B3xIIII", 0, 0, 0, timescale, dur)
+               + b"\x00" * 80)
+    tkhd = box(b"tkhd", struct.pack(">B3xIIII", 0, 0, 0, 1, 0)
+               + struct.pack(">I", dur) + b"\x00" * 52
+               + struct.pack(">II", width << 16, height << 16))
+    mdhd = box(b"mdhd", struct.pack(">B3xIIII", 0, 0, 0, timescale, dur)
+               + b"\x00" * 4)
+    hdlr = box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12 + b"\x00")
+    mdia = box(b"mdia", mdhd + hdlr)
+    trak = box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + trak)
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isommp42")
+    return ftyp + moov + box(b"mdat", mdat)
+
+
+def probe_mp4(payload: bytes) -> dict:
+    """REAL ISO-BMFF (MP4/MOV) container metadata probe — stdlib only.
+
+    Walks the public box structure (ISO 14496-12): ftyp brand,
+    mvhd timescale/duration, per-trak tkhd width/height and hdlr
+    handler type. Returns {brand, duration_ms, tracks: [{handler,
+    width, height}]}. This is the header scan a 100 TB video pipeline
+    runs to FILTER (by duration/resolution/track type) before paying
+    for any frame decode — which stays stubbed here (no codec libs).
+    ValueError on non-BMFF or truncated structure.
+    """
+    import struct
+
+    def walk(buf: bytes, start: int, end: int):
+        pos = start
+        while pos + 8 <= end:
+            (size,), tag = struct.unpack(">I", buf[pos:pos + 4]), \
+                buf[pos + 4:pos + 8]
+            hdr = 8
+            if size == 1:  # 64-bit largesize
+                if pos + 16 > end:
+                    raise ValueError("truncated MP4 largesize box")
+                (size,) = struct.unpack(">Q", buf[pos + 8:pos + 16])
+                hdr = 16
+            elif size == 0:  # box extends to EOF
+                size = end - pos
+            if size < hdr or pos + size > end:
+                raise ValueError(f"bad MP4 box size {size} at {pos}")
+            yield tag, pos + hdr, pos + size
+            pos += size
+
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF payload (no ftyp box)")
+    out = {"brand": payload[8:12].decode("latin1"), "duration_ms": None,
+           "tracks": []}
+    for tag, b0, b1 in walk(payload, 0, len(payload)):
+        if tag != b"moov":
+            continue
+        for t2, c0, c1 in walk(payload, b0, b1):
+            if t2 == b"mvhd":
+                ver = payload[c0]
+                if ver == 1:
+                    ts, dur = struct.unpack(">IQ", payload[c0 + 20:c0 + 32])
+                else:
+                    ts, dur = struct.unpack(">II", payload[c0 + 12:c0 + 20])
+                out["duration_ms"] = int(dur * 1000 // max(ts, 1))
+            elif t2 == b"trak":
+                trk = {"handler": None, "width": None, "height": None}
+                for t3, d0, d1 in walk(payload, c0, c1):
+                    if t3 == b"tkhd":
+                        ver = payload[d0]
+                        off = d1 - 8  # width/height are the last 8 bytes
+                        wfx, hfx = struct.unpack(">II", payload[off:off + 8])
+                        trk["width"] = wfx >> 16
+                        trk["height"] = hfx >> 16
+                    elif t3 == b"mdia":
+                        for t4, e0, e1 in walk(payload, d0, d1):
+                            if t4 == b"hdlr":
+                                trk["handler"] = payload[e0 + 8:e0 + 12] \
+                                    .decode("latin1")
+                out["tracks"].append(trk)
+    return out
+
+
+def video_metadata(df: DataFrame, id_col: str = "media_id",
+                   payload_col: str = "payload") -> DataFrame:
+    """(media_id, brand, duration_ms, n_tracks, width, height) from the
+    MP4 container headers via mapInPandas — the filter-before-decode
+    step of a video pipeline. Non-BMFF payloads yield NULL columns
+    (quarantine signal), never a task failure."""
+    sel = df.select(F.col(id_col).cast("long").alias("_id"),
+                    F.col(payload_col).alias("_payload"))
+    schema = ("media_id long, brand string, duration_ms long, "
+              "n_tracks long, width long, height long")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for mid, payload in zip(pdf["_id"], pdf["_payload"]):
+                try:
+                    meta = probe_mp4(bytes(payload))
+                    vid = next((t for t in meta["tracks"]
+                                if t["handler"] == "vide"),
+                               meta["tracks"][0] if meta["tracks"] else None)
+                    rows.append((mid, meta["brand"], meta["duration_ms"],
+                                 len(meta["tracks"]),
+                                 vid["width"] if vid else None,
+                                 vid["height"] if vid else None))
+                except ValueError:
+                    rows.append((mid, None, None, None, None, None))
+            yield pd.DataFrame(rows, columns=["media_id", "brand",
+                                              "duration_ms", "n_tracks",
+                                              "width", "height"])
+
+    return sel.mapInPandas(fn, schema)
+
+
 def decode_stub(payload: bytes, kind: str, fake: bool = False) -> np.ndarray:
     """Codec boundary for the kinds WITHOUT a real decoder here
     (video / compressed audio). Real decode of those needs ffmpeg —
@@ -611,10 +741,14 @@ def make_fake_media(spark, n: int = 300, seed: int = 5):
                                       subsample="420" if i % 2 else "444")
             dur = None
         else:
-            size = int(rng.integers(100, 5000))
-            payload = rng.integers(0, 256, size, dtype=np.uint8).tobytes()
             dur = int(rng.integers(1000, 60000))
             wi, hi = int(rng.integers(16, 1920)), int(rng.integers(16, 1080))
+            # REAL (minimal) MP4 container with opaque junk in mdat:
+            # the metadata probe reads the box tree; frame decode
+            # stays the stub path
+            junk = rng.integers(0, 256, int(rng.integers(100, 3000)),
+                                dtype=np.uint8).tobytes()
+            payload = encode_mp4_stub(dur, wi, hi, mdat=junk)
         mime = {"audio": "audio/wav", "video": "video/mp4"}.get(k) or \
             ("image/png", "image/x-portable-pixmap",
              "image/jpeg")[i % 3]

@@ -406,3 +406,47 @@ class TestPngAdam7:
                + _png_chunk(b"IEND", b""))
         with pytest.raises(ValueError, match="pixel payload"):
             decode_png(png)
+
+
+class TestMp4Probe:
+    """Real ISO-BMFF container metadata probe (stdlib struct): the
+    filter-before-decode step of a video pipeline."""
+
+    def test_probe_roundtrip(self):
+        from sketchlib.spark.multimodal import encode_mp4_stub, probe_mp4
+        p = encode_mp4_stub(12345, 640, 360, mdat=b"junkjunk")
+        meta = probe_mp4(p)
+        assert meta["brand"] == "isom"
+        assert meta["duration_ms"] == 12345
+        assert meta["tracks"] == [
+            {"handler": "vide", "width": 640, "height": 360}]
+
+    def test_probe_refusals(self):
+        from sketchlib.spark.multimodal import encode_mp4_stub, probe_mp4
+        with pytest.raises(ValueError, match="ftyp"):
+            probe_mp4(b"\x00\x00\x00\x08free")
+        # truncated moov: box size runs past the payload
+        p = encode_mp4_stub(1000, 320, 240)
+        with pytest.raises(ValueError, match="box size"):
+            probe_mp4(p[:40])
+
+    def test_video_metadata_over_spark(self, spark, media):
+        from sketchlib.spark.multimodal import video_metadata
+        vids = media.filter("kind = 'video'")
+        got = {r["media_id"]: r for r in video_metadata(vids).collect()}
+        want = {r["media_id"]: r for r in vids.collect()}
+        assert len(got) == len(want) > 0
+        for mid, row in got.items():
+            assert row["brand"] == "isom"
+            assert row["duration_ms"] == want[mid]["duration_ms"]
+            assert row["width"] == want[mid]["width"]
+            assert row["height"] == want[mid]["height"]
+            assert row["n_tracks"] == 1
+
+    def test_video_metadata_quarantines_non_bmff(self, spark):
+        from sketchlib.spark.multimodal import MEDIA_SCHEMA, video_metadata
+        df = spark.createDataFrame(
+            [(1, "video", b"not an mp4 at all", "video/mp4", 10, 10, 5)],
+            MEDIA_SCHEMA)
+        rows = video_metadata(df).collect()
+        assert len(rows) == 1 and rows[0]["brand"] is None
