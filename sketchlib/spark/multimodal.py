@@ -29,7 +29,11 @@ signatures — is real and tested. Codecs:
 - **video/MP4 container metadata is REAL** (``probe_mp4`` /
   ``video_metadata``: stdlib ISO-BMFF box walk — brand, duration,
   per-track handler and resolution; the filter-before-decode step).
-  FRAME decode (mp3/mp4 media samples) remains a clearly-marked stub
+- **audio/MPEG metadata is REAL** (``probe_mp3`` /
+  ``audio_metadata``: ID3v2 skip + frame-header parse — version,
+  layer, bitrate, sample rate, channels, CBR duration; WAV metadata
+  via stdlib ``wave``).
+  FRAME/sample decode (mp3/mp4 media payloads) remains a clearly-marked stub
   (ffmpeg is not in this container):
   ``decode_stub`` raises NotImplementedError unless ``fake=True``,
   which produces a deterministic fake decode so downstream plumbing
@@ -600,6 +604,115 @@ def video_metadata(df: DataFrame, id_col: str = "media_id",
             yield pd.DataFrame(rows, columns=["media_id", "brand",
                                               "duration_ms", "n_tracks",
                                               "width", "height"])
+
+    return sel.mapInPandas(fn, schema)
+
+
+# MPEG audio frame-header tables (public spec, ISO 11172-3 / 13818-3):
+# Layer III bitrates (kbps) per version, and sample rates per version.
+_MP3_BITRATES = {
+    1: (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    2: (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+_MP3_RATES = {3: (44100, 48000, 32000),      # MPEG1
+              2: (22050, 24000, 16000),      # MPEG2
+              0: (11025, 12000, 8000)}       # MPEG2.5
+
+
+def encode_mp3_stub(duration_ms: int, bitrate_kbps: int = 128,
+                    sample_rate: int = 44100) -> bytes:
+    """Structurally-valid CBR MPEG1 Layer III stream for fixtures:
+    correct frame headers + zeroed payload (no real audio — the PROBE
+    walks headers; sample decode stays stubbed)."""
+    br_idx = _MP3_BITRATES[1].index(bitrate_kbps)
+    sr_idx = _MP3_RATES[3].index(sample_rate)
+    hdr = bytes([0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2), 0x00])
+    frame_len = 144 * bitrate_kbps * 1000 // sample_rate
+    n_frames = max(1, duration_ms * sample_rate // (1152 * 1000))
+    frame = hdr + b"\x00" * (frame_len - 4)
+    return frame * int(n_frames)
+
+
+def probe_mp3(payload: bytes) -> dict:
+    """REAL MPEG-audio header probe — stdlib only.
+
+    Skips an ID3v2 tag (synchsafe size), syncs on the first frame
+    header, and reads version / layer / bitrate / sample rate /
+    channel mode; duration is estimated from stream bytes at the
+    first frame's bitrate (exact for CBR, approximate for VBR).
+    ValueError when no frame sync is found.
+    """
+    pos = 0
+    if payload[:3] == b"ID3" and len(payload) >= 10:
+        size = ((payload[6] & 0x7F) << 21) | ((payload[7] & 0x7F) << 14) \
+            | ((payload[8] & 0x7F) << 7) | (payload[9] & 0x7F)
+        pos = 10 + size
+    n = len(payload)
+    while pos + 4 <= n:
+        if payload[pos] == 0xFF and (payload[pos + 1] & 0xE0) == 0xE0:
+            b1, b2, b3 = payload[pos + 1], payload[pos + 2], payload[pos + 3]
+            version = (b1 >> 3) & 0x3          # 3=MPEG1 2=MPEG2 0=MPEG2.5
+            layer = (b1 >> 1) & 0x3            # 1=III 2=II 3=I
+            br_idx = (b2 >> 4) & 0xF
+            sr_idx = (b2 >> 2) & 0x3
+            if version != 1 and layer != 0 and br_idx not in (0, 15) \
+                    and sr_idx != 3:
+                rate = _MP3_RATES[version][sr_idx]
+                kbps = _MP3_BITRATES[1 if version == 3 else 2][br_idx]
+                mode = (b3 >> 6) & 0x3
+                # bits / (kbps) = milliseconds (CBR-exact)
+                dur = (n - pos) * 8 // kbps if kbps else None
+                return {"mpeg_version": {3: 1, 2: 2, 0: 25}[version],
+                        "layer": {1: 3, 2: 2, 3: 1}[layer],
+                        "bitrate_kbps": kbps, "sample_rate": rate,
+                        "channels": 1 if mode == 3 else 2,
+                        "duration_ms_est": dur}
+        pos += 1
+    raise ValueError("no MPEG audio frame sync found")
+
+
+def audio_metadata(df: DataFrame, id_col: str = "media_id",
+                   payload_col: str = "payload") -> DataFrame:
+    """(media_id, container, sample_rate, channels, bitrate_kbps,
+    duration_ms_est) for WAV and MPEG-audio payloads — the
+    filter-before-decode companion of ``video_metadata``. Unknown
+    formats yield NULL columns (quarantine), never a task failure."""
+    sel = df.select(F.col(id_col).cast("long").alias("_id"),
+                    F.col(payload_col).alias("_payload"))
+    schema = ("media_id long, container string, sample_rate long, "
+              "channels long, bitrate_kbps long, duration_ms_est long")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for mid, payload in zip(pdf["_id"], pdf["_payload"]):
+                p = bytes(payload)
+                row = (mid, None, None, None, None, None)
+                if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+                    try:
+                        with wave.open(io.BytesIO(p), "rb") as wv:
+                            rate = wv.getframerate()
+                            nch = wv.getnchannels()
+                            nfr = wv.getnframes()
+                            kbps = rate * nch * wv.getsampwidth() * 8 // 1000
+                            row = (mid, "wav", rate, nch, kbps,
+                                   nfr * 1000 // max(rate, 1))
+                    except wave.Error:
+                        pass
+                else:
+                    try:
+                        m = probe_mp3(p)
+                        row = (mid, "mpeg", m["sample_rate"], m["channels"],
+                               m["bitrate_kbps"], m["duration_ms_est"])
+                    except ValueError:
+                        pass
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=["media_id", "container",
+                                              "sample_rate", "channels",
+                                              "bitrate_kbps",
+                                              "duration_ms_est"])
 
     return sel.mapInPandas(fn, schema)
 

@@ -450,3 +450,54 @@ class TestMp4Probe:
             MEDIA_SCHEMA)
         rows = video_metadata(df).collect()
         assert len(rows) == 1 and rows[0]["brand"] is None
+
+
+class TestAudioProbe:
+    """MP3 frame-header / WAV metadata probe — the audio companion of
+    the MP4 container probe."""
+
+    def test_mp3_probe_roundtrip(self):
+        from sketchlib.spark.multimodal import encode_mp3_stub, probe_mp3
+        p = encode_mp3_stub(5000, bitrate_kbps=128, sample_rate=44100)
+        m = probe_mp3(p)
+        assert m["mpeg_version"] == 1 and m["layer"] == 3
+        assert m["bitrate_kbps"] == 128
+        assert m["sample_rate"] == 44100
+        # CBR duration estimate within one frame of the target
+        assert abs(m["duration_ms_est"] - 5000) < 100
+
+    def test_mp3_probe_skips_id3v2(self):
+        from sketchlib.spark.multimodal import encode_mp3_stub, probe_mp3
+        body = encode_mp3_stub(1000)
+        tag = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 20]) + b"\x00" * 20
+        m = probe_mp3(tag + body)
+        assert m["bitrate_kbps"] == 128
+        with pytest.raises(ValueError, match="sync"):
+            probe_mp3(b"no audio content here at all")
+
+    def test_audio_metadata_over_spark(self, spark, media):
+        from sketchlib.spark.multimodal import audio_metadata
+        audio = media.filter("kind = 'audio'")
+        got = {r["media_id"]: r for r in audio_metadata(audio).collect()}
+        want = {r["media_id"]: r for r in audio.collect()}
+        assert len(got) == len(want) > 0
+        for mid, row in got.items():
+            assert row["container"] == "wav"
+            assert row["sample_rate"] == 8000
+            assert row["channels"] == 1
+            assert abs(row["duration_ms_est"]
+                       - want[mid]["duration_ms"]) <= 1
+
+    def test_audio_metadata_mixed_and_quarantine(self, spark):
+        from sketchlib.spark.multimodal import (MEDIA_SCHEMA,
+                                                audio_metadata,
+                                                encode_mp3_stub)
+        df = spark.createDataFrame(
+            [(1, "audio", encode_mp3_stub(2000), "audio/mpeg",
+              None, None, 2000),
+             (2, "audio", b"garbage bytes", None, None, None, None)],
+            MEDIA_SCHEMA)
+        rows = {r["media_id"]: r for r in audio_metadata(df).collect()}
+        assert rows[1]["container"] == "mpeg"
+        assert rows[1]["bitrate_kbps"] == 128
+        assert rows[2]["container"] is None
