@@ -549,8 +549,15 @@ def probe_mp4(payload: bytes) -> dict:
             continue
         for t2, c0, c1 in walk(payload, b0, b1):
             if t2 == b"mvhd":
+                # all reads bounded by the BOX end (c1), never the
+                # payload end — a short box must refuse, not read its
+                # sibling's bytes as timescale/duration
+                if c1 - c0 < 20:
+                    raise ValueError("truncated MP4 mvhd box")
                 ver = payload[c0]
                 if ver == 1:
+                    if c1 - c0 < 32:
+                        raise ValueError("truncated MP4 mvhd v1 box")
                     ts, dur = struct.unpack(">IQ", payload[c0 + 20:c0 + 32])
                 else:
                     ts, dur = struct.unpack(">II", payload[c0 + 12:c0 + 20])
@@ -559,14 +566,20 @@ def probe_mp4(payload: bytes) -> dict:
                 trk = {"handler": None, "width": None, "height": None}
                 for t3, d0, d1 in walk(payload, c0, c1):
                     if t3 == b"tkhd":
-                        ver = payload[d0]
-                        off = d1 - 8  # width/height are the last 8 bytes
-                        wfx, hfx = struct.unpack(">II", payload[off:off + 8])
+                        # v0 body is 84 bytes, v1 is 96; w/h are the
+                        # last 8 either way
+                        if d1 - d0 < 84:
+                            raise ValueError("truncated MP4 tkhd box")
+                        wfx, hfx = struct.unpack(">II",
+                                                 payload[d1 - 8:d1])
                         trk["width"] = wfx >> 16
                         trk["height"] = hfx >> 16
                     elif t3 == b"mdia":
                         for t4, e0, e1 in walk(payload, d0, d1):
                             if t4 == b"hdlr":
+                                if e1 - e0 < 12:
+                                    raise ValueError(
+                                        "truncated MP4 hdlr box")
                                 trk["handler"] = payload[e0 + 8:e0 + 12] \
                                     .decode("latin1")
                 out["tracks"].append(trk)
@@ -585,6 +598,7 @@ def video_metadata(df: DataFrame, id_col: str = "media_id",
               "n_tracks long, width long, height long")
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -599,7 +613,10 @@ def video_metadata(df: DataFrame, id_col: str = "media_id",
                                  len(meta["tracks"]),
                                  vid["width"] if vid else None,
                                  vid["height"] if vid else None))
-                except ValueError:
+                except (ValueError, struct.error, IndexError):
+                    # quarantine contract: probe refusals are ValueError
+                    # by design; struct/Index are belt-and-braces so one
+                    # adversarial payload can never fail the task
                     rows.append((mid, None, None, None, None, None))
             yield pd.DataFrame(rows, columns=["media_id", "brand",
                                               "duration_ms", "n_tracks",
@@ -609,11 +626,21 @@ def video_metadata(df: DataFrame, id_col: str = "media_id",
 
 
 # MPEG audio frame-header tables (public spec, ISO 11172-3 / 13818-3):
-# Layer III bitrates (kbps) per version, and sample rates per version.
+# bitrates (kbps) keyed by (version-group, layer), sample rates per
+# version. Version group 1 = MPEG1, 2 = MPEG2/2.5 (which share tables).
 _MP3_BITRATES = {
-    1: (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
-    2: (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    (1, 1): (0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384,
+             416, 448),
+    (1, 2): (0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256,
+             320, 384),
+    (1, 3): (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+             256, 320),
+    (2, 1): (0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192,
+             224, 256),
+    (2, 2): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144,
+             160),
 }
+_MP3_BITRATES[(2, 3)] = _MP3_BITRATES[(2, 2)]  # MPEG2 layers II+III share
 _MP3_RATES = {3: (44100, 48000, 32000),      # MPEG1
               2: (22050, 24000, 16000),      # MPEG2
               0: (11025, 12000, 8000)}       # MPEG2.5
@@ -624,7 +651,7 @@ def encode_mp3_stub(duration_ms: int, bitrate_kbps: int = 128,
     """Structurally-valid CBR MPEG1 Layer III stream for fixtures:
     correct frame headers + zeroed payload (no real audio — the PROBE
     walks headers; sample decode stays stubbed)."""
-    br_idx = _MP3_BITRATES[1].index(bitrate_kbps)
+    br_idx = _MP3_BITRATES[(1, 3)].index(bitrate_kbps)
     sr_idx = _MP3_RATES[3].index(sample_rate)
     hdr = bytes([0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2), 0x00])
     frame_len = 144 * bitrate_kbps * 1000 // sample_rate
@@ -637,10 +664,13 @@ def probe_mp3(payload: bytes) -> dict:
     """REAL MPEG-audio header probe — stdlib only.
 
     Skips an ID3v2 tag (synchsafe size), syncs on the first frame
-    header, and reads version / layer / bitrate / sample rate /
-    channel mode; duration is estimated from stream bytes at the
-    first frame's bitrate (exact for CBR, approximate for VBR).
-    ValueError when no frame sync is found.
+    header, VERIFIES a second frame header follows at the computed
+    frame length (so random binary containing an accidental 0xFFEx is
+    not misclassified as audio), and reads version / layer / bitrate /
+    sample rate / channel mode with per-layer bitrate tables; duration
+    is estimated from stream bytes at the first frame's bitrate (exact
+    for CBR, approximate for VBR). ValueError when no verified frame
+    sync is found.
     """
     pos = 0
     if payload[:3] == b"ID3" and len(payload) >= 10:
@@ -655,20 +685,37 @@ def probe_mp3(payload: bytes) -> dict:
             layer = (b1 >> 1) & 0x3            # 1=III 2=II 3=I
             br_idx = (b2 >> 4) & 0xF
             sr_idx = (b2 >> 2) & 0x3
+            pad = (b2 >> 1) & 1
             if version != 1 and layer != 0 and br_idx not in (0, 15) \
                     and sr_idx != 3:
                 rate = _MP3_RATES[version][sr_idx]
-                kbps = _MP3_BITRATES[1 if version == 3 else 2][br_idx]
+                lyr = {1: 3, 2: 2, 3: 1}[layer]
+                vgrp = 1 if version == 3 else 2
+                kbps = _MP3_BITRATES[(vgrp, lyr)][br_idx]
+                if lyr == 1:  # Layer I: slots are 4 bytes
+                    flen = (12 * kbps * 1000 // rate + pad) * 4
+                else:
+                    per = 144 if (vgrp == 1 or lyr == 2) else 72
+                    flen = per * kbps * 1000 // rate + pad
+                # sync verification: a real stream has another frame
+                # header right after this one (skip for streams shorter
+                # than two frames)
+                nxt = pos + flen
+                if nxt + 2 <= n and not (
+                        payload[nxt] == 0xFF
+                        and (payload[nxt + 1] & 0xE0) == 0xE0):
+                    pos += 1
+                    continue
                 mode = (b3 >> 6) & 0x3
-                # bits / (kbps) = milliseconds (CBR-exact)
+                # bits / kbps = milliseconds (CBR-exact)
                 dur = (n - pos) * 8 // kbps if kbps else None
                 return {"mpeg_version": {3: 1, 2: 2, 0: 25}[version],
-                        "layer": {1: 3, 2: 2, 3: 1}[layer],
+                        "layer": lyr,
                         "bitrate_kbps": kbps, "sample_rate": rate,
                         "channels": 1 if mode == 3 else 2,
                         "duration_ms_est": dur}
         pos += 1
-    raise ValueError("no MPEG audio frame sync found")
+    raise ValueError("no verified MPEG audio frame sync found")
 
 
 def audio_metadata(df: DataFrame, id_col: str = "media_id",
@@ -699,7 +746,9 @@ def audio_metadata(df: DataFrame, id_col: str = "media_id",
                             kbps = rate * nch * wv.getsampwidth() * 8 // 1000
                             row = (mid, "wav", rate, nch, kbps,
                                    nfr * 1000 // max(rate, 1))
-                    except wave.Error:
+                    except (wave.Error, EOFError):
+                        # truncated RIFF raises EOFError from the chunk
+                        # reader, not wave.Error — both quarantine
                         pass
                 else:
                     try:
@@ -824,7 +873,8 @@ def make_fake_media(spark, n: int = 300, seed: int = 5):
     JPEG alternates 4:4:4/4:2:0) — synthesized through ``encode_wav``
     / ``encode_ppm`` / ``encode_png`` / ``jpeg.encode_jpeg`` — so all
     four real decode paths are exercised end-to-end; video payloads
-    stay opaque bytes for the stub path.
+    are minimal REAL MP4 containers (probe-able metadata) whose mdat
+    holds opaque junk, so frame decode still goes through the stub.
     """
     from sketchlib.spark.jpeg import encode_jpeg
     rng = np.random.default_rng(seed)

@@ -501,3 +501,59 @@ class TestAudioProbe:
         assert rows[1]["container"] == "mpeg"
         assert rows[1]["bitrate_kbps"] == 128
         assert rows[2]["container"] is None
+
+
+class TestProbeHardening:
+    """Review findings: corrupt-but-plausible payloads must quarantine
+    (NULL rows), never fail the task; MP3 sync needs second-frame
+    verification; Layer I/II get their own bitrate tables."""
+
+    def test_corrupt_mp4_variants_quarantine(self, spark):
+        import struct
+        from sketchlib.spark.multimodal import MEDIA_SCHEMA, video_metadata
+
+        def box(tag, payload):
+            return struct.pack(">I", 8 + len(payload)) + tag + payload
+        ftyp = box(b"ftyp", b"isom" + b"\x00" * 8)
+        bad = [
+            ftyp + box(b"moov", box(b"mvhd", b"")),        # empty mvhd
+            ftyp + box(b"moov", box(b"mvhd", b"\x00" * 8)),  # short mvhd
+            ftyp + box(b"moov", box(b"trak", box(b"tkhd", b""))),
+            ftyp + box(b"moov", box(b"trak", box(
+                b"mdia", box(b"hdlr", b"\x00" * 4)))),     # short hdlr
+            ftyp + b"\x00\x00\x00\xFFmoov",                # size > buffer
+        ]
+        rows = [(i, "video", p, "video/mp4", None, None, None)
+                for i, p in enumerate(bad)]
+        df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+        got = video_metadata(df).collect()
+        assert len(got) == len(bad)
+        for r in got:
+            assert r["duration_ms"] is None and r["width"] is None
+
+    def test_truncated_wav_quarantines(self, spark):
+        from sketchlib.spark.multimodal import MEDIA_SCHEMA, audio_metadata
+        # RIFF/WAVE header with a truncated fmt chunk -> EOFError path
+        p = b"RIFF" + (100).to_bytes(4, "little") + b"WAVE" + b"fmt " \
+            + (16).to_bytes(4, "little") + b"\x01\x00"
+        df = spark.createDataFrame(
+            [(1, "audio", p, "audio/wav", None, None, None)], MEDIA_SCHEMA)
+        rows = audio_metadata(df).collect()
+        assert rows[0]["container"] is None
+
+    def test_mp3_sync_needs_second_frame(self):
+        from sketchlib.spark.multimodal import probe_mp3
+        # an accidental 0xFF 0xFB inside junk, with NO follow-up frame
+        junk = b"\x01\x02" + b"\xFF\xFB\x90\x00" + b"\x00" * 600
+        with pytest.raises(ValueError, match="sync"):
+            probe_mp3(junk)
+
+    def test_layer2_bitrate_table(self):
+        from sketchlib.spark.multimodal import probe_mp3
+        # MPEG1 Layer II, br_idx=8 -> 128 kbps (Layer III table said 112)
+        rate, kbps = 44100, 128
+        hdr = bytes([0xFF, 0xFD, (8 << 4) | (0 << 2), 0x00])
+        flen = 144 * kbps * 1000 // rate
+        stream = (hdr + b"\x00" * (flen - 4)) * 4
+        m = probe_mp3(stream)
+        assert m["layer"] == 2 and m["bitrate_kbps"] == 128
