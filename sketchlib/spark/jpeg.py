@@ -141,6 +141,21 @@ def _huff_codes(bits: list[int], vals: list[int]) -> dict:
             for (length, code), sym in _build_huff(bits, vals).items()}
 
 
+def _huff_lut(table: dict) -> tuple[np.ndarray, np.ndarray]:
+    """Peek-16 decode LUT: for every 16-bit window whose prefix is a
+    code, (symbol, code length); length 0 marks invalid prefixes. One
+    O(1) array lookup replaces the per-bit tree walk — the standard
+    fast path every production JPEG decoder uses."""
+    sym = np.zeros(1 << 16, dtype=np.uint8)
+    length = np.zeros(1 << 16, dtype=np.uint8)
+    for (ln, code), s in table.items():
+        lo = code << (16 - ln)
+        hi = (code + 1) << (16 - ln)
+        sym[lo:hi] = s
+        length[lo:hi] = ln
+    return sym, length
+
+
 class _BitReader:
     """MSB-first bit reader over entropy-coded data with FF00
     unstuffing; stops at any other FFxx marker (restart handling is
@@ -189,21 +204,24 @@ class _BitReader:
         return (self.acc >> self.nbits) & 1
 
     def receive(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
+        if n == 0:
+            return 0
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        return (self.acc >> self.nbits) & ((1 << n) - 1)
 
-    def decode_symbol(self, table: dict) -> int:
-        length, code = 0, 0
-        for _ in range(16):
-            code = (code << 1) | self.read_bit()
-            length += 1
-            sym = table.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("corrupt JPEG entropy stream: no Huffman code "
-                         "within 16 bits")
+    def decode_symbol(self, lut: tuple[np.ndarray, np.ndarray]) -> int:
+        # peek 16 bits, O(1) LUT hit, consume the code's length
+        while self.nbits < 16:
+            self._fill()
+        word = (self.acc >> (self.nbits - 16)) & 0xFFFF
+        ln = lut[1][word]
+        if ln == 0:
+            raise ValueError("corrupt JPEG entropy stream: no Huffman "
+                             "code within 16 bits")
+        self.nbits -= int(ln)
+        return int(lut[0][word])
 
     def next_restart(self) -> None:
         """Skip to just past the next RSTn marker; reset bit state."""
@@ -356,13 +374,23 @@ def _decode_scan(data: bytes, pos: int, frame, qt, huff, sel,
     vmax = max(c["v"] for c in comps)
     mcux = -(-fw // (8 * hmax))
     mcuy = -(-fh // (8 * vmax))
-    planes = []
-    for c in comps:
-        ph = mcuy * 8 * c["v"]
-        pw = mcux * 8 * c["h"]
-        planes.append(np.zeros((ph, pw), dtype=np.float64))
     reader = _BitReader(data, pos)
+    luts = {k: _huff_lut(t) for k, t in huff.items()}
     pred = [0] * len(comps)
+    # entropy-decode ALL blocks into per-component (n_blocks, 64)
+    # zigzag-order coefficient matrices first; dezigzag + dequant +
+    # IDCT then run batched (one einsum per component) — per-block
+    # numpy calls dominated decode time otherwise
+    n_blk = [mcux * mcuy * c["h"] * c["v"] for c in comps]
+    coefs = [np.zeros((nb, 64), dtype=np.int64) for nb in n_blk]
+    blkpos = [np.zeros((nb, 2), dtype=np.int64) for nb in n_blk]
+    bi = [0] * len(comps)
+    for ci, c in enumerate(comps):
+        if ((0, sel[c["id"]][0]) not in luts
+                or (1, sel[c["id"]][1]) not in luts
+                or c["tq"] not in qt):
+            raise ValueError("JPEG scan references missing "
+                             "Huffman/quant table")
     mcu_count = 0
     for my in range(mcuy):
         for mx in range(mcux):
@@ -370,20 +398,29 @@ def _decode_scan(data: bytes, pos: int, frame, qt, huff, sel,
                 reader.next_restart()
                 pred = [0] * len(comps)
             for ci, c in enumerate(comps):
-                dc_tbl = huff.get((0, sel[c["id"]][0]))
-                ac_tbl = huff.get((1, sel[c["id"]][1]))
-                q = qt.get(c["tq"])
-                if dc_tbl is None or ac_tbl is None or q is None:
-                    raise ValueError("JPEG scan references missing "
-                                     "Huffman/quant table")
+                dc_lut = luts[(0, sel[c["id"]][0])]
+                ac_lut = luts[(1, sel[c["id"]][1])]
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
-                        blk = _decode_block(reader, dc_tbl, ac_tbl, pred,
-                                            ci, q)
-                        y0 = (my * c["v"] + by) * 8
-                        x0 = (mx * c["h"] + bx) * 8
-                        planes[ci][y0:y0 + 8, x0:x0 + 8] = blk
+                        i = bi[ci]
+                        _decode_block(reader, dc_lut, ac_lut, pred, ci,
+                                      coefs[ci][i])
+                        blkpos[ci][i, 0] = (my * c["v"] + by) * 8
+                        blkpos[ci][i, 1] = (mx * c["h"] + bx) * 8
+                        bi[ci] += 1
             mcu_count += 1
+    planes = []
+    for ci, c in enumerate(comps):
+        nat = np.zeros((n_blk[ci], 64), dtype=np.float64)
+        nat[:, ZIGZAG] = coefs[ci]
+        blocks = nat.reshape(-1, 8, 8) * qt[c["tq"]][None, :, :]
+        out_blocks = np.einsum("ij,njk,kl->nil", _C.T, blocks, _C)
+        plane = np.zeros((mcuy * 8 * c["v"], mcux * 8 * c["h"]),
+                         dtype=np.float64)
+        for i in range(n_blk[ci]):
+            y0, x0 = blkpos[ci][i]
+            plane[y0:y0 + 8, x0:x0 + 8] = out_blocks[i]
+        planes.append(plane)
     # upsample to full grid, crop, color-convert
     out = []
     for ci, c in enumerate(comps):
@@ -403,15 +440,17 @@ def _decode_scan(data: bytes, pos: int, frame, qt, huff, sel,
         .round().astype(np.uint8)
 
 
-def _decode_block(reader, dc_tbl, ac_tbl, pred, ci, q) -> np.ndarray:
-    coef = np.zeros(64, dtype=np.int64)
-    s = reader.decode_symbol(dc_tbl)
+def _decode_block(reader, dc_lut, ac_lut, pred, ci, coef) -> None:
+    """Entropy-decode one block's zigzag coefficients into ``coef``
+    (int64[64] row of the batch matrix); dequant/IDCT happen batched
+    in the caller."""
+    s = reader.decode_symbol(dc_lut)
     diff = _extend(reader.receive(s), s)
     pred[ci] += diff
     coef[0] = pred[ci]
     k = 1
     while k < 64:
-        rs = reader.decode_symbol(ac_tbl)
+        rs = reader.decode_symbol(ac_lut)
         r, s = rs >> 4, rs & 0xF
         if s == 0:
             if r == 15:  # ZRL: sixteen zeros
@@ -423,9 +462,6 @@ def _decode_block(reader, dc_tbl, ac_tbl, pred, ci, q) -> np.ndarray:
             raise ValueError("corrupt JPEG: AC run past block end")
         coef[k] = _extend(reader.receive(s), s)
         k += 1
-    block = np.zeros(64, dtype=np.float64)
-    block[ZIGZAG] = coef
-    return _idct2(block.reshape(8, 8) * q)
 
 
 # ---------------------------------------------------------------------------
