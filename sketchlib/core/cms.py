@@ -157,9 +157,20 @@ class CountMinSketch:
         the max counter; sparse (idx,val) pairs when mostly zero.
         Partial CMS states from one input partition shuffle 4-16x
         smaller this way (same idea as Bloom sparse partials)."""
+        # 'cu' = taint (ever CU-updated: weakens inner_product bound);
+        # 'cum' = default update MODE. Separate fields: a plain-mode
+        # sketch that took one per-call CU update must round-trip as
+        # tainted-but-plain — folding taint into mode would silently
+        # switch its later default updates to CU (serde would change
+        # behavior). Pre-round-3 blobs wrote 'cu' as mode; they thaw as
+        # tainted plain-mode, the safe direction (estimates unchanged,
+        # future updates stay plain-add). Both omitted when False so
+        # old blobs stay readable.
         header = {"w": self.w, "d": self.d, "seed": self.seed, "total": self.total}
-        if self.cu_tainted:  # omitted when False: old blobs stay readable
+        if self.cu_tainted:
             header["cu"] = 1
+        if self.conservative:
+            header["cum"] = 1
         fields, payload = serde.pack_table(self.table.reshape(-1))
         header.update(fields)
         return serde.pack(serde.TYPE_CMS, header, payload)
@@ -167,7 +178,8 @@ class CountMinSketch:
     @classmethod
     def _from_parts(cls, header: dict, payload: bytes) -> "CountMinSketch":
         c = cls(header["w"], header["d"], header["seed"],
-                conservative=bool(header.get("cu", 0)))
+                conservative=bool(header.get("cum", 0)))
+        c.cu_tainted = bool(header.get("cu", 0)) or c.conservative
         c.total = header["total"]
         c.table = serde.unpack_table(header, payload,
                                      c.w * c.d).reshape(c.d, c.w)

@@ -171,9 +171,8 @@ def ivf_train_centroids(df: DataFrame, id_col: str, vec_col: str, dim: int,
         c = cents  # closure snapshot for this iteration
 
         def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            from pyspark import TaskContext
-            ctx = TaskContext.get()
-            pid = ctx.partitionId() if ctx is not None else -1
+            from sketchlib.spark.build import task_partition_id
+            pid = task_partition_id()
             sums = np.zeros((len(c), dim), dtype=np.float64)
             cnts = np.zeros(len(c), dtype=np.int64)
             for pdf in batches:

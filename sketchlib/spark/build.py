@@ -48,6 +48,17 @@ def calibrate(df: DataFrame, group_cols: list[str]) -> DataFrame:
     return df.groupBy(*group_cols).agg(F.count("*").alias("n"))
 
 
+def task_partition_id() -> int:
+    """Current task's input partition id, or -1 when called off-task
+    (driver-side tests). The -1 sentinel participates in
+    ``merge_partials``' (partition_id, chunk) sort contract — every
+    partial-producing kernel must use THIS helper so the sentinel can
+    never drift between producers."""
+    from pyspark import TaskContext
+    ctx = TaskContext.get()
+    return ctx.partitionId() if ctx is not None else -1
+
+
 def bloom_params_by_group(calib: DataFrame, p: float) -> dict:
     """Driver-side (m, k) per group from collected calibration counts.
 
@@ -228,9 +239,7 @@ def build_partials(df: DataFrame, group_cols: list[str],
     flush_at = max_groups_in_flight * len(specs)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from pyspark import TaskContext
-        ctx = TaskContext.get()
-        pid = ctx.partitionId() if ctx is not None else -1
+        pid = task_partition_id()
         acc: dict = {}  # (group_tuple, spec_idx) -> [sketch, n_rows]
         chunk = 0
 

@@ -71,9 +71,8 @@ def _key_bloom_merged_df(df: DataFrame, key_col: str, p: float,
     m, k = bloom_params(max(int(n_keys), 1), p)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from pyspark import TaskContext
-        ctx = TaskContext.get()
-        pid = ctx.partitionId() if ctx is not None else -1
+        from sketchlib.spark.build import task_partition_id
+        pid = task_partition_id()
         bf = BloomFilter(m, k, seed)
         n = 0
         for b in batches:

@@ -296,9 +296,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         elif marker == 0xC4:  # DHT
             b = 0
             while b < len(body):
+                if b + 17 > len(body):
+                    raise ValueError("truncated JPEG DHT segment")
                 cls, tid = body[b] >> 4, body[b] & 0xF
                 bits = list(body[b + 1:b + 17])
                 nv = sum(bits)
+                if b + 17 + nv > len(body):
+                    raise ValueError("truncated JPEG DHT values")
                 vals = list(body[b + 17:b + 17 + nv])
                 huff[(cls, tid)] = _build_huff(bits, vals)
                 b += 17 + nv

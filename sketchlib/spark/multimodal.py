@@ -825,8 +825,15 @@ def extract_features(df: DataFrame, id_col: str = "media_id",
     Streams one Arrow batch of payloads at a time; the decode loop is
     per-item (codecs are inherently per-item) but everything around it
     is batch-shaped. WAV audio decodes for real (``decode_wav`` +
-    RMS-envelope features); other kinds go through ``decode_stub``
-    (NotImplementedError unless ``fake=True``).
+    RMS-envelope features), PPM/PNG/JPEG images likewise; other kinds
+    go through ``decode_stub`` (NotImplementedError unless
+    ``fake=True`` — a CONFIGURATION error that still fails fast).
+
+    Corrupt/mislabeled payloads quarantine: codec refusals (ValueError
+    and the stdlib wave error classes) yield a NULL ``feature`` for
+    that row instead of failing the task — one truncated JPEG in a
+    10^9-row corpus must not abort the job. Filter
+    ``feature IS NULL`` downstream to inspect the quarantined rows.
     """
     cols = [F.col(id_col).cast("long").alias("_id"),
             F.col(kind_col).alias("_kind"),
@@ -837,7 +844,7 @@ def extract_features(df: DataFrame, id_col: str = "media_id",
     sel = df.select(*cols)
     schema = StructType([
         StructField("media_id", LongType(), False),
-        StructField("feature", ArrayType(FloatType()), False),
+        StructField("feature", ArrayType(FloatType()), True),
     ])
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -845,8 +852,12 @@ def extract_features(df: DataFrame, id_col: str = "media_id",
             if not len(pdf):
                 continue
             mimes = pdf["_mime"] if has_mime else [None] * len(pdf)
-            feats = [_decode_one(bytes(p), k, m, fake)
-                     for p, k, m in zip(pdf["_payload"], pdf["_kind"], mimes)]
+            feats = []
+            for p, k, m in zip(pdf["_payload"], pdf["_kind"], mimes):
+                try:
+                    feats.append(_decode_one(bytes(p), k, m, fake))
+                except (ValueError, wave.Error, EOFError):
+                    feats.append(None)  # quarantine, never a task kill
             yield pd.DataFrame({"media_id": pdf["_id"].to_numpy(),
                                 "feature": feats})
 

@@ -187,10 +187,14 @@ def q_dedup_clusters_minhash(spark, sf_dir):
     pairs = textops.minhash_lsh_pairs(load(spark, sf_dir, "documents"),
                                       "doc_id", "text", threshold=0.5)
     clusters = textops.dedup_clusters(pairs)
+    # cluster_id IS min(doc_id) over the cluster by construction
+    # (min-label propagation) — reuse it as keep_id rather than
+    # re-aggregating a value that cannot differ
     return (clusters.groupBy("cluster_id")
-            .agg(F.count("*").alias("cluster_size"),
-                 F.min("doc_id").alias("keep_id"))
-            .filter(F.col("cluster_size") >= 2))
+            .agg(F.count("*").alias("cluster_size"))
+            .filter(F.col("cluster_size") >= 2)
+            .select(F.col("cluster_id"), "cluster_size",
+                    F.col("cluster_id").alias("keep_id")))
 
 
 def q_fd_embedding_spectrum(spark, sf_dir):

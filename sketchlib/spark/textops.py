@@ -135,6 +135,17 @@ def dedup_clusters(pairs: DataFrame, a_col: str = "a_id",
                          F.col("label").alias("cluster_id"))
 
 
+def _shingle_expr(tokens_col, n: int):
+    """Word-n-gram expression over a token-array column: shingle i
+    spans tokens [i, i+n). Shared by ngram_jaccard_pairs (n=3) and
+    repetition_scores (n=2) so tokenize/bounds fixes stay in lockstep.
+    Caller must pre-filter docs with fewer than n tokens
+    (sequence(0, negative) descends)."""
+    return F.transform(F.sequence(F.lit(0), F.size(tokens_col) - n),
+                       lambda i: F.concat_ws(" ", F.slice(tokens_col,
+                                                          i + 1, n)))
+
+
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         n: int = 3, threshold: float = 0.5,
                         max_shingle_freq: int | None = 1000) -> DataFrame:
@@ -157,10 +168,8 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     # slice(start=0) is a runtime error)
     sh = (df.select(F.col(id_col).alias("doc"), toks.alias("t"))
           .filter(F.size(F.col("t")) >= n)
-          .select("doc", F.explode(
-              F.transform(F.sequence(F.lit(0), F.size(F.col("t")) - n),
-                          lambda i: F.concat_ws(" ", F.slice(F.col("t"), i + 1, n)))
-          ).alias("shingle"))
+          .select("doc",
+                  F.explode(_shingle_expr(F.col("t"), n)).alias("shingle"))
           .distinct())
     if max_shingle_freq is not None:
         # skew cap as a WINDOW over one shingle-partitioned exchange
@@ -526,11 +535,8 @@ def repetition_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
     bi = (base.select(F.col(id_col).alias("_doc"), toks.alias("t"))
           .filter(F.size(F.col("t")) >= 2)
-          .select("_doc", F.explode(
-              F.transform(F.sequence(F.lit(0), F.size(F.col("t")) - 2),
-                          lambda i: F.concat_ws(" ", F.slice(F.col("t"),
-                                                             i + 1, 2)))
-          ).alias("bigram")))
+          .select("_doc",
+                  F.explode(_shingle_expr(F.col("t"), 2)).alias("bigram")))
     top = (bi.groupBy("_doc", "bigram").agg(F.count("*").alias("cnt"))
            .groupBy("_doc")
            .agg(F.round(F.max("cnt") / F.sum("cnt"), 4)

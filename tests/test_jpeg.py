@@ -155,3 +155,18 @@ class TestJpegReviewFixes:
         d = decode_jpeg(encode_jpeg(flat, grayscale=True))
         assert int(np.abs(d.astype(int) - 130).max()) <= 1
         assert d[0, 0, 0] == 130
+
+
+def test_truncated_dht_raises_valueerror():
+    """A DHT cut inside its bits/values arrays must refuse with
+    ValueError, not IndexError (quarantine handlers catch ValueError)."""
+    data = encode_jpeg(_smooth(8, 8))
+    i = data.find(b"\xFF\xC4")
+    # rewrite the DHT length to truncate inside the bits array
+    bad = data[:i + 2] + b"\x00\x06" + data[i + 4:i + 8] + data[i + 8:]
+    import struct
+    hdr = data[:i]
+    cut = hdr + b"\xFF\xC4" + struct.pack(">H", 10) + data[i + 4:i + 12] \
+        + b"\xFF\xD9"
+    with pytest.raises(ValueError):
+        decode_jpeg(cut)

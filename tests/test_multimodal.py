@@ -557,3 +557,26 @@ class TestProbeHardening:
         stream = (hdr + b"\x00" * (flen - 4)) * 4
         m = probe_mp3(stream)
         assert m["layer"] == 2 and m["bitrate_kbps"] == 128
+
+
+def test_extract_features_quarantines_corrupt_payloads(spark):
+    """One corrupt image/WAV payload yields a NULL feature row instead
+    of failing the task; valid rows in the same batch still decode, and
+    fake=False on a stub kind still fails fast (config error)."""
+    from sketchlib.spark.multimodal import (MEDIA_SCHEMA, encode_ppm,
+                                            extract_features)
+    good = encode_ppm(np.full((8, 8, 3), 7, dtype=np.uint8))
+    rows = [
+        (1, "image", good, "image/x-portable-pixmap", 8, 8, None),
+        (2, "image", b"\xFF\xD8\xFF\xDB broken jpeg", "image/jpeg",
+         8, 8, None),
+        (3, "image", b"\x89PNG\r\n\x1a\n truncated", "image/png",
+         8, 8, None),
+        (4, "audio", b"RIFF1234WAVEfmt \x10\x00\x00\x00\x01\x00",
+         "audio/wav", None, None, 99),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r["feature"]
+           for r in extract_features(df, fake=False).collect()}
+    assert got[1] is not None and len(got[1]) == 64
+    assert got[2] is None and got[3] is None and got[4] is None

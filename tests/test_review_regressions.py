@@ -676,3 +676,22 @@ def test_props_json_plan_jvm_only(spark):
     assert "*(" in plan  # codegen'd stages print as *(n) in this format
     # column pruning reached the scan: only the two needed columns
     assert "ReadSchema: struct<event_type:string,props:string>" in plan
+
+
+def test_cms_serde_separates_taint_from_default_mode():
+    """A plain-mode sketch that took one per-call CU update round-trips
+    as tainted-but-plain: later default updates stay plain-add, so
+    identical update sequences give identical tables whether or not the
+    sketch crossed serde (e.g. a shuffle boundary)."""
+    a = CountMinSketch(8, 2, seed=3)
+    a.update_batch(["x", "y"], conservative=True)
+    b = CountMinSketch.from_bytes(a.to_bytes())
+    assert b.cu_tainted is True and b.conservative is False
+    a.update_batch(["x", "x", "y"])  # default mode: plain add
+    b.update_batch(["x", "x", "y"])
+    assert np.array_equal(a.table, b.table)
+    # constructor-CU sketches keep their mode through serde
+    c = CountMinSketch(8, 2, seed=3, conservative=True)
+    c.update_batch(["x"])
+    d = CountMinSketch.from_bytes(c.to_bytes())
+    assert d.conservative is True and d.cu_tainted is True
