@@ -596,6 +596,55 @@ def langid_heuristic(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .alias("confidence"))
 
 
+# tracking params stripped by canonical_url — the industry-standard
+# noise set (public convention: utm_* campaign tags + common click ids)
+_TRACKING_PARAM_RE = r"^(utm_[a-z]+|gclid|fbclid|msclkid|ref)="
+
+
+def canonical_url(df: DataFrame, url_col: str,
+                  out_col: str = "canonical_url") -> DataFrame:
+    """Append a canonicalized URL column — the dedup key for
+    crawl-style corpora where the same page hides behind scheme/case/
+    tracking-param/fragment variants. Pure built-ins (one declarative
+    expression, whole-stage codegen):
+
+    - scheme and host lowercased (path case preserved — it is
+      significant per RFC 3986)
+    - fragment (#...) dropped; default ports (:80/:443) dropped
+    - tracking params (utm_*, gclid, fbclid, msclkid, ref) removed;
+      remaining query params SORTED (order-insensitive match)
+    - trailing slash normalized off non-root paths
+
+    Conservative by design: everything else (www., index.html, %XX
+    case) is left alone — collapsing those wrongly merges distinct
+    pages; extend per corpus if its conventions allow.
+    """
+    u = F.col(url_col)
+    no_frag = F.split(u, "#").getItem(0)
+    base = F.split(no_frag, r"\?").getItem(0)
+    query = F.when(F.instr(no_frag, "?") > 0,
+                   F.expr(f"substring_index(split({url_col}, '#')[0], "
+                          "'?', -1)")).otherwise(F.lit(None))
+    # scheme://host[:port] is everything through the 3rd '/', lowercased
+    head = F.concat_ws("/", F.slice(F.split(base, "/"), 1, 3))
+    tail = F.when(F.size(F.split(base, "/")) > 3,
+                  F.concat_ws("/", F.slice(F.split(base, "/"), 4, 100000))
+                  ).otherwise(F.lit(None))
+    head = F.lower(head)
+    head = F.regexp_replace(head, r":(80|443)$", "")
+    path = F.when(tail.isNotNull() & (tail != ""),
+                  F.concat(F.lit("/"), F.regexp_replace(tail, "/$", "")))
+    kept = F.filter(
+        F.split(F.coalesce(query, F.lit("")), "&"),
+        lambda p: (p != "") & ~p.rlike(_TRACKING_PARAM_RE))
+    qs = F.array_join(F.array_sort(kept), "&")
+    return df.withColumn(
+        out_col,
+        F.concat(head, F.coalesce(path, F.lit("")),
+                 F.when(qs != "", F.concat(F.lit("?"), qs))
+                 .otherwise(F.lit(""))))
+
+
 def content_fingerprint(df: DataFrame, id_col: str, text_col: str,
                         seed: int = 13) -> DataFrame:
     """(id, fingerprint: bigint) — 64-bit content hash of the

@@ -695,3 +695,55 @@ def test_cms_serde_separates_taint_from_default_mode():
     c.update_batch(["x"])
     d = CountMinSketch.from_bytes(c.to_bytes())
     assert d.conservative is True and d.cu_tainted is True
+
+
+class TestCanonicalUrl:
+    CASES = [
+        # (input, expected)
+        ("HTTP://Example.COM/Path/Page", "http://example.com/Path/Page"),
+        ("https://example.com:443/a/", "https://example.com/a"),
+        ("http://example.com:80/", "http://example.com"),
+        ("https://example.com/x?utm_source=tw&b=2&a=1#frag",
+         "https://example.com/x?a=1&b=2"),
+        ("https://example.com/x?gclid=abc", "https://example.com/x"),
+        ("https://example.com/x?b=2&a=1", "https://example.com/x?a=1&b=2"),
+        ("https://example.com", "https://example.com"),
+        # port 8080 is NOT a default port: preserved
+        ("https://example.com:8080/y", "https://example.com:8080/y"),
+        # path case is significant and preserved
+        ("https://example.com/CaseMatters", "https://example.com/CaseMatters"),
+        ("https://example.com/deep/path/?ref=nav#x",
+         "https://example.com/deep/path"),
+    ]
+
+    def test_canonicalization_table(self, spark):
+        import pyspark.sql.functions as F
+        df = spark.createDataFrame([(i, u) for i, (u, _) in
+                                    enumerate(self.CASES)],
+                                   "i long, url string")
+        got = {r["i"]: r["canonical_url"]
+               for r in textops.canonical_url(df, "url").collect()}
+        for i, (src, want) in enumerate(self.CASES):
+            assert got[i] == want, (src, got[i], want)
+
+    def test_variants_collapse_distinct_pages_dont(self, spark):
+        variants = [
+            "https://Example.com/article/42?utm_campaign=x",
+            "https://example.com:443/article/42",
+            "https://example.com/article/42?utm_source=a&utm_medium=b",
+        ]
+        others = ["https://example.com/article/43",
+                  "https://example.com/Article/42"]
+        df = spark.createDataFrame(
+            [(i, u) for i, u in enumerate(variants + others)],
+            "i long, url string")
+        canon = textops.canonical_url(df, "url")
+        n = canon.select("canonical_url").distinct().count()
+        assert n == 1 + len(others)
+
+    def test_plan_is_jvm_only(self, spark, pages_tiny):
+        df = textops.canonical_url(pages_tiny, "url")
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString() \
+            .split("Initial Plan")[0]
+        assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
