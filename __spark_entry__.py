@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _wrap(Q.q_dedup_clusters),
         "dedup_clusters_minhash": _wrap(Q.q_dedup_clusters_minhash),
         "corpus_curation": _wrap(Q.q_corpus_curation),
+        "url_canon_dedup": _wrap(Q.q_url_canon_dedup),
         "hash_split_counts": _wrap(Q.q_hash_split_counts),
         "ann_cosine_topk": _wrap(Q.q_ann_cosine_topk),
         "fd_embedding_spectrum": _wrap(Q.q_fd_embedding_spectrum),
@@ -359,6 +360,22 @@ def oracle_sql() -> dict[str, str]:
             "WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' "
             "AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00' "
             "GROUP BY o_orderpriority",
+        "url_canon_dedup":
+            # analytically-derived canonical per template (the Spark
+            # side runs the real canonicalizer on the messy variants)
+            "WITH v AS (SELECT doc_id, doc_id % 10 AS t, "
+            "CAST(doc_id // 10 AS VARCHAR) AS g FROM documents), "
+            "c AS (SELECT doc_id, CASE "
+            "WHEN t IN (0, 1, 4, 5) THEN 'http://example.com/doc/' || g "
+            "WHEN t IN (3, 6) THEN 'http://example.com/doc/' || g "
+            "|| '?a=1&b=2' "
+            "WHEN t = 2 THEN 'https://example.com/doc/' || g "
+            "WHEN t = 7 THEN 'http://example.com:443/doc/' || g "
+            "WHEN t = 8 THEN 'example.com/Doc/' || g "
+            "ELSE 'https://example.com:8080/doc/' || g END "
+            "AS canonical_url FROM v) "
+            "SELECT canonical_url, min(doc_id) AS keep_id, "
+            "count(*) AS n_variants FROM c GROUP BY canonical_url",
         "langid_heuristic": _langid_oracle(),
         "pii_scrub": _pii_oracle(),
         "user_overlap_exact":

@@ -274,6 +274,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI before SOS
             break
+        # standalone markers carry NO length field (T.81 B.1.1.3):
+        # TEM (0x01) and RSTn (0xD0-0xD7). Reading their next 2 bytes
+        # as a segment length would desync the walk — skip just the
+        # marker itself.
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
         try:
             (seglen,) = struct.unpack(">H", payload[pos + 2:pos + 4])
         except struct.error as e:

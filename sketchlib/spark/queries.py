@@ -259,7 +259,10 @@ def q_embedding_spectrum_exact(spark, sf_dir):
     from collections.abc import Iterator
     import numpy as np
     emb = load(spark, sf_dir, "embeddings").select("embedding")
-    dim = len(emb.first()["embedding"])
+    row = emb.first()  # dim probe only; schema says array<float>, not len
+    if row is None:
+        return spark.createDataFrame([], "rnk int, sq_singular double")
+    dim = len(row["embedding"])
 
     def gram(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as _np
@@ -599,6 +602,46 @@ def q_simhash_pairs(spark, sf_dir):
 def q_content_fingerprint(spark, sf_dir):
     return textops.content_fingerprint(load(spark, sf_dir, "documents"),
                                        "doc_id", "text")
+
+
+def q_url_canon_dedup(spark, sf_dir):
+    """Crawl-corpus URL dedup: canonicalize -> group -> keep-one.
+    Generalizes the reference's key-normalization step
+    (hadoop .../CalibrationMapper.java:31 rounds ratings to a
+    canonical grouping key) to the web-pages domain.
+
+    The driver tables carry no url column, so messy variants are
+    synthesized deterministically from doc_id — ten templates that
+    exercise every canonicalization branch (scheme/host case, BOTH
+    default-port rules scheme-aware, tracking params, param order,
+    fragment, trailing slash, scheme-less host, non-default ports).
+    The oracle states the analytically-known canonical per template,
+    so a shared string-op bug cannot hide: Spark actually runs
+    textops.canonical_url on the messy strings and must land on the
+    independently-derived answer.
+    """
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    t = F.col("doc_id") % 10
+    g = F.floor(F.col("doc_id") / 10).cast("string")
+    url = (
+        F.when(t == 0, F.concat(F.lit("HTTP://Example.COM/doc/"), g))
+        .when(t == 1, F.concat(F.lit("http://example.com:80/doc/"), g))
+        .when(t == 2, F.concat(F.lit("https://example.com:443/doc/"), g))
+        .when(t == 3, F.concat(F.lit("http://example.com/doc/"), g,
+                               F.lit("?utm_source=x&b=2&a=1")))
+        .when(t == 4, F.concat(F.lit("http://example.com/doc/"), g,
+                               F.lit("#frag")))
+        .when(t == 5, F.concat(F.lit("http://example.com/doc/"), g,
+                               F.lit("/")))
+        .when(t == 6, F.concat(F.lit("http://example.com/doc/"), g,
+                               F.lit("?a=1&b=2")))
+        .when(t == 7, F.concat(F.lit("http://example.com:443/doc/"), g))
+        .when(t == 8, F.concat(F.lit("Example.com/Doc/"), g))
+        .otherwise(F.concat(F.lit("https://example.com:8080/doc/"), g)))
+    canon = textops.canonical_url(d.withColumn("url", url), "url")
+    return (canon.groupBy("canonical_url")
+            .agg(F.min("doc_id").alias("keep_id"),
+                 F.count("*").alias("n_variants")))
 
 
 def q_hll_users_daily(spark, sf_dir):

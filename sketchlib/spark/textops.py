@@ -609,8 +609,10 @@ def canonical_url(df: DataFrame, url_col: str,
     expression, whole-stage codegen):
 
     - scheme and host lowercased (path case preserved — it is
-      significant per RFC 3986)
-    - fragment (#...) dropped; default ports (:80/:443) dropped
+      significant per RFC 3986); for scheme-less values only the
+      leading host segment is case-folded
+    - fragment (#...) dropped; the scheme's OWN default port dropped
+      (:80 for http, :443 for https — http://h:443 stays distinct)
     - tracking params (utm_*, gclid, fbclid, msclkid, ref) removed;
       remaining query params SORTED (order-insensitive match)
     - trailing slash normalized off non-root paths
@@ -625,13 +627,25 @@ def canonical_url(df: DataFrame, url_col: str,
     query = F.when(F.instr(no_frag, "?") > 0,
                    F.expr(f"substring_index(split({url_col}, '#')[0], "
                           "'?', -1)")).otherwise(F.lit(None))
-    # scheme://host[:port] is everything through the 3rd '/', lowercased
-    head = F.concat_ws("/", F.slice(F.split(base, "/"), 1, 3))
-    tail = F.when(F.size(F.split(base, "/")) > 3,
-                  F.concat_ws("/", F.slice(F.split(base, "/"), 4, 100000))
+    # scheme://host[:port] is everything through the 3rd '/' WHEN a
+    # scheme is present; for scheme-less values only the first segment
+    # (the host) is case-insensitive — the rest is path and stays as-is
+    has_scheme = base.rlike(r"^[a-zA-Z][a-zA-Z0-9+.\-]*://")
+    parts = F.split(base, "/")
+    n_head = F.when(has_scheme, F.lit(3)).otherwise(F.lit(1))
+    head = F.concat_ws("/", F.slice(parts, F.lit(1), n_head))
+    tail = F.when(F.size(parts) > n_head,
+                  F.concat_ws("/", F.slice(parts, n_head + F.lit(1),
+                                           F.lit(100000)))
                   ).otherwise(F.lit(None))
     head = F.lower(head)
-    head = F.regexp_replace(head, r":(80|443)$", "")
+    # default ports are scheme-specific: http://host:443 is a distinct
+    # origin from http://host and must NOT merge (and vice versa)
+    head = (F.when(head.startswith("http://"),
+                   F.regexp_replace(head, ":80$", ""))
+            .when(head.startswith("https://"),
+                  F.regexp_replace(head, ":443$", ""))
+            .otherwise(head))
     path = F.when(tail.isNotNull() & (tail != ""),
                   F.concat(F.lit("/"), F.regexp_replace(tail, "/$", "")))
     kept = F.filter(

@@ -170,3 +170,16 @@ def test_truncated_dht_raises_valueerror():
         + b"\xFF\xD9"
     with pytest.raises(ValueError):
         decode_jpeg(cut)
+
+
+def test_standalone_markers_in_header_skipped():
+    """T.81 B.1.1.3: TEM (0x01) and RSTn carry NO length field. A
+    stream with one before DQT must still decode — reading the next
+    2 bytes as a segment length would desync the walk (ADVICE r3)."""
+    px = _smooth(16, 16, seed=3)
+    data = encode_jpeg(px)
+    ref = decode_jpeg(data)
+    i = data.find(b"\xFF\xDB")
+    for standalone in (b"\xFF\x01", b"\xFF\xD3"):
+        padded = data[:i] + standalone + data[i:]
+        assert np.array_equal(decode_jpeg(padded), ref)

@@ -714,6 +714,15 @@ class TestCanonicalUrl:
         ("https://example.com/CaseMatters", "https://example.com/CaseMatters"),
         ("https://example.com/deep/path/?ref=nav#x",
          "https://example.com/deep/path"),
+        # default ports are scheme-specific: these are DISTINCT origins
+        # and must survive canonicalization un-merged (ADVICE r3)
+        ("http://example.com:443/x", "http://example.com:443/x"),
+        ("https://example.com:80/x", "https://example.com:80/x"),
+        # scheme-less: only the host segment case-folds; path case,
+        # which lives inside the old 3-element head slice, is preserved
+        ("Example.COM/Path/Page", "example.com/Path/Page"),
+        ("example.com/A/B?b=2&a=1", "example.com/A/B?a=1&b=2"),
+        ("example.com", "example.com"),
     ]
 
     def test_canonicalization_table(self, spark):
