@@ -8,7 +8,7 @@ os.environ.setdefault("PYTHONPATH", REPO)
 from sketchlib.io.fixtures import pages_path
 p = pages_path("1240000")
 os.environ.setdefault("SKETCHLIB_MAX_PARTITION_BYTES",
-                      str(max(1 << 20, os.path.getsize(p) // 96)))
+                      str(max(1 << 20, os.path.getsize(p) // 32)))
 
 from sketchlib.spark.session import get_spark
 from sketchlib.spark.specs import SketchSpec
@@ -24,7 +24,7 @@ for _ in range(3):
     bp = bloom_params_by_group(calibrate(pages, ["lang"]), 0.01)
     build_sketches(pages, ["lang"],
                    [SketchSpec("b", "bloom", "url", per_group_params=bp)],
-                   fanout=8).collect()
+                   fanout="auto").collect()
     ts.append(time.time() - t0)
 best = sorted(ts)[1]
 print(f"stages1+2 bloom-only 1.24M rows: median {best:.2f}s = "

@@ -49,12 +49,16 @@ BENCH_QUERIES = [
 def main() -> None:
     from sketchlib.io.fixtures import pages_path
 
-    # split the pages corpus to ~3 tasks per core before the session
-    # starts (a single local parquet file needs explicit split sizing)
+    # split the pages corpus to ~1 task per core before the session
+    # starts (a single local parquet file needs explicit split sizing).
+    # Partial-sketch count — and so merge shuffle bytes — is
+    # #partitions x #groups x state_bytes; the dense-CMS state makes
+    # over-splitting 3x/core measurably worse than 1x/core here, and
+    # at cluster scale maxPartitionBytes governs splits anyway.
     ppath = pages_path(str(PAGES_ROWS))
     os.environ.setdefault(
         "SKETCHLIB_MAX_PARTITION_BYTES",
-        str(max(1 << 20, os.path.getsize(ppath) // (3 * CPUS))))
+        str(max(1 << 20, os.path.getsize(ppath) // CPUS)))
 
     from sketchlib.spark.session import get_spark
     from sketchlib.spark.specs import SketchSpec
@@ -93,11 +97,11 @@ def main() -> None:
         SketchSpec("len_tdigest", "tdigest", "html_len", {"delta": 200}),
         SketchSpec("len_kll", "kll", "html_len", {"k": 200}),
     ]
-    build_sketches(pages, ["lang"], specs, fanout=8).collect()  # warm
+    build_sketches(pages, ["lang"], specs, fanout="auto").collect()  # warm
     runs = []
     for _ in range(3):
         t0 = time.time()
-        build_sketches(pages, ["lang"], specs, fanout=8).collect()
+        build_sketches(pages, ["lang"], specs, fanout="auto").collect()
         runs.append(time.time() - t0)
     build_s = sorted(runs)[1]  # median (noisy sandbox cpu)
     times["pages_sketch_build"] = round(build_s, 3)
