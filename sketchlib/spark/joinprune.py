@@ -66,7 +66,17 @@ def _key_bloom_merged_df(df: DataFrame, key_col: str, p: float,
     from sketchlib.spark.build import merge_partials
 
     keyed = _as_key(df, key_col, _KEY).select(_KEY).dropna()
+    unpersist = None
     if n_keys is None:
+        # sizing needs a count before any filter bit can be set, so an
+        # unsized build is inherently two actions — persist the pruned
+        # key projection so the SOURCE is scanned once and the second
+        # action reads the (small, single-column) cached keys. Callers
+        # at scale should pass n_keys (table stats / a stage-1
+        # calibrate count, the reference's own shrink-the-work move,
+        # Driver.java:89-114) and skip even this.
+        keyed = keyed.persist()
+        unpersist = keyed
         n_keys = keyed.count()
     m, k = bloom_params(max(int(n_keys), 1), p)
 
@@ -87,7 +97,7 @@ def _key_bloom_merged_df(df: DataFrame, key_col: str, p: float,
     partials = keyed.mapInPandas(
         fn, schema=("g int, sketch_name string, partial binary, "
                     "n_rows long, partition_id int, chunk int"))
-    return merge_partials(partials, ["g"], fanout="auto")
+    return merge_partials(partials, ["g"], fanout="auto"), unpersist
 
 
 def build_key_bloom(df: DataFrame, key_col: str, p: float = 0.01,
@@ -97,7 +107,11 @@ def build_key_bloom(df: DataFrame, key_col: str, p: float = 0.01,
     ``n_keys`` sizes (m, k) from the target FPR ``p`` exactly like the
     reference's parameter stage (core/params.bloom_params); it defaults
     to the row count of ``df`` — an upper bound on the distinct count,
-    so the realized FPR is <= the designed ``p``.
+    so the realized FPR is <= the designed ``p``. When it defaults, the
+    key projection is persisted across the sizing count and the build
+    so the SOURCE is scanned exactly once; at scale, pass ``n_keys``
+    from table stats or a stage-1 calibrate count and no extra action
+    runs at all.
 
     The OR-merge runs in the cluster via the salted
     ``build.merge_partials`` tree; the driver collects exactly one
@@ -105,7 +119,12 @@ def build_key_bloom(df: DataFrame, key_col: str, p: float = 0.01,
     is associative+commutative, so the tree result is bitwise-identical
     to any sequential fold).
     """
-    rows = _key_bloom_merged_df(df, key_col, p, n_keys, seed).collect()
+    merged, cached = _key_bloom_merged_df(df, key_col, p, n_keys, seed)
+    try:
+        rows = merged.collect()
+    finally:
+        if cached is not None:
+            cached.unpersist()
     if not rows:  # empty input: a valid filter that contains nothing
         m, k = bloom_params(max(int(n_keys or 1), 1), p)
         return BloomFilter(m, k, seed)

@@ -70,8 +70,10 @@ def test_build_collects_one_blob_at_1000_partitions(spark):
     from sketchlib.spark.joinprune import _key_bloom_merged_df
     dim = spark.range(2000).select(F.col("id").alias("d_key")) \
         .repartition(1024)
-    merged = _key_bloom_merged_df(dim, "d_key", 0.01, None, 0)
+    merged, cached = _key_bloom_merged_df(dim, "d_key", 0.01, None, 0)
     rows = merged.collect()
+    if cached is not None:
+        cached.unpersist()
     assert len(rows) == 1
     assert int(rows[0]["n_rows"]) == 2000
     # >64 partials -> the auto fanout must have inserted the salted
@@ -84,6 +86,37 @@ def test_build_collects_one_blob_at_1000_partitions(spark):
     bf = build_key_bloom(dim, "d_key", p=0.01)
     one = build_key_bloom(dim.coalesce(1), "d_key", p=0.01)
     assert bf.to_bytes() == one.to_bytes()
+
+
+def test_unsized_build_scans_source_once(spark, tmp_path):
+    """n_keys=None needs a sizing count before any bit can be set, so
+    the key projection is persisted across count+build: the parquet
+    source is scanned by the count only, the build reads the cache
+    (InMemoryTableScan in its plan), and the cache is dropped before
+    build_key_bloom returns (round-3 VERDICT item 3)."""
+    from sketchlib.spark.joinprune import _key_bloom_merged_df
+    p = str(tmp_path / "dim.parquet")
+    spark.range(5000).select(F.col("id").alias("d_key")).write.parquet(p)
+    dim = spark.read.parquet(p)
+
+    merged, cached = _key_bloom_merged_df(dim, "d_key", 0.01, None, 0)
+    assert cached is not None  # sizing count materialized the cache
+    merged.collect()
+    plan = merged._jdf.queryExecution().executedPlan().toString() \
+        .split("Initial Plan")[0]
+    assert "InMemoryTableScan" in plan, plan
+    # the build job reads the cache, not the file
+    assert "parquet" not in plan.lower().split("inmemoryrelation")[0], plan
+    cached.unpersist()
+
+    # sized build: no cache at all — exactly one scan, one action
+    merged2, cached2 = _key_bloom_merged_df(dim, "d_key", 0.01, 5000, 0)
+    assert cached2 is None
+    merged2.collect()
+    # and the public API leaves the session cache manager empty
+    build_key_bloom(dim, "d_key", p=0.01)
+    jcm = spark._jsparkSession.sharedState().cacheManager()
+    assert jcm.isEmpty(), "build_key_bloom leaked a cached plan"
 
 
 def test_string_keys_and_empty_dim(spark):
