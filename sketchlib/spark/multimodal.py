@@ -28,7 +28,9 @@ signatures — is real and tested. Codecs:
   synthesizes fixtures. Progressive/arithmetic/12-bit raise ValueError.
 - **video/MP4 container metadata is REAL** (``probe_mp4`` /
   ``video_metadata``: stdlib ISO-BMFF box walk — brand, duration,
-  per-track handler and resolution; the filter-before-decode step).
+  per-track handler/resolution, and the stbl sample table: sample
+  count, mean sample size, track bitrate, keyframe cadence — the
+  filter-before-decode stats a video-curation pipeline gates on).
 - **audio/MPEG metadata is REAL** (``probe_mp3`` /
   ``audio_metadata``: ID3v2 skip + frame-header parse — version,
   layer, bitrate, sample rate, channels, CBR duration; WAV metadata
@@ -482,12 +484,16 @@ def image_feature_vector(pixels: np.ndarray,
 
 
 def encode_mp4_stub(duration_ms: int, width: int, height: int,
-                    timescale: int = 1000, mdat: bytes = b"") -> bytes:
+                    timescale: int = 1000, mdat: bytes = b"",
+                    sample_sizes: list[int] | None = None,
+                    keyframes: list[int] | None = None) -> bytes:
     """Minimal valid ISO-BMFF (MP4) box tree for fixtures: ftyp +
-    moov(mvhd + trak(tkhd + mdia(mdhd + hdlr['vide']))) + empty mdat.
-    No media samples — enough structure for ``probe_mp4`` to read
-    duration/resolution/handler the way any real player's header scan
-    does."""
+    moov(mvhd + trak(tkhd + mdia(mdhd + hdlr['vide'] [+ minf(stbl)])))
+    + mdat. With ``sample_sizes`` it also writes a real sample table
+    (stts one-run + stsz per-sample sizes + optional stss sync list +
+    empty stco), so ``probe_mp4`` can read the per-track sample stats
+    a curation pipeline gates on. Media payload stays opaque — enough
+    structure for any real player's header scan, no codec."""
     import struct
 
     def box(tag: bytes, payload: bytes) -> bytes:
@@ -502,7 +508,21 @@ def encode_mp4_stub(duration_ms: int, width: int, height: int,
     mdhd = box(b"mdhd", struct.pack(">B3xIIII", 0, 0, 0, timescale, dur)
                + b"\x00" * 4)
     hdlr = box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12 + b"\x00")
-    mdia = box(b"mdia", mdhd + hdlr)
+    stbl = b""
+    if sample_sizes is not None:
+        n = len(sample_sizes)
+        delta = dur // max(n, 1)
+        stts = box(b"stts", struct.pack(">IIII", 0, 1, n, delta))
+        stsz = box(b"stsz", struct.pack(">III", 0, 0, n)
+                   + b"".join(struct.pack(">I", s) for s in sample_sizes))
+        stbl_body = stts + stsz
+        if keyframes is not None:
+            stbl_body += box(b"stss", struct.pack(">II", 0, len(keyframes))
+                             + b"".join(struct.pack(">I", s)
+                                        for s in keyframes))
+        stbl_body += box(b"stco", struct.pack(">II", 0, 0))
+        stbl = box(b"minf", box(b"stbl", stbl_body))
+    mdia = box(b"mdia", mdhd + hdlr + stbl)
     trak = box(b"trak", tkhd + mdia)
     moov = box(b"moov", mvhd + trak)
     ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isommp42")
@@ -513,12 +533,17 @@ def probe_mp4(payload: bytes) -> dict:
     """REAL ISO-BMFF (MP4/MOV) container metadata probe — stdlib only.
 
     Walks the public box structure (ISO 14496-12): ftyp brand,
-    mvhd timescale/duration, per-trak tkhd width/height and hdlr
-    handler type. Returns {brand, duration_ms, tracks: [{handler,
-    width, height}]}. This is the header scan a 100 TB video pipeline
-    runs to FILTER (by duration/resolution/track type) before paying
-    for any frame decode — which stays stubbed here (no codec libs).
-    ValueError on non-BMFF or truncated structure.
+    mvhd timescale/duration, per-trak tkhd width/height, hdlr handler
+    type, mdhd media timescale/duration, and the stbl sample table —
+    stsz (sample count/sizes -> mean sample bytes, track bitrate from
+    mdhd duration) and stss (sync samples -> keyframe count/cadence;
+    per 8.6.2 an absent stss means EVERY sample is sync). Returns
+    {brand, duration_ms, tracks: [{handler, width, height, n_samples,
+    sample_bytes, mean_sample_bytes, n_keyframes, keyframe_interval,
+    bitrate_kbps}]}. These are the filter-before-decode stats a 100 TB
+    video-curation pipeline gates on (bitrate floor, keyframe cadence
+    for frame sampling) — frame decode itself stays stubbed (no codec
+    libs). ValueError on non-BMFF or truncated structure.
     """
     import struct
 
@@ -563,7 +588,12 @@ def probe_mp4(payload: bytes) -> dict:
                     ts, dur = struct.unpack(">II", payload[c0 + 12:c0 + 20])
                 out["duration_ms"] = int(dur * 1000 // max(ts, 1))
             elif t2 == b"trak":
-                trk = {"handler": None, "width": None, "height": None}
+                trk = {"handler": None, "width": None, "height": None,
+                       "n_samples": None, "sample_bytes": None,
+                       "mean_sample_bytes": None, "n_keyframes": None,
+                       "keyframe_interval": None, "bitrate_kbps": None}
+                md_ts = md_dur = None
+                stss_entries = None
                 for t3, d0, d1 in walk(payload, c0, c1):
                     if t3 == b"tkhd":
                         # v0 body is 84 bytes, v1 is 96; w/h are the
@@ -582,6 +612,81 @@ def probe_mp4(payload: bytes) -> dict:
                                         "truncated MP4 hdlr box")
                                 trk["handler"] = payload[e0 + 8:e0 + 12] \
                                     .decode("latin1")
+                            elif t4 == b"mdhd":
+                                if e1 - e0 < 20:
+                                    raise ValueError(
+                                        "truncated MP4 mdhd box")
+                                if payload[e0] == 1:
+                                    if e1 - e0 < 32:
+                                        raise ValueError(
+                                            "truncated MP4 mdhd v1 box")
+                                    md_ts, md_dur = struct.unpack(
+                                        ">IQ", payload[e0 + 20:e0 + 32])
+                                else:
+                                    md_ts, md_dur = struct.unpack(
+                                        ">II", payload[e0 + 12:e0 + 20])
+                            elif t4 == b"minf":
+                                for t5, f0, f1 in walk(payload, e0, e1):
+                                    if t5 != b"stbl":
+                                        continue
+                                    for t6, g0, g1 in walk(payload, f0, f1):
+                                        if t6 == b"stsz":
+                                            if g1 - g0 < 12:
+                                                raise ValueError(
+                                                    "truncated MP4 stsz")
+                                            fixed, cnt = struct.unpack(
+                                                ">II",
+                                                payload[g0 + 4:g0 + 12])
+                                            trk["n_samples"] = int(cnt)
+                                            if fixed:
+                                                total = fixed * cnt
+                                            else:
+                                                if g1 - g0 < 12 + 4 * cnt:
+                                                    raise ValueError(
+                                                        "truncated MP4 "
+                                                        "stsz table")
+                                                total = sum(struct.unpack(
+                                                    f">{cnt}I",
+                                                    payload[g0 + 12:
+                                                            g0 + 12 + 4 * cnt]))
+                                            trk["sample_bytes"] = int(total)
+                                        elif t6 == b"stss":
+                                            if g1 - g0 < 8:
+                                                raise ValueError(
+                                                    "truncated MP4 stss")
+                                            (ne,) = struct.unpack(
+                                                ">I", payload[g0 + 4:g0 + 8])
+                                            if g1 - g0 < 8 + 4 * ne:
+                                                raise ValueError(
+                                                    "truncated MP4 stss "
+                                                    "table")
+                                            stss_entries = struct.unpack(
+                                                f">{ne}I",
+                                                payload[g0 + 8:g0 + 8 + 4 * ne])
+                # derived sample stats (the filter-before-decode gates):
+                # mean sample size, keyframe cadence, track bitrate
+                n = trk["n_samples"]
+                if n:
+                    trk["mean_sample_bytes"] = round(
+                        trk["sample_bytes"] / n, 1)
+                    if stss_entries is not None:
+                        trk["n_keyframes"] = len(stss_entries)
+                        if len(stss_entries) >= 2:
+                            trk["keyframe_interval"] = round(
+                                (stss_entries[-1] - stss_entries[0])
+                                / (len(stss_entries) - 1), 1)
+                        else:
+                            trk["keyframe_interval"] = float(n)
+                    else:
+                        # ISO 14496-12 8.6.2: no stss => every sample
+                        # is a sync sample
+                        trk["n_keyframes"] = n
+                        trk["keyframe_interval"] = 1.0
+                    if md_ts and md_dur:
+                        sec = md_dur / md_ts
+                        if sec > 0:
+                            trk["bitrate_kbps"] = round(
+                                trk["sample_bytes"] * 8 / 1000 / sec, 1)
                 out["tracks"].append(trk)
     return out
 
@@ -595,7 +700,12 @@ def video_metadata(df: DataFrame, id_col: str = "media_id",
     sel = df.select(F.col(id_col).cast("long").alias("_id"),
                     F.col(payload_col).alias("_payload"))
     schema = ("media_id long, brand string, duration_ms long, "
-              "n_tracks long, width long, height long")
+              "n_tracks long, width long, height long, "
+              "n_samples long, mean_sample_bytes double, "
+              "bitrate_kbps double, keyframe_interval double")
+    cols = ["media_id", "brand", "duration_ms", "n_tracks", "width",
+            "height", "n_samples", "mean_sample_bytes", "bitrate_kbps",
+            "keyframe_interval"]
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct
@@ -612,15 +722,17 @@ def video_metadata(df: DataFrame, id_col: str = "media_id",
                     rows.append((mid, meta["brand"], meta["duration_ms"],
                                  len(meta["tracks"]),
                                  vid["width"] if vid else None,
-                                 vid["height"] if vid else None))
+                                 vid["height"] if vid else None,
+                                 vid["n_samples"] if vid else None,
+                                 vid["mean_sample_bytes"] if vid else None,
+                                 vid["bitrate_kbps"] if vid else None,
+                                 vid["keyframe_interval"] if vid else None))
                 except (ValueError, struct.error, IndexError):
                     # quarantine contract: probe refusals are ValueError
                     # by design; struct/Index are belt-and-braces so one
                     # adversarial payload can never fail the task
-                    rows.append((mid, None, None, None, None, None))
-            yield pd.DataFrame(rows, columns=["media_id", "brand",
-                                              "duration_ms", "n_tracks",
-                                              "width", "height"])
+                    rows.append((mid,) + (None,) * 9)
+            yield pd.DataFrame(rows, columns=cols)
 
     return sel.mapInPandas(fn, schema)
 
@@ -922,7 +1034,14 @@ def make_fake_media(spark, n: int = 300, seed: int = 5):
             # stays the stub path
             junk = rng.integers(0, 256, int(rng.integers(100, 3000)),
                                 dtype=np.uint8).tobytes()
-            payload = encode_mp4_stub(dur, wi, hi, mdat=junk)
+            # real sample table: per-sample sizes + sync every ~gop
+            n_samp = int(rng.integers(8, 120))
+            sizes = [int(s) for s in rng.integers(200, 6000, n_samp)]
+            gop = int(rng.integers(2, 12))
+            payload = encode_mp4_stub(dur, wi, hi, mdat=junk,
+                                      sample_sizes=sizes,
+                                      keyframes=list(range(1, n_samp + 1,
+                                                           gop)))
         mime = {"audio": "audio/wav", "video": "video/mp4"}.get(k) or \
             ("image/png", "image/x-portable-pixmap",
              "image/jpeg")[i % 3]

@@ -419,7 +419,44 @@ class TestMp4Probe:
         assert meta["brand"] == "isom"
         assert meta["duration_ms"] == 12345
         assert meta["tracks"] == [
-            {"handler": "vide", "width": 640, "height": 360}]
+            {"handler": "vide", "width": 640, "height": 360,
+             "n_samples": None, "sample_bytes": None,
+             "mean_sample_bytes": None, "n_keyframes": None,
+             "keyframe_interval": None, "bitrate_kbps": None}]
+
+    def test_probe_sample_table(self):
+        """stbl walk: stsz sample count/sizes, stss keyframe cadence,
+        bitrate from mdhd duration (round-3 VERDICT item 4)."""
+        from sketchlib.spark.multimodal import encode_mp4_stub, probe_mp4
+        sizes = [1000, 2000, 500, 1500, 800, 1200, 700, 900, 600, 1100]
+        p = encode_mp4_stub(10_000, 640, 360, mdat=b"x" * sum(sizes),
+                            sample_sizes=sizes, keyframes=[1, 4, 7, 10])
+        t = probe_mp4(p)["tracks"][0]
+        assert t["n_samples"] == 10
+        assert t["sample_bytes"] == sum(sizes)
+        assert t["mean_sample_bytes"] == round(sum(sizes) / 10, 1)
+        assert t["n_keyframes"] == 4
+        assert t["keyframe_interval"] == 3.0  # (10-1)/3
+        # 10300 bytes over 10s = 8.24 kbps
+        assert t["bitrate_kbps"] == round(sum(sizes) * 8 / 1000 / 10, 1)
+
+    def test_probe_no_stss_means_all_sync(self):
+        """ISO 14496-12 8.6.2: absent stss => every sample is sync."""
+        from sketchlib.spark.multimodal import encode_mp4_stub, probe_mp4
+        p = encode_mp4_stub(2_000, 320, 240, sample_sizes=[100] * 6)
+        t = probe_mp4(p)["tracks"][0]
+        assert t["n_keyframes"] == 6 and t["keyframe_interval"] == 1.0
+
+    def test_probe_truncated_stsz_refuses(self):
+        from sketchlib.spark.multimodal import encode_mp4_stub, probe_mp4
+        p = encode_mp4_stub(2_000, 320, 240, sample_sizes=[100] * 6,
+                            keyframes=[1])
+        i = p.find(b"stsz")
+        # shrink the stsz box so its size table runs past the box end
+        import struct
+        bad = p[:i - 4] + struct.pack(">I", 16) + p[i:]
+        with pytest.raises(ValueError):
+            probe_mp4(bad)
 
     def test_probe_refusals(self):
         from sketchlib.spark.multimodal import encode_mp4_stub, probe_mp4
@@ -442,6 +479,10 @@ class TestMp4Probe:
             assert row["width"] == want[mid]["width"]
             assert row["height"] == want[mid]["height"]
             assert row["n_tracks"] == 1
+            # fixture videos carry a real sample table
+            assert row["n_samples"] and row["n_samples"] >= 8
+            assert row["mean_sample_bytes"] and row["bitrate_kbps"] > 0
+            assert row["keyframe_interval"] >= 1.0
 
     def test_video_metadata_quarantines_non_bmff(self, spark):
         from sketchlib.spark.multimodal import MEDIA_SCHEMA, video_metadata
