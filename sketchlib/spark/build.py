@@ -292,19 +292,25 @@ def _merged_schema(partials: DataFrame, group_cols: list[str]) -> StructType:
 
 
 def merge_partials(partials: DataFrame, group_cols: list[str],
-                   fanout: int | str | None = None) -> DataFrame:
+                   fanout: int | str | list[int] | None = None) -> DataFrame:
     """Stage 2b: hierarchical merge of partial sketches per (group, spec).
 
-    ``fanout=S`` inserts a salted pre-merge level (treeAggregate-style):
-    partials first merge within (group, partition_id % S) buckets, then
-    across buckets — bounds any single task's fan-in on 10k-partition
-    inputs. ``fanout="auto"`` sizes the tree from the partials'
-    partition count like ``build_sketches`` does (resolved HERE so
-    every caller — including the checkpointed build — accepts it).
+    ``fanout=S`` inserts one salted pre-merge level (treeAggregate
+    depth-2): partials first merge within (group, partition_id % S)
+    buckets, then across buckets. ``fanout=[b1, b2, ...]`` is the
+    general MULTI-LEVEL tree — bucket counts per salt level, each
+    followed by a final cross-bucket fold — bounding every task's
+    fan-in AND its input bytes even when the merged state is much
+    larger than a partial (a skewed group's Bloom densifies after the
+    first level: one more cheap level caps the big-blob fan-in where a
+    depth-2 tree must choose which side to bound). ``fanout="auto"``
+    sizes the plan from the partials' partition count (resolved HERE
+    so every caller — including the checkpointed build — accepts it).
     Partials are merged in (partition_id, chunk) order — a total order
     over a group's partial rows even when the memory-bounded flush
-    split a partition into chunks — so the pipeline is deterministic
-    run-to-run for the lossy quantile sketches too.
+    split a partition into chunks; bucket indices become the next
+    level's partition_id, so the fold order is deterministic
+    run-to-run at every level for the lossy quantile sketches too.
     """
     if fanout == "auto":
         fanout = _auto_fanout(partials.rdd.getNumPartitions())
@@ -329,7 +335,9 @@ def merge_partials(partials: DataFrame, group_cols: list[str],
                            else len(pdf)],
         })
 
-    if fanout and fanout > 1:
+    plan = list(fanout) if isinstance(fanout, (list, tuple)) else \
+        ([int(fanout)] if fanout and fanout > 1 else [])
+    if plan:
         mid_schema = StructType(_group_fields(partials, group_cols) + [
             StructField("sketch_name", StringType(), False),
             StructField("partial", BinaryType(), False),
@@ -339,22 +347,29 @@ def merge_partials(partials: DataFrame, group_cols: list[str],
             StructField("n_partials", LongType(), False),
         ])
 
-        def level1_fn(key, pdf):
+        def level_fn(key, pdf, bucket):
             sk, pdf = _fold_sorted(pdf)
             return pd.DataFrame({
                 **{c: [key[i]] for i, c in enumerate(keys)},
                 "partial": [sk.to_bytes()],
                 "n_rows": [int(pdf["n_rows"].sum())],
-                "partition_id": [int(pdf["partition_id"].min())],
-                "chunk": [int(pdf["chunk"].min())],
-                "n_partials": [len(pdf)],
+                # bucket index becomes next level's partition_id: the
+                # fold order at every level is then a pure function of
+                # the tree shape, not of task scheduling
+                "partition_id": [int(bucket)],
+                "chunk": [0],
+                "n_partials": [int(pdf["n_partials"].sum())
+                               if "n_partials" in pdf else len(pdf)],
             })
 
-        salted = partials.withColumn("salt", F.pmod(F.col("partition_id"),
-                                                    F.lit(int(fanout))))
-        level1 = (salted.groupBy(*keys, "salt")
-                  .applyInPandas(lambda k, p: level1_fn(k[:-1], p), mid_schema))
-        return level1.groupBy(*keys).applyInPandas(merge_fn, out_schema)
+        level = partials
+        for buckets in plan:
+            salted = level.withColumn(
+                "salt", F.pmod(F.col("partition_id"), F.lit(int(buckets))))
+            level = (salted.groupBy(*keys, "salt")
+                     .applyInPandas(lambda k, p: level_fn(k[:-1], p, k[-1]),
+                                    mid_schema))
+        return level.groupBy(*keys).applyInPandas(merge_fn, out_schema)
 
     return partials.groupBy(*keys).applyInPandas(merge_fn, out_schema)
 
@@ -444,9 +459,22 @@ def build_sketches(df: DataFrame, group_cols: list[str],
                           group_cols, fanout=fanout)
 
 
-def _auto_fanout(parts: int) -> int | None:
-    """Single-level merge up to 64 partials/group, else ~sqrt(parts)."""
-    return None if parts <= 64 else int(np.ceil(np.sqrt(parts)))
+def _auto_fanout(parts: int) -> list[int] | None:
+    """Merge-tree plan from the partial count (per-group fan-in ==
+    #partitions): single fold up to 64 partials/group; above that, a
+    multi-level plan whose FIRST level caps fan-in at 16 (inputs are
+    small sparse partials — spread the deserialize work) and whose
+    later levels cap fan-in at 4 (inputs are merged, often densified,
+    blobs — bound the straggler's input BYTES, which a two-level
+    sqrt(parts) tree cannot once merged-state >> partial-state; the
+    skew bench BENCH/skew.py measures the difference). Depth is
+    O(log parts): 257 -> [17, 5], 10k -> [625, 157, 40, 10, 3]."""
+    if parts <= 64:
+        return None
+    plan = [int(np.ceil(parts / 16))]
+    while plan[-1] > 6:
+        plan.append(int(np.ceil(plan[-1] / 4)))
+    return plan
 
 
 def incremental_update(sketch_table: DataFrame, new_df: DataFrame,

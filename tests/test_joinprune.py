@@ -76,11 +76,11 @@ def test_build_collects_one_blob_at_1000_partitions(spark):
         cached.unpersist()
     assert len(rows) == 1
     assert int(rows[0]["n_rows"]) == 2000
-    # >64 partials -> the auto fanout must have inserted the salted
-    # pre-merge level (two applyInPandas levels in the plan)
+    # >64 partials -> the auto fanout must have inserted salted
+    # pre-merge levels (plan [64, 16, 4] at 1024 partials + final)
     plan = merged._jdf.queryExecution().executedPlan().toString() \
         .split("Initial Plan")[0]  # AQE prints final + initial sections
-    assert plan.count("FlatMapGroupsInPandas") == 2, plan
+    assert plan.count("FlatMapGroupsInPandas") == 4, plan
     # and the tree-merged filter answers membership exactly like a
     # single-partition build (bitwise: OR is order-independent)
     bf = build_key_bloom(dim, "d_key", p=0.01)

@@ -132,12 +132,13 @@ def test_duplicate_spec_names_rejected(spark, pages):
             SketchSpec("x", "bloom", "url", {"m": 64, "k": 2})])
 
 
-def test_auto_fanout_two_level_on_wide_input(spark, pages_tiny):
+def test_auto_fanout_multi_level_on_wide_input(spark, pages_tiny):
     wide = pages_tiny.repartition(100)
     df = build_sketches(wide, ["lang"],
                         [SketchSpec("h", "hll", "url", {"b": 8})])
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("FlatMapGroupsInPandas") == 2, plan  # two merge levels
+    # auto plan at 100 partials: [7, 2] salt levels + final fold
+    assert plan.count("FlatMapGroupsInPandas") == 3, plan
     narrow = build_sketches(pages_tiny, ["lang"],
                             [SketchSpec("h", "hll", "url", {"b": 8})])
     plan_n = narrow._jdf.queryExecution().executedPlan().toString()
