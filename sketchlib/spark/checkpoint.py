@@ -107,6 +107,22 @@ def spec_fingerprint(df: DataFrame, group_cols: list[str],
     return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
 
+def _partial_counters(stored: DataFrame) -> dict:
+    """Lineage counters over a stored partial table. n_rows is carried
+    per (partition, group, spec); count one spec's worth, not the sum
+    over specs."""
+    one_spec = F.min("sketch_name")
+    c = stored.agg(
+        F.count("*").alias("n_partials"),
+        F.countDistinct("partition_id").alias("n_partitions"),
+        one_spec.alias("_s")).collect()[0]
+    n_rows = stored.filter(F.col("sketch_name") == c["_s"]) \
+        .agg(F.sum("n_rows")).collect()[0][0]
+    return {"n_partials": int(c["n_partials"]),
+            "n_rows": int(n_rows or 0),
+            "n_partitions": int(c["n_partitions"])}
+
+
 class PartialCheckpoint:
     """Parquet-backed (Iceberg-ready) per-partition partial store."""
 
@@ -143,37 +159,118 @@ class PartialCheckpoint:
             raise
         return sorted(r["partition_id"] for r in rows)
 
+    def read_partials(self) -> DataFrame:
+        return self.spark.read.parquet(self.data_path)
+
     def write(self, partials: DataFrame, fingerprint: str,
               append: bool = False) -> dict:
         mode = "append" if append else "overwrite"
         partials.write.mode(mode).parquet(self.data_path)
-        stored = self.spark.read.parquet(self.data_path)
-        # n_rows is carried per (partition, group, spec); count one
-        # spec's worth, not the sum over specs
-        one_spec = F.min("sketch_name")
-        counters = stored.agg(
-            F.count("*").alias("n_partials"),
-            F.countDistinct("partition_id").alias("n_partitions"),
-            one_spec.alias("_s")).collect()[0]
-        n_rows = stored.filter(F.col("sketch_name") == counters["_s"]) \
-            .agg(F.sum("n_rows")).collect()[0][0]
-        counters = {"n_partials": int(counters["n_partials"]),
-                    "n_rows": int(n_rows or 0),
-                    "n_partitions": int(counters["n_partitions"])}
         man = {
             "fingerprint": fingerprint,
             "format": "parquet",
-            "counters": counters,
+            "counters": _partial_counters(self.read_partials()),
         }
         (self.spark.createDataFrame([(json.dumps(man),)], "value string")
          .coalesce(1).write.mode("overwrite").text(self.manifest_path))
         return man
 
 
+class SparkIcebergOps:
+    """The ONLY code that touches an Iceberg catalog — six one-line
+    calls. Everything above it (``IcebergPartialCheckpoint``) is
+    engine-agnostic orchestration, unit-tested against a stub
+    implementation of this same interface, so the untested surface in
+    a no-Iceberg sandbox is exactly these DDL strings. On a real
+    cluster add the iceberg-spark-runtime jar + a catalog config and
+    the probe (``iceberg_available``) flips to True."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def table_exists(self, name: str) -> bool:
+        return self.spark.catalog.tableExists(name)
+
+    def read(self, name: str) -> DataFrame:
+        return self.spark.read.table(name)
+
+    def append(self, df: DataFrame, name: str) -> None:
+        df.writeTo(name).append()
+
+    def create_replace(self, df: DataFrame, name: str) -> None:
+        df.writeTo(name).using("iceberg").createOrReplace()
+
+    def get_property(self, name: str, key: str) -> str | None:
+        for r in self.spark.sql(f"SHOW TBLPROPERTIES {name}").collect():
+            if r["key"] == key:
+                return r["value"]
+        return None
+
+    def set_property(self, name: str, key: str, value: str) -> None:
+        v = value.replace("'", "''")
+        self.spark.sql(
+            f"ALTER TABLE {name} SET TBLPROPERTIES ('{key}'='{v}')")
+
+
+class IcebergPartialCheckpoint:
+    """Iceberg-table partial store: the same contract as
+    ``PartialCheckpoint`` (manifest / completed_partitions /
+    read_partials / write) with the partial table living in an Iceberg
+    catalog — ACID appends give resume-after-failure snapshot
+    isolation for free, and the manifest rides on the table as a
+    TBLPROPERTY so store+manifest commit through one catalog. All
+    catalog calls go through the ``ops`` seam (``SparkIcebergOps``);
+    tests substitute a stub to exercise this class without the
+    runtime jar."""
+
+    MANIFEST_PROP = "sketchlib.manifest"
+
+    def __init__(self, spark: SparkSession, table: str, ops=None):
+        self.spark = spark
+        self.table = table
+        self.ops = ops if ops is not None else SparkIcebergOps(spark)
+
+    def manifest(self) -> dict | None:
+        if not self.ops.table_exists(self.table):
+            return None
+        v = self.ops.get_property(self.table, self.MANIFEST_PROP)
+        return json.loads(v) if v else None
+
+    def completed_partitions(self) -> list[int]:
+        if self.manifest() is None:
+            return []
+        rows = (self.ops.read(self.table)
+                .select("partition_id").distinct().collect())
+        return sorted(r["partition_id"] for r in rows)
+
+    def read_partials(self) -> DataFrame:
+        return self.ops.read(self.table)
+
+    def write(self, partials: DataFrame, fingerprint: str,
+              append: bool = False) -> dict:
+        if append and self.ops.table_exists(self.table):
+            self.ops.append(partials, self.table)
+        else:
+            self.ops.create_replace(partials, self.table)
+        man = {
+            "fingerprint": fingerprint,
+            "format": "iceberg",
+            "counters": _partial_counters(self.read_partials()),
+        }
+        self.ops.set_property(self.table, self.MANIFEST_PROP,
+                              json.dumps(man))
+        return man
+
+
 def build_sketches_checkpointed(df: DataFrame, group_cols: list[str],
-                                specs: list[SketchSpec], ckpt_path: str,
+                                specs: list[SketchSpec], ckpt_path,
                                 fanout: int | str | None = "auto") -> DataFrame:
     """build_sketches with a partial-level checkpoint at ``ckpt_path``.
+
+    ``ckpt_path`` selects the store: a filesystem path uses the
+    parquet store; ``"iceberg:<table>"`` uses the Iceberg store; a
+    store INSTANCE (anything with manifest/completed_partitions/
+    read_partials/write) is used as-is.
 
     First run: builds all partials, checkpoints them, merges.
     Resumed run (manifest present, fingerprint matches): rebuilds only
@@ -182,7 +279,12 @@ def build_sketches_checkpointed(df: DataFrame, group_cols: list[str],
     checkpoint dir).
     """
     spark = df.sparkSession
-    ckpt = PartialCheckpoint(spark, ckpt_path)
+    if hasattr(ckpt_path, "write") and hasattr(ckpt_path, "manifest"):
+        ckpt = ckpt_path
+    elif isinstance(ckpt_path, str) and ckpt_path.startswith("iceberg:"):
+        ckpt = IcebergPartialCheckpoint(spark, ckpt_path[len("iceberg:"):])
+    else:
+        ckpt = PartialCheckpoint(spark, ckpt_path)
     fp = spec_fingerprint(df, group_cols, specs)
     man = ckpt.manifest()
     if man is not None:
@@ -198,9 +300,7 @@ def build_sketches_checkpointed(df: DataFrame, group_cols: list[str],
         remaining = df.filter(~F.spark_partition_id().isin(done)) if done else df
         new_partials = build_partials(remaining, group_cols, specs)
         ckpt.write(new_partials, fp, append=True)
-        stored = spark.read.parquet(ckpt.data_path)
-        return merge_partials(stored, group_cols, fanout=fanout)
+        return merge_partials(ckpt.read_partials(), group_cols, fanout=fanout)
     partials = build_partials(df, group_cols, specs)
     ckpt.write(partials, fp, append=False)
-    stored = spark.read.parquet(ckpt.data_path)
-    return merge_partials(stored, group_cols, fanout=fanout)
+    return merge_partials(ckpt.read_partials(), group_cols, fanout=fanout)

@@ -106,3 +106,112 @@ def test_checkpointed_build_accepts_auto_fanout(spark, pages_tiny, tmp_path):
         [SketchSpec("h", "hll", "url", {"b": 10})],
         str(tmp_path / "ck_auto"), fanout="auto")
     assert out.count() == 10
+
+
+class FakeIcebergOps:
+    """Stub of checkpoint.SparkIcebergOps: an in-memory 'catalog' of
+    materialized row snapshots + table properties. Lets every line of
+    IcebergPartialCheckpoint and the iceberg: routing in
+    build_sketches_checkpointed execute without the runtime jar; the
+    untested remainder is exactly SparkIcebergOps' six one-liners."""
+
+    def __init__(self, spark):
+        self.spark = spark
+        self.tables = {}  # name -> (rows, schema)
+        self.props = {}   # name -> {key: value}
+        self.calls = []
+
+    def _snapshot(self, df):
+        return df.collect(), df.schema
+
+    def table_exists(self, name):
+        self.calls.append(("exists", name))
+        return name in self.tables
+
+    def read(self, name):
+        self.calls.append(("read", name))
+        rows, schema = self.tables[name]
+        return self.spark.createDataFrame(rows, schema)
+
+    def append(self, df, name):
+        self.calls.append(("append", name))
+        rows, schema = self.tables[name]
+        self.tables[name] = (rows + df.collect(), schema)
+
+    def create_replace(self, df, name):
+        self.calls.append(("create_replace", name))
+        self.tables[name] = self._snapshot(df)
+        self.props.setdefault(name, {})
+
+    def get_property(self, name, key):
+        return self.props.get(name, {}).get(key)
+
+    def set_property(self, name, key, value):
+        self.props.setdefault(name, {})[key] = value
+
+
+class TestIcebergStore:
+    """The Iceberg checkpoint path through the ops seam (round-3
+    VERDICT item 6): same resume contract as the parquet store."""
+
+    def _store(self, spark):
+        from sketchlib.spark.checkpoint import IcebergPartialCheckpoint
+        ops = FakeIcebergOps(spark)
+        return IcebergPartialCheckpoint(spark, "db.sketch_partials",
+                                        ops=ops), ops
+
+    def test_full_run_then_resume_is_noop(self, spark, pages_tiny):
+        store, ops = self._store(spark)
+        first = _sketch_bytes(build_sketches_checkpointed(
+            pages_tiny, ["lang"], SPECS, store))
+        man = store.manifest()
+        assert man["format"] == "iceberg"
+        assert man["counters"]["n_rows"] == pages_tiny.count()
+        resumed = _sketch_bytes(build_sketches_checkpointed(
+            pages_tiny, ["lang"], SPECS, store))
+        assert resumed == first
+        # the noop resume APPENDED an empty build, never replaced
+        assert ("create_replace", "db.sketch_partials") in ops.calls
+        assert ("append", "db.sketch_partials") in ops.calls
+
+    def test_interrupted_build_resumes_bitwise_identical(
+            self, spark, pages_tiny_multifile):
+        pages = pages_tiny_multifile
+        store, _ops = self._store(spark)
+        uninterrupted = _sketch_bytes(build_sketches(pages, ["lang"], SPECS))
+        fp = spec_fingerprint(pages, ["lang"], SPECS)
+        n_parts = pages.rdd.getNumPartitions()
+        survivors = list(range(n_parts // 2))
+        store.write(build_partials(
+            pages.filter(F.spark_partition_id().isin(survivors)),
+            ["lang"], SPECS), fp, append=False)
+        assert sorted(store.completed_partitions()) == survivors
+        resumed = _sketch_bytes(build_sketches_checkpointed(
+            pages, ["lang"], SPECS, store))
+        assert resumed == uninterrupted
+        assert len(store.completed_partitions()) == n_parts
+
+    def test_fingerprint_mismatch_refused(self, spark, pages_tiny):
+        store, _ops = self._store(spark)
+        build_sketches_checkpointed(pages_tiny, ["lang"], SPECS,
+                                    store).collect()
+        other = [SketchSpec("b", "bloom", "url", {"m": 1 << 14, "k": 5})]
+        with pytest.raises(ValueError, match="fingerprint"):
+            build_sketches_checkpointed(pages_tiny, ["lang"], other, store)
+
+    def test_iceberg_path_routing(self, spark, pages_tiny, monkeypatch):
+        """'iceberg:<table>' routes to IcebergPartialCheckpoint with
+        the REAL SparkIcebergOps wired (stubbed only at the seam)."""
+        from sketchlib.spark import checkpoint as ck
+        seen = {}
+
+        class Capture(FakeIcebergOps):
+            def __init__(self, spark):
+                super().__init__(spark)
+                seen["ops"] = self
+
+        monkeypatch.setattr(ck, "SparkIcebergOps", Capture)
+        out = build_sketches_checkpointed(
+            pages_tiny, ["lang"], SPECS, "iceberg:db.t")
+        assert out.count() > 0
+        assert ("create_replace", "db.t") in seen["ops"].calls
