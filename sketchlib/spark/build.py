@@ -312,8 +312,9 @@ def merge_partials(partials: DataFrame, group_cols: list[str],
     level's partition_id, so the fold order is deterministic
     run-to-run at every level for the lossy quantile sketches too.
     """
+    nparts = partials.rdd.getNumPartitions()
     if fanout == "auto":
-        fanout = _auto_fanout(partials.rdd.getNumPartitions())
+        fanout = _auto_fanout(nparts)
     out_schema = _merged_schema(partials, group_cols)
     keys = [*group_cols, "sketch_name"]
 
@@ -337,6 +338,29 @@ def merge_partials(partials: DataFrame, group_cols: list[str],
 
     plan = list(fanout) if isinstance(fanout, (list, tuple)) else \
         ([int(fanout)] if fanout and fanout > 1 else [])
+
+    if nparts == 1 and not plan:
+        # every partial row of a (group, spec) lives in the one input
+        # partition, so a NARROW per-partition fold is complete — no
+        # Exchange, no extra stage wave: it pipelines with the partial
+        # build in the same task (measurably faster on small inputs,
+        # where the shuffle stage latency dominates the whole query).
+        # Fold order is the same (partition_id, chunk) sort, so the
+        # result is bitwise-identical to the shuffle path.
+        def fold_partition(batches):
+            pdfs = [p for p in batches if len(p)]
+            if not pdfs:
+                return
+            pdf = pd.concat(pdfs, ignore_index=True)
+            out = []
+            for key, sub in pdf.groupby(keys, sort=False, dropna=False):
+                if not isinstance(key, tuple):
+                    key = (key,)
+                out.append(merge_fn(_norm_nan(key), sub))
+            yield pd.concat(out, ignore_index=True)
+
+        return partials.mapInPandas(fold_partition, out_schema)
+
     if plan:
         mid_schema = StructType(_group_fields(partials, group_cols) + [
             StructField("sketch_name", StringType(), False),

@@ -113,7 +113,9 @@ def test_merge_topology_invariance(spark, pages):
     flat = bytes_of(pages)
     salted = bytes_of(pages, fanout=4)
     repart = bytes_of(pages.repartition(5, "url"))
-    assert flat == salted == repart
+    # single partition takes the narrow no-Exchange fold path
+    narrow = bytes_of(pages.coalesce(1))
+    assert flat == salted == repart == narrow
 
 
 def test_partials_shuffle_only_sketch_bytes(spark, pages_tiny):
@@ -142,7 +144,10 @@ def test_auto_fanout_multi_level_on_wide_input(spark, pages_tiny):
     narrow = build_sketches(pages_tiny, ["lang"],
                             [SketchSpec("h", "hll", "url", {"b": 8})])
     plan_n = narrow._jdf.queryExecution().executedPlan().toString()
-    assert plan_n.count("FlatMapGroupsInPandas") == 1, plan_n
+    # single-partition input: the merge is a NARROW per-partition fold
+    # pipelined with the build — no groupBy stage, no Exchange at all
+    assert plan_n.count("FlatMapGroupsInPandas") == 0, plan_n
+    assert "fold_partition" in plan_n and "Exchange" not in plan_n, plan_n
     # results identical either way (lattice merge)
     a = {(r["lang"]): bytes(r["sketch"]) for r in df.collect()}
     b = {(r["lang"]): bytes(r["sketch"]) for r in narrow.collect()}
