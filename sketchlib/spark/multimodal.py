@@ -759,17 +759,27 @@ _MP3_RATES = {3: (44100, 48000, 32000),      # MPEG1
 
 
 def encode_mp3_stub(duration_ms: int, bitrate_kbps: int = 128,
-                    sample_rate: int = 44100) -> bytes:
+                    sample_rate: int = 44100, xing: bool = False) -> bytes:
     """Structurally-valid CBR MPEG1 Layer III stream for fixtures:
     correct frame headers + zeroed payload (no real audio — the PROBE
-    walks headers; sample decode stays stubbed)."""
+    walks headers; sample decode stays stubbed). ``xing=True`` writes
+    a real Xing VBR header (frame count + byte count, at the MPEG1-
+    stereo side-info offset) into the first frame, the way LAME tags
+    VBR files, so the frame-exact duration path is fixture-testable."""
+    import struct
     br_idx = _MP3_BITRATES[(1, 3)].index(bitrate_kbps)
     sr_idx = _MP3_RATES[3].index(sample_rate)
     hdr = bytes([0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2), 0x00])
     frame_len = 144 * bitrate_kbps * 1000 // sample_rate
     n_frames = max(1, duration_ms * sample_rate // (1152 * 1000))
     frame = hdr + b"\x00" * (frame_len - 4)
-    return frame * int(n_frames)
+    out = frame * int(n_frames)
+    if xing:
+        tag = b"Xing" + struct.pack(">III", 0x3, int(n_frames),
+                                    len(out))
+        off = 4 + 32  # MPEG1, non-mono: 32 side-info bytes
+        out = out[:off] + tag + out[off + len(tag):]
+    return out
 
 
 def probe_mp3(payload: bytes) -> dict:
@@ -781,9 +791,13 @@ def probe_mp3(payload: bytes) -> dict:
     not misclassified as audio), and reads version / layer / bitrate /
     sample rate / channel mode with per-layer bitrate tables; duration
     is estimated from stream bytes at the first frame's bitrate (exact
-    for CBR, approximate for VBR). ValueError when no verified frame
-    sync is found.
+    for CBR). A Xing/Info (LAME) or VBRI (Fraunhofer) header in the
+    first frame upgrades the estimate to the frame-exact duration and
+    mean bitrate — the CBR arithmetic is wrong for VBR streams, and
+    real-world VBR mp3s carry one of these tags. ValueError when no
+    verified frame sync is found.
     """
+    import struct
     pos = 0
     if payload[:3] == b"ID3" and len(payload) >= 10:
         size = ((payload[6] & 0x7F) << 21) | ((payload[7] & 0x7F) << 14) \
@@ -821,11 +835,55 @@ def probe_mp3(payload: bytes) -> dict:
                 mode = (b3 >> 6) & 0x3
                 # bits / kbps = milliseconds (CBR-exact)
                 dur = (n - pos) * 8 // kbps if kbps else None
-                return {"mpeg_version": {3: 1, 2: 2, 0: 25}[version],
-                        "layer": lyr,
-                        "bitrate_kbps": kbps, "sample_rate": rate,
-                        "channels": 1 if mode == 3 else 2,
-                        "duration_ms_est": dur}
+                out = {"mpeg_version": {3: 1, 2: 2, 0: 25}[version],
+                       "layer": lyr,
+                       "bitrate_kbps": kbps, "sample_rate": rate,
+                       "channels": 1 if mode == 3 else 2,
+                       "duration_ms_est": dur,
+                       "vbr": False, "n_frames": None}
+                # Xing/Info (LAME) VBR header: sits after the side
+                # info of the first frame; "Info" tags CBR files the
+                # same way. VBRI (Fraunhofer) sits at a fixed +32.
+                # Frame counts give the EXACT duration — the CBR
+                # bytes/bitrate estimate is wrong for VBR streams.
+                if vgrp == 1:
+                    si = 17 if mode == 3 else 32
+                else:
+                    si = 9 if mode == 3 else 17
+                spf = 384 if lyr == 1 else (
+                    1152 if (lyr == 2 or vgrp == 1) else 576)
+                xoff = pos + 4 + si
+                tag = payload[xoff:xoff + 4]
+                if tag in (b"Xing", b"Info") and xoff + 8 <= n:
+                    (flags,) = struct.unpack(">I", payload[xoff + 4:xoff + 8])
+                    p2 = xoff + 8
+                    frames = total = None
+                    if flags & 0x1 and p2 + 4 <= n:
+                        (frames,) = struct.unpack(">I", payload[p2:p2 + 4])
+                        p2 += 4
+                    if flags & 0x2 and p2 + 4 <= n:
+                        (total,) = struct.unpack(">I", payload[p2:p2 + 4])
+                    if frames:
+                        out["vbr"] = tag == b"Xing"
+                        out["n_frames"] = int(frames)
+                        out["duration_ms_est"] = int(
+                            frames * spf * 1000 // rate)
+                        if total and out["duration_ms_est"]:
+                            out["bitrate_kbps"] = int(round(
+                                total * 8 / out["duration_ms_est"]))
+                elif payload[pos + 36:pos + 40] == b"VBRI" \
+                        and pos + 62 <= n:
+                    total, frames = struct.unpack(
+                        ">II", payload[pos + 46:pos + 54])
+                    if frames:
+                        out["vbr"] = True
+                        out["n_frames"] = int(frames)
+                        out["duration_ms_est"] = int(
+                            frames * spf * 1000 // rate)
+                        if total and out["duration_ms_est"]:
+                            out["bitrate_kbps"] = int(round(
+                                total * 8 / out["duration_ms_est"]))
+                return out
         pos += 1
     raise ValueError("no verified MPEG audio frame sync found")
 

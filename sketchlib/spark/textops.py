@@ -624,9 +624,14 @@ def canonical_url(df: DataFrame, url_col: str,
     u = F.col(url_col)
     no_frag = F.split(u, "#").getItem(0)
     base = F.split(no_frag, r"\?").getItem(0)
-    query = F.when(F.instr(no_frag, "?") > 0,
-                   F.expr(f"substring_index(split({url_col}, '#')[0], "
-                          "'?', -1)")).otherwise(F.lit(None))
+    # query = everything after the FIRST '?' (a second '?' is legal
+    # inside the query per RFC 3986 and common in crawl URLs;
+    # substring_index(..., -1) would silently drop the part between
+    # the two '?'s)
+    query = F.when(
+        F.instr(no_frag, "?") > 0,
+        F.substring(no_frag, F.instr(no_frag, "?") + F.lit(1),
+                    F.lit(1 << 30))).otherwise(F.lit(None))
     # scheme://host[:port] is everything through the 3rd '/' WHEN a
     # scheme is present; for scheme-less values only the first segment
     # (the host) is case-insensitive — the rest is path and stays as-is

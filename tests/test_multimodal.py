@@ -506,6 +506,22 @@ class TestAudioProbe:
         assert m["sample_rate"] == 44100
         # CBR duration estimate within one frame of the target
         assert abs(m["duration_ms_est"] - 5000) < 100
+        assert m["vbr"] is False and m["n_frames"] is None
+
+    def test_mp3_xing_header_gives_frame_exact_duration(self):
+        """A Xing tag in the first frame (the LAME VBR convention)
+        upgrades duration to frames x samples-per-frame / rate and
+        bitrate to the stream mean."""
+        from sketchlib.spark.multimodal import encode_mp3_stub, probe_mp3
+        p = encode_mp3_stub(5000, bitrate_kbps=128, sample_rate=44100,
+                            xing=True)
+        m = probe_mp3(p)
+        assert m["vbr"] is True
+        n_frames = m["n_frames"]
+        assert n_frames == max(1, 5000 * 44100 // (1152 * 1000))
+        assert m["duration_ms_est"] == n_frames * 1152 * 1000 // 44100
+        # mean bitrate from byte count: equals the CBR rate here
+        assert abs(m["bitrate_kbps"] - 128) <= 1
 
     def test_mp3_probe_skips_id3v2(self):
         from sketchlib.spark.multimodal import encode_mp3_stub, probe_mp3

@@ -723,6 +723,9 @@ class TestCanonicalUrl:
         ("Example.COM/Path/Page", "example.com/Path/Page"),
         ("example.com/A/B?b=2&a=1", "example.com/A/B?a=1&b=2"),
         ("example.com", "example.com"),
+        # a second '?' is legal inside the query (RFC 3986) — the
+        # content between the two must NOT be dropped
+        ("http://example.com/p?b=2?x&a=1", "http://example.com/p?a=1&b=2?x"),
     ]
 
     def test_canonicalization_table(self, spark):
