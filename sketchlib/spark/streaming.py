@@ -302,3 +302,117 @@ def streaming_windowed_build(stream_df: DataFrame, ts_col: str,
     return (src.groupBy(*keys)
             .applyInPandasWithState(fn, out_schema, state_schema,
                                     "append", GroupStateTimeout.EventTimeTimeout))
+
+
+class SketchTableSink:
+    """foreachBatch sink maintaining a PERSISTED sketch table —
+    streaming's version of ``build.incremental_update``: each
+    micro-batch sketches ONLY its delta rows and merges them with the
+    stored per-group states; the base corpus is never re-scanned.
+
+    Exactly-once across restarts: each fold writes a new versioned
+    table ``<path>/v=<batch_id>`` and then commits a LATEST pointer
+    (single JSON doc, written through Spark text IO so hdfs://s3a://
+    work like file://). Structured Streaming replays the in-flight
+    micro-batch after a crash; a replayed ``batch_id <= LATEST`` is a
+    no-op, and a version dir without a LATEST commit is dead weight
+    the next fold overwrites — never half-applied state. Old versions
+    beyond ``keep_versions`` are pruned through the Hadoop FileSystem
+    API (any scheme).
+
+    For lattice kernels the maintained table is bitwise-identical to
+    a batch rebuild over everything streamed so far (test-enforced);
+    the reference's whole pipeline becomes a continuously-maintained
+    table instead of a nightly job.
+    """
+
+    def __init__(self, spark, path: str, group_cols: list[str],
+                 specs: list[SketchSpec], fanout="auto",
+                 keep_versions: int = 2):
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.group_cols = list(group_cols)
+        self.specs = list(specs)
+        self.fanout = fanout
+        self.keep_versions = max(1, int(keep_versions))
+
+    # -- LATEST pointer ----------------------------------------------
+    @property
+    def _latest_path(self) -> str:
+        return self.path + "/LATEST"
+
+    def latest(self) -> dict | None:
+        import json
+        try:
+            rows = self.spark.read.text(self._latest_path).collect()
+        except Exception as e:
+            from sketchlib.spark.checkpoint import _is_path_missing
+            if _is_path_missing(e):
+                return None
+            raise
+        return json.loads("".join(r["value"] for r in rows))
+
+    def read_table(self) -> DataFrame | None:
+        man = self.latest()
+        if man is None:
+            return None
+        return self.spark.read.parquet(man["path"])
+
+    # -- the foreachBatch hook ---------------------------------------
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        import json
+        from sketchlib.spark.build import build_sketches, incremental_update
+        man = self.latest()
+        if man is not None and int(batch_id) <= int(man["batch_id"]):
+            return  # post-crash replay of an already-folded batch
+        if batch_df.isEmpty():
+            return  # empty trigger: nothing to fold, keep the version
+        if man is None:
+            updated = build_sketches(batch_df, self.group_cols,
+                                     self.specs, fanout=self.fanout)
+        else:
+            base = self.spark.read.parquet(man["path"])
+            updated = incremental_update(base, batch_df, self.group_cols,
+                                         self.specs, fanout=self.fanout)
+        vpath = f"{self.path}/v={int(batch_id)}"
+        updated.write.mode("overwrite").parquet(vpath)
+        doc = json.dumps({"batch_id": int(batch_id), "path": vpath})
+        (self.spark.createDataFrame([(doc,)], "value string")
+         .coalesce(1).write.mode("overwrite").text(self._latest_path))
+        self._prune(int(batch_id))
+
+    def _prune(self, committed: int) -> None:
+        """Best-effort removal of versions older than the newest
+        ``keep_versions`` — through Hadoop FS so any scheme works."""
+        try:
+            jvm = self.spark._jvm
+            jpath = jvm.org.apache.hadoop.fs.Path(self.path)
+            fs = jpath.getFileSystem(
+                self.spark._jsc.hadoopConfiguration())
+            versions = []
+            for st in fs.listStatus(jpath):
+                name = st.getPath().getName()
+                if name.startswith("v="):
+                    versions.append(int(name[2:]))
+            for v in sorted(versions)[:-self.keep_versions]:
+                if v < committed:
+                    fs.delete(jvm.org.apache.hadoop.fs.Path(
+                        f"{self.path}/v={v}"), True)
+        except Exception:
+            pass  # retention is best-effort; correctness never depends on it
+
+
+def streaming_sketch_table(stream_df: DataFrame, group_cols: list[str],
+                           specs: list[SketchSpec], table_path: str,
+                           checkpoint_dir: str, fanout="auto"):
+    """Wire a stream into a continuously-maintained sketch table.
+    Returns the DataStreamWriter (caller picks trigger and starts):
+
+        q = streaming_sketch_table(stream, ["lang"], specs,
+                                   "/tbl", "/ckpt") \
+            .trigger(availableNow=True).start()
+    """
+    sink = SketchTableSink(stream_df.sparkSession, table_path,
+                           group_cols, specs, fanout=fanout)
+    return (stream_df.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", checkpoint_dir))

@@ -106,3 +106,47 @@ def test_streaming_matches_batch_build(spark, pages_tiny, stream_dir, tmp_path):
     # incremental updates were emitted across micro-batches
     langs_updates = sum(1 for r in rows if r["sketch_name"] == "h")
     assert langs_updates > len({r["lang"] for r in rows})
+
+
+def test_streaming_sketch_table_matches_batch_build(spark, pages_tiny,
+                                                    stream_dir, tmp_path):
+    """The continuously-maintained table after 3 micro-batches is
+    bitwise-identical (lattice kernels) to one batch build over all
+    the data, and a replayed batch_id is a no-op."""
+    from sketchlib.spark.streaming import (SketchTableSink,
+                                           streaming_sketch_table)
+    tbl = str(tmp_path / "sktbl")
+    stream = (spark.readStream.schema(pages_tiny.schema)
+              .option("maxFilesPerTrigger", 1).parquet(stream_dir))
+    q = (streaming_sketch_table(stream, ["lang"], SPECS, tbl,
+                                str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    sink = SketchTableSink(spark, tbl, ["lang"], SPECS)
+    man = sink.latest()
+    assert man is not None and man["batch_id"] == 2  # 3 files, 1/trigger
+    streamed = {(r["lang"], r["sketch_name"]): bytes(r["sketch"])
+                for r in sink.read_table().collect()}
+    full = spark.read.parquet(stream_dir)
+    batch = {(r["lang"], r["sketch_name"]): bytes(r["sketch"])
+             for r in build_sketches(full, ["lang"], SPECS).collect()}
+    # lattice kernels: identical state; sample: identical keys
+    for key, blob in batch.items():
+        if key[1] in ("b", "h"):
+            assert streamed[key] == blob, key
+    assert streamed.keys() == batch.keys()
+    # n_rows lineage survived the folds
+    total = sum(r["n_rows"] for r in sink.read_table().collect()
+                if r["sketch_name"] == "b")
+    assert total == full.count()
+
+    # exactly-once: replaying an already-folded batch changes nothing
+    before = sink.latest()
+    sink(spark.read.parquet(stream_dir), 1)  # stale batch_id
+    assert sink.latest() == before
+
+    # retention: only keep_versions version dirs remain
+    import os as _os
+    vdirs = [d for d in _os.listdir(tbl) if d.startswith("v=")]
+    assert len(vdirs) <= 2
