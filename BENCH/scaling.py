@@ -31,6 +31,12 @@ from sketchlib.io.fixtures import pages_path
 import pyspark.sql.functions as F
 
 cpus = int(sys.argv[1]); rows = int(sys.argv[2])
+# identical ~96-split input at EVERY level (3 tasks/core at the widest
+# level): without this the default 32MB split leaves a 300MB file at
+# ~10 map tasks, starving local[32] and corrupting the band reading
+ppath = pages_path(str(rows))
+os.environ["SKETCHLIB_MAX_PARTITION_BYTES"] = str(
+    max(1 << 20, os.path.getsize(ppath) // 96))
 spark = get_spark(f"scaling-{{cpus}}", cpus=cpus, shuffle_partitions=cpus)
 pages = (spark.read.parquet(pages_path(str(rows)))
          .withColumn("html_len", F.length("html").cast("double")))

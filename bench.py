@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "countsketch_token_freq",
     "cms_join_size",
     "fd_embedding_spectrum",
+    "url_canon_dedup",
 ]
 
 
