@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_minhash": _wrap(Q.q_dedup_clusters_minhash),
         "corpus_curation": _wrap(Q.q_corpus_curation),
         "url_canon_dedup": _wrap(Q.q_url_canon_dedup),
+        "decontamination": _wrap(Q.q_decontamination),
         "hash_split_counts": _wrap(Q.q_hash_split_counts),
         "ann_cosine_topk": _wrap(Q.q_ann_cosine_topk),
         "fd_embedding_spectrum": _wrap(Q.q_fd_embedding_spectrum),
@@ -376,6 +377,21 @@ def oracle_sql() -> dict[str, str]:
             "AS canonical_url FROM v) "
             "SELECT canonical_url, min(doc_id) AS keep_id, "
             "count(*) AS n_variants FROM c GROUP BY canonical_url",
+        "decontamination":
+            # benchmark = shingles of docs with doc_id % 97 == 0; the
+            # 3-gram expression mirrors ngram_jaccard's oracle
+            "WITH toks AS (SELECT doc_id, "
+            "list_filter(string_split(text, ' '), x -> x != '') AS t "
+            "FROM documents), "
+            "dsh AS (SELECT DISTINCT doc_id, "
+            "unnest(list_transform(range(1, len(t) - 1), "
+            "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh "
+            "FROM toks WHERE len(t) >= 3), "
+            "bsh AS (SELECT DISTINCT sh FROM dsh WHERE doc_id % 97 = 0), "
+            "hits AS (SELECT d.doc_id, count(*) AS n "
+            "FROM dsh d JOIN bsh USING (sh) GROUP BY d.doc_id) "
+            "SELECT doc_id, CAST(coalesce(n, 0) AS BIGINT) AS n_hits "
+            "FROM documents LEFT JOIN hits USING (doc_id)",
         "langid_heuristic": _langid_oracle(),
         "pii_scrub": _pii_oracle(),
         "user_overlap_exact":

@@ -604,6 +604,18 @@ def q_content_fingerprint(spark, sf_dir):
                                        "doc_id", "text")
 
 
+def q_decontamination(spark, sf_dir):
+    """Benchmark decontamination: docs sharing any word-3-gram with
+    the 'benchmark' subset (doc_id % 97 == 0 stands in for an eval
+    set) get their shared-shingle count; 0 = clean. The benchmark
+    docs flag themselves — exactly what decontamination wants when
+    eval copies leak into a crawl."""
+    docs = load(spark, sf_dir, "documents")
+    bench = (docs.filter(F.col("doc_id") % 97 == 0)
+             .select(F.col("text").alias("btext")))
+    return textops.decontaminate(docs, "doc_id", "text", bench, "btext")
+
+
 def q_url_canon_dedup(spark, sf_dir):
     """Crawl-corpus URL dedup: canonicalize -> group -> keep-one.
     Generalizes the reference's key-normalization step

@@ -664,6 +664,49 @@ def canonical_url(df: DataFrame, url_col: str,
                  .otherwise(F.lit(""))))
 
 
+def decontaminate(docs: DataFrame, id_col: str, text_col: str,
+                  benchmark: DataFrame, bench_text_col: str,
+                  n: int = 3, use_bloom: bool = False,
+                  bloom_p: float = 0.001) -> DataFrame:
+    """Benchmark decontamination: per-doc count of word-n-grams shared
+    with an evaluation corpus — the gate a training pipeline runs so
+    eval answers don't leak into the training set. Returns
+    (doc_id, n_hits) for EVERY doc (0 = clean).
+
+    Exact plan: distinct doc shingles ⨝ broadcast(distinct benchmark
+    shingles) -> count per doc -> left join back. The benchmark side
+    is small by construction (eval sets are), so the join is
+    broadcast and no doc shingle ever shuffles.
+
+    ``use_bloom=True`` is the belt-and-braces scale path when the
+    benchmark shingle set outgrows the broadcast budget: a Bloom
+    built from the benchmark shingles (our own kernel, via
+    ``joinprune``) prunes doc shingles BEFORE the exact join; the
+    trailing join removes false positives, so the result is
+    bitwise-identical to the exact path (test-enforced).
+    """
+    def shingles(df, id_cols, text):
+        toks = F.filter(F.split(F.col(text), " "), lambda t: t != "")
+        return (df.withColumn("_t", toks)
+                .filter(F.size("_t") >= n)
+                .select(*id_cols,
+                        F.explode(F.array_distinct(
+                            _shingle_expr(F.col("_t"), n))).alias("sh")))
+
+    dsh = shingles(docs, [F.col(id_col).alias("_id")], text_col)
+    bsh = shingles(benchmark, [], bench_text_col).distinct()
+    if use_bloom:
+        from sketchlib.spark.joinprune import build_key_bloom, bloom_prune
+        bf = build_key_bloom(bsh, "sh", p=bloom_p)
+        dsh = bloom_prune(dsh, "sh", bf)
+    hits = (dsh.join(F.broadcast(bsh), "sh")
+            .groupBy("_id").agg(F.count("*").alias("n_hits")))
+    return (docs.select(F.col(id_col).alias("_id"))
+            .join(hits, "_id", "left")
+            .select(F.col("_id").alias(id_col),
+                    F.coalesce("n_hits", F.lit(0)).alias("n_hits")))
+
+
 def content_fingerprint(df: DataFrame, id_col: str, text_col: str,
                         seed: int = 13) -> DataFrame:
     """(id, fingerprint: bigint) — 64-bit content hash of the

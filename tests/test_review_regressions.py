@@ -759,3 +759,42 @@ class TestCanonicalUrl:
         plan = df._jdf.queryExecution().executedPlan().toString() \
             .split("Initial Plan")[0]
         assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+
+
+class TestDecontamination:
+    """Benchmark decontamination (round 4): eval n-grams must flag
+    training docs; the Bloom scale path must match the exact path."""
+
+    def _frames(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog"),
+             (2, "completely unrelated text with no overlap at all here"),
+             (3, "we know the quick brown fox is a pangram fragment"),
+             (4, "short text"),  # < n tokens after split? 2 tokens -> excluded
+             ],
+            "doc_id long, text string")
+        bench = spark.createDataFrame(
+            [("what does the quick brown fox say",)], "btext string")
+        return docs, bench
+
+    def test_exact_semantics(self, spark):
+        from sketchlib.spark.textops import decontaminate
+        docs, bench = self._frames(spark)
+        got = {r["doc_id"]: r["n_hits"] for r in
+               decontaminate(docs, "doc_id", "text", bench, "btext")
+               .collect()}
+        # docs 1 and 3 share 'the quick brown'/'quick brown fox';
+        # doc 2 is clean; doc 4 (under n tokens) is clean by definition
+        assert got[1] >= 2 and got[3] >= 1
+        assert got[2] == 0 and got[4] == 0
+        assert set(got) == {1, 2, 3, 4}  # EVERY doc reported
+
+    def test_bloom_path_bitwise_matches_exact(self, spark):
+        from sketchlib.spark.textops import decontaminate
+        docs, bench = self._frames(spark)
+        exact = sorted(map(tuple, decontaminate(
+            docs, "doc_id", "text", bench, "btext").collect()))
+        bloom = sorted(map(tuple, decontaminate(
+            docs, "doc_id", "text", bench, "btext",
+            use_bloom=True).collect()))
+        assert exact == bloom
