@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "cms_join_size",
     "fd_embedding_spectrum",
     "url_canon_dedup",
+    "decontamination",
 ]
 
 

@@ -35,8 +35,11 @@ signatures — is real and tested. Codecs:
   ``audio_metadata``: ID3v2 skip + frame-header parse — version,
   layer, bitrate, sample rate, channels, CBR duration; WAV metadata
   via stdlib ``wave``).
-  FRAME/sample decode (mp3/mp4 media payloads) remains a clearly-marked stub
-  (ffmpeg is not in this container):
+  Sample EXTRACTION from MP4 is real (``mp4_extract_samples``:
+  stsz/stsc/stco demux) and MJPEG tracks decode end-to-end through
+  our own JPEG codec (``decode_mp4_frames``). Frame/sample decode for
+  the remaining codecs (H.264/HEVC video, mp3 audio) stays a
+  clearly-marked stub (ffmpeg is not in this container):
   ``decode_stub`` raises NotImplementedError unless ``fake=True``,
   which produces a deterministic fake decode so downstream plumbing
   stays exercisable.
@@ -486,47 +489,197 @@ def image_feature_vector(pixels: np.ndarray,
 def encode_mp4_stub(duration_ms: int, width: int, height: int,
                     timescale: int = 1000, mdat: bytes = b"",
                     sample_sizes: list[int] | None = None,
-                    keyframes: list[int] | None = None) -> bytes:
+                    keyframes: list[int] | None = None,
+                    samples: list[bytes] | None = None) -> bytes:
     """Minimal valid ISO-BMFF (MP4) box tree for fixtures: ftyp +
     moov(mvhd + trak(tkhd + mdia(mdhd + hdlr['vide'] [+ minf(stbl)])))
     + mdat. With ``sample_sizes`` it also writes a real sample table
-    (stts one-run + stsz per-sample sizes + optional stss sync list +
-    empty stco), so ``probe_mp4`` can read the per-track sample stats
-    a curation pipeline gates on. Media payload stays opaque — enough
-    structure for any real player's header scan, no codec."""
+    (stts one-run + stsz per-sample sizes + optional stss sync list),
+    so ``probe_mp4`` can read the per-track sample stats a curation
+    pipeline gates on. With ``samples`` (list of per-sample byte
+    payloads — e.g. JPEG frames for an MJPEG track) the mdat holds
+    them and stsc/stco carry REAL chunk offsets, so
+    ``mp4_extract_samples`` can pull them back out."""
     import struct
 
     def box(tag: bytes, payload: bytes) -> bytes:
         return struct.pack(">I", 8 + len(payload)) + tag + payload
 
+    if samples is not None:
+        sample_sizes = [len(s) for s in samples]
+        mdat = b"".join(samples)
     dur = int(duration_ms * timescale // 1000)
-    mvhd = box(b"mvhd", struct.pack(">B3xIIII", 0, 0, 0, timescale, dur)
-               + b"\x00" * 80)
-    tkhd = box(b"tkhd", struct.pack(">B3xIIII", 0, 0, 0, 1, 0)
-               + struct.pack(">I", dur) + b"\x00" * 52
-               + struct.pack(">II", width << 16, height << 16))
-    mdhd = box(b"mdhd", struct.pack(">B3xIIII", 0, 0, 0, timescale, dur)
-               + b"\x00" * 4)
-    hdlr = box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12 + b"\x00")
-    stbl = b""
-    if sample_sizes is not None:
-        n = len(sample_sizes)
-        delta = dur // max(n, 1)
-        stts = box(b"stts", struct.pack(">IIII", 0, 1, n, delta))
-        stsz = box(b"stsz", struct.pack(">III", 0, 0, n)
-                   + b"".join(struct.pack(">I", s) for s in sample_sizes))
-        stbl_body = stts + stsz
-        if keyframes is not None:
-            stbl_body += box(b"stss", struct.pack(">II", 0, len(keyframes))
-                             + b"".join(struct.pack(">I", s)
-                                        for s in keyframes))
-        stbl_body += box(b"stco", struct.pack(">II", 0, 0))
-        stbl = box(b"minf", box(b"stbl", stbl_body))
-    mdia = box(b"mdia", mdhd + hdlr + stbl)
-    trak = box(b"trak", tkhd + mdia)
-    moov = box(b"moov", mvhd + trak)
-    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isommp42")
-    return ftyp + moov + box(b"mdat", mdat)
+
+    def assemble(chunk_offset: int) -> tuple[bytes, int]:
+        mvhd = box(b"mvhd", struct.pack(">B3xIIII", 0, 0, 0, timescale,
+                                        dur) + b"\x00" * 80)
+        tkhd = box(b"tkhd", struct.pack(">B3xIIII", 0, 0, 0, 1, 0)
+                   + struct.pack(">I", dur) + b"\x00" * 52
+                   + struct.pack(">II", width << 16, height << 16))
+        mdhd = box(b"mdhd", struct.pack(">B3xIIII", 0, 0, 0, timescale,
+                                        dur) + b"\x00" * 4)
+        hdlr = box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12 + b"\x00")
+        stbl = b""
+        if sample_sizes is not None:
+            n = len(sample_sizes)
+            delta = dur // max(n, 1)
+            stts = box(b"stts", struct.pack(">IIII", 0, 1, n, delta))
+            stsz = box(b"stsz", struct.pack(">III", 0, 0, n)
+                       + b"".join(struct.pack(">I", s)
+                                  for s in sample_sizes))
+            stbl_body = stts + stsz
+            if keyframes is not None:
+                stbl_body += box(b"stss",
+                                 struct.pack(">II", 0, len(keyframes))
+                                 + b"".join(struct.pack(">I", s)
+                                            for s in keyframes))
+            if samples is not None:
+                # one chunk holding every sample, real offset into mdat
+                stbl_body += box(b"stsc",
+                                 struct.pack(">IIIII", 0, 1, 1, n, 1))
+                stbl_body += box(b"stco",
+                                 struct.pack(">III", 0, 1, chunk_offset))
+            else:
+                stbl_body += box(b"stco", struct.pack(">II", 0, 0))
+            stbl = box(b"minf", box(b"stbl", stbl_body))
+        mdia = box(b"mdia", mdhd + hdlr + stbl)
+        trak = box(b"trak", tkhd + mdia)
+        moov = box(b"moov", mvhd + trak)
+        ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0x200)
+                   + b"isommp42")
+        header = ftyp + moov
+        return header + box(b"mdat", mdat), len(header) + 8
+
+    # stco needs the absolute mdat payload offset, which depends on the
+    # (fixed-size) moov — assemble once to measure, once for real
+    _, off = assemble(0)
+    out, off2 = assemble(off)
+    assert off2 == off
+    return out
+
+
+def mp4_extract_samples(payload: bytes, handler: str = "vide") -> list[bytes]:
+    """Pull the raw per-sample byte payloads of the first ``handler``
+    track out of an ISO-BMFF container — the stsz (sizes) + stsc
+    (chunk mapping) + stco/co64 (chunk offsets) walk every demuxer
+    does. No codec: the samples come back as opaque bytes (for an
+    MJPEG track each one is a complete JPEG image our own
+    ``jpeg.decode_jpeg`` can decode). ValueError on missing/truncated
+    sample tables or out-of-range offsets.
+    """
+    import struct
+    meta = probe_mp4(payload)  # validates container structure
+
+    # re-walk for the raw tables (probe keeps only derived stats)
+    def walk(buf, start, end):
+        pos = start
+        while pos + 8 <= end:
+            (size,), tag = struct.unpack(">I", buf[pos:pos + 4]), \
+                buf[pos + 4:pos + 8]
+            hdr = 8
+            if size == 1:
+                (size,) = struct.unpack(">Q", buf[pos + 8:pos + 16])
+                hdr = 16
+            elif size == 0:
+                size = end - pos
+            if size < hdr or pos + size > end:
+                raise ValueError(f"bad MP4 box size {size} at {pos}")
+            yield tag, pos + hdr, pos + size
+            pos += size
+
+    n = len(payload)
+    for tag, b0, b1 in walk(payload, 0, n):
+        if tag != b"moov":
+            continue
+        for t2, c0, c1 in walk(payload, b0, b1):
+            if t2 != b"trak":
+                continue
+            hdl, sizes, stsc, offsets = None, None, None, None
+            for t3, d0, d1 in walk(payload, c0, c1):
+                if t3 != b"mdia":
+                    continue
+                for t4, e0, e1 in walk(payload, d0, d1):
+                    if t4 == b"hdlr":
+                        hdl = payload[e0 + 8:e0 + 12].decode("latin1")
+                    elif t4 == b"minf":
+                        for t5, f0, f1 in walk(payload, e0, e1):
+                            if t5 != b"stbl":
+                                continue
+                            for t6, g0, g1 in walk(payload, f0, f1):
+                                if t6 == b"stsz":
+                                    fixed, cnt = struct.unpack(
+                                        ">II", payload[g0 + 4:g0 + 12])
+                                    if fixed:
+                                        sizes = [fixed] * cnt
+                                    else:
+                                        sizes = list(struct.unpack(
+                                            f">{cnt}I",
+                                            payload[g0 + 12:g0 + 12 + 4 * cnt]))
+                                elif t6 == b"stsc":
+                                    (ne,) = struct.unpack(
+                                        ">I", payload[g0 + 4:g0 + 8])
+                                    stsc = [struct.unpack(
+                                        ">III",
+                                        payload[g0 + 8 + 12 * i:
+                                                g0 + 20 + 12 * i])
+                                        for i in range(ne)]
+                                elif t6 in (b"stco", b"co64"):
+                                    (ne,) = struct.unpack(
+                                        ">I", payload[g0 + 4:g0 + 8])
+                                    fmt, w = (">Q", 8) if t6 == b"co64" \
+                                        else (">I", 4)
+                                    offsets = [struct.unpack(
+                                        fmt, payload[g0 + 8 + w * i:
+                                                     g0 + 8 + w * (i + 1)])[0]
+                                        for i in range(ne)]
+            if hdl != handler:
+                continue
+            if not sizes or not stsc or not offsets:
+                raise ValueError(
+                    f"track '{handler}' has no complete sample table "
+                    "(need stsz + stsc + stco/co64)")
+            # expand stsc: samples-per-chunk for each chunk 1..len(offsets)
+            out, si = [], 0
+            for ci, off in enumerate(offsets, start=1):
+                spc = 0
+                for first, per, _desc in stsc:
+                    if ci >= first:
+                        spc = per
+                for _ in range(spc):
+                    if si >= len(sizes):
+                        break
+                    end = off + sizes[si]
+                    if end > n:
+                        raise ValueError(
+                            f"sample {si} at {off}+{sizes[si]} runs past "
+                            "the payload end")
+                    out.append(payload[off:end])
+                    off = end
+                    si += 1
+            return out
+    raise ValueError(f"no '{handler}' track with a sample table found")
+
+
+def decode_mp4_frames(payload: bytes, max_frames: int | None = None
+                      ) -> list[np.ndarray]:
+    """REAL frame decode for MJPEG-in-MP4: extract the video track's
+    samples and decode each JPEG sample with our own T.81 codec —
+    the one video flavor this container can decode end-to-end with no
+    external libs (MJPEG MP4s are common in crawl data: webcams,
+    CCTV, scientific capture). Non-JPEG samples raise
+    NotImplementedError (H.264/HEVC need ffmpeg — the honest stub)."""
+    from sketchlib.spark.jpeg import decode_jpeg
+    samples = mp4_extract_samples(payload)
+    if max_frames is not None:
+        samples = samples[:max_frames]
+    frames = []
+    for i, s in enumerate(samples):
+        if s[:2] != b"\xFF\xD8":
+            raise NotImplementedError(
+                f"sample {i} is not JPEG (MJPEG is the only video "
+                "codec decodable without ffmpeg)")
+        frames.append(decode_jpeg(s))
+    return frames
 
 
 def probe_mp4(payload: bytes) -> dict:
@@ -983,6 +1136,15 @@ def _decode_one(payload: bytes, kind: str, mime: str | None,
         if mime == "image/jpeg" or (mime is None and is_jpeg):
             from sketchlib.spark.jpeg import decode_jpeg
             return image_feature_vector(decode_jpeg(payload))
+    if kind == "video" and payload[4:8] == b"ftyp":
+        # MJPEG-in-MP4 decodes for real through our own JPEG codec;
+        # any other codec (or a probe failure) flows to the stub
+        try:
+            frames = decode_mp4_frames(payload, max_frames=1)
+            if frames:
+                return image_feature_vector(frames[0])
+        except (NotImplementedError, ValueError):
+            pass
     return decode_stub(payload, kind, fake=fake)
 
 
@@ -1090,16 +1252,29 @@ def make_fake_media(spark, n: int = 300, seed: int = 5):
             # REAL (minimal) MP4 container with opaque junk in mdat:
             # the metadata probe reads the box tree; frame decode
             # stays the stub path
-            junk = rng.integers(0, 256, int(rng.integers(100, 3000)),
-                                dtype=np.uint8).tobytes()
-            # real sample table: per-sample sizes + sync every ~gop
-            n_samp = int(rng.integers(8, 120))
-            sizes = [int(s) for s in rng.integers(200, 6000, n_samp)]
             gop = int(rng.integers(2, 12))
-            payload = encode_mp4_stub(dur, wi, hi, mdat=junk,
-                                      sample_sizes=sizes,
-                                      keyframes=list(range(1, n_samp + 1,
-                                                           gop)))
+            if i % 2:
+                # MJPEG track: REAL JPEG frames in mdat with real
+                # stsc/stco offsets — the full extract+decode path
+                fh, fw = int(rng.integers(8, 24)), int(rng.integers(8, 24))
+                n_samp = int(rng.integers(2, 5))
+                frames = [encode_jpeg(rng.integers(
+                    0, 256, (fh, fw, 3), dtype=np.uint8))
+                    for _ in range(n_samp)]
+                payload = encode_mp4_stub(
+                    dur, wi, hi, samples=frames,
+                    keyframes=list(range(1, n_samp + 1, gop)))
+            else:
+                # opaque (non-MJPEG) track: sample STATS only, decode
+                # stays the stub path
+                junk = rng.integers(0, 256, int(rng.integers(100, 3000)),
+                                    dtype=np.uint8).tobytes()
+                n_samp = int(rng.integers(8, 120))
+                sizes = [int(s) for s in rng.integers(200, 6000, n_samp)]
+                payload = encode_mp4_stub(dur, wi, hi, mdat=junk,
+                                          sample_sizes=sizes,
+                                          keyframes=list(range(1, n_samp + 1,
+                                                               gop)))
         mime = {"audio": "audio/wav", "video": "video/mp4"}.get(k) or \
             ("image/png", "image/x-portable-pixmap",
              "image/jpeg")[i % 3]

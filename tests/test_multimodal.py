@@ -479,8 +479,9 @@ class TestMp4Probe:
             assert row["width"] == want[mid]["width"]
             assert row["height"] == want[mid]["height"]
             assert row["n_tracks"] == 1
-            # fixture videos carry a real sample table
-            assert row["n_samples"] and row["n_samples"] >= 8
+            # fixture videos carry a real sample table (MJPEG rows
+            # hold 2-4 real frames, opaque rows 8-120 stat-only sizes)
+            assert row["n_samples"] and row["n_samples"] >= 2
             assert row["mean_sample_bytes"] and row["bitrate_kbps"] > 0
             assert row["keyframe_interval"] >= 1.0
 
@@ -637,3 +638,64 @@ def test_extract_features_quarantines_corrupt_payloads(spark):
            for r in extract_features(df, fake=False).collect()}
     assert got[1] is not None and len(got[1]) == 64
     assert got[2] is None and got[3] is None and got[4] is None
+
+
+class TestMjpegMp4Decode:
+    """REAL MP4 sample extraction + MJPEG frame decode (round 4):
+    stsz/stsc/stco demux through our own T.81 JPEG codec — the last
+    'sample decode stays stubbed' surface shrinks to non-JPEG codecs."""
+
+    def _mjpeg(self, n=3, seed=9):
+        import numpy as np
+        from sketchlib.spark.jpeg import encode_jpeg
+        from sketchlib.spark.multimodal import encode_mp4_stub
+        rng = np.random.default_rng(seed)
+        frames = [encode_jpeg(rng.integers(0, 256, (16, 24, 3),
+                                           dtype=np.uint8))
+                  for _ in range(n)]
+        return frames, encode_mp4_stub(3000, 24, 16, samples=frames)
+
+    def test_extract_samples_roundtrip(self):
+        from sketchlib.spark.multimodal import mp4_extract_samples
+        frames, p = self._mjpeg()
+        got = mp4_extract_samples(p)
+        assert got == frames  # byte-exact demux
+
+    def test_decode_frames_matches_direct_jpeg_decode(self):
+        import numpy as np
+        from sketchlib.spark.jpeg import decode_jpeg
+        from sketchlib.spark.multimodal import decode_mp4_frames
+        frames, p = self._mjpeg()
+        decoded = decode_mp4_frames(p)
+        assert len(decoded) == len(frames)
+        for d, f in zip(decoded, frames):
+            assert np.array_equal(d, decode_jpeg(f))
+
+    def test_non_jpeg_samples_refuse_decode(self):
+        from sketchlib.spark.multimodal import (encode_mp4_stub,
+                                                decode_mp4_frames)
+        p = encode_mp4_stub(1000, 8, 8, samples=[b"\x00\x01h264ish"])
+        with pytest.raises(NotImplementedError, match="MJPEG"):
+            decode_mp4_frames(p)
+
+    def test_stats_only_container_refuses_extract(self):
+        from sketchlib.spark.multimodal import (encode_mp4_stub,
+                                                mp4_extract_samples)
+        p = encode_mp4_stub(1000, 8, 8, sample_sizes=[10, 20])
+        with pytest.raises(ValueError, match="sample table"):
+            mp4_extract_samples(p)
+
+    def test_extract_features_real_path_for_mjpeg(self):
+        import numpy as np
+        from sketchlib.spark.jpeg import decode_jpeg
+        from sketchlib.spark.multimodal import (_decode_one,
+                                                image_feature_vector)
+        frames, p = self._mjpeg()
+        feat = _decode_one(p, "video", "video/mp4", fake=True)
+        want = image_feature_vector(decode_jpeg(frames[0]))
+        assert np.allclose(feat, want)
+        # and the probe still reads the same container
+        from sketchlib.spark.multimodal import probe_mp4
+        t = probe_mp4(p)["tracks"][0]
+        assert t["n_samples"] == 3
+        assert t["sample_bytes"] == sum(len(f) for f in frames)
