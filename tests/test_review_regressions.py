@@ -753,6 +753,46 @@ class TestCanonicalUrl:
         n = canon.select("canonical_url").distinct().count()
         assert n == 1 + len(others)
 
+    def test_idempotent(self, spark):
+        """canonical(canonical(u)) == canonical(u) — a dedup key that
+        moves on re-application would split clusters between pipeline
+        stages that canonicalize at different times."""
+        import pyspark.sql.functions as F
+        df = spark.createDataFrame([(i, u) for i, (u, _) in
+                                    enumerate(self.CASES)],
+                                   "i long, url string")
+        once = textops.canonical_url(df, "url", out_col="c1")
+        twice = textops.canonical_url(once, "c1", out_col="c2")
+        bad = twice.filter(F.col("c1") != F.col("c2")).collect()
+        assert not bad, [(r["c1"], r["c2"]) for r in bad]
+
+    def test_idempotent_fuzz(self, spark):
+        """Idempotence over generated messy URLs: random scheme/case/
+        port/params/fragment/trailing-slash combinations (seeded, one
+        Spark job for the whole corpus)."""
+        import itertools
+        import random
+        import pyspark.sql.functions as F
+        rng = random.Random(42)
+        urls = []
+        schemes = ["http://", "https://", "HTTP://", "", "ftp://"]
+        hosts = ["Example.COM", "sub.site.org", "a.b", "host"]
+        ports = ["", ":80", ":443", ":8080"]
+        paths = ["", "/", "/A/b", "/x/Y/", "/p%20q", "/doc/1"]
+        queries = ["", "?a=1", "?b=2&a=1", "?utm_source=x&a=1",
+                   "?a=1?b=2", "?", "?&", "?a=1&&b=2"]
+        frags = ["", "#f", "#a?b=1"]
+        combos = list(itertools.product(schemes, hosts, ports, paths,
+                                        queries, frags))
+        urls = ["".join(c) for c in rng.sample(combos, 400)]
+        df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)],
+                                   "i long, url string")
+        once = textops.canonical_url(df, "url", out_col="c1")
+        twice = textops.canonical_url(once, "c1", out_col="c2")
+        bad = twice.filter(F.col("c1") != F.col("c2")) \
+            .select("url", "c1", "c2").collect()
+        assert not bad, [(r["url"], r["c1"], r["c2"]) for r in bad[:5]]
+
     def test_plan_is_jvm_only(self, spark, pages_tiny):
         df = textops.canonical_url(pages_tiny, "url")
         df.collect()
