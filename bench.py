@@ -110,10 +110,16 @@ def main() -> None:
     throughput = PAGES_ROWS / build_s
 
     total = sum(times.values())
+    # the round-3 suite had 20 queries; round 4 added url_canon_dedup
+    # and decontamination, so the raw total is not round-comparable —
+    # report the old-subset sum alongside
+    r4_new = {"url_canon_dedup", "decontamination"}
+    comparable = sum(v for k, v in times.items() if k not in r4_new)
     print(json.dumps({
         "metric": "suite_seconds",
         "value": round(total, 3),
         "unit": "sec",
+        "suite_seconds_r3_queries": round(comparable, 3),
         "queries": times,
         "sf": SF_DIR,
         "cpus": CPUS,
