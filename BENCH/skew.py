@@ -3,7 +3,7 @@ corpus, so its per-group Bloom state is ~9x every other group's and a
 single-stage merge funnels all of that group's partials into ONE task.
 The salted merge tree (fanout=auto) is the fix SCALE.md's arithmetic
 argues for; this measures it: wall time AND max merge-task duration at
-salt in {1 (single-stage), auto (sqrt(#partitions))}, max-task read
+salt in {1 (single-stage), auto (multi-level plan)}, max-task read
 from the Spark status REST API (per-stage taskSummary, q=1.0).
 
 Run: python BENCH/skew.py   (local[32], ~3 GB parquet input)
@@ -97,18 +97,16 @@ build_sketches(pages, ["lang"], specs, fanout="auto").collect()  # warm
 
 results = {}
 for label, fanout in (("salt=1", None), ("salt=auto", "auto")):
-    runs, worst = [], 0.0
     for i in range(3):
         g = f"{label}-run{i}"
         sc.setJobGroup(g, label)
         t0 = time.time()
         build_sketches(pages, ["lang"], specs, fanout=fanout).collect()
-        runs.append(time.time() - t0)
-        worst = max(worst, 0)
+        wall = time.time() - t0
         sc.setJobGroup("", "")
         mt = max_task_ms(g)
-        results.setdefault(label, []).append((runs[-1], mt))
-        print(f"{label} run{i}: wall {runs[-1]:.2f}s  max-task {mt/1000:.2f}s",
+        results.setdefault(label, []).append((wall, mt))
+        print(f"{label} run{i}: wall {wall:.2f}s  max-task {mt/1000:.2f}s",
               flush=True)
 
 print()

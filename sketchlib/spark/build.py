@@ -312,8 +312,12 @@ def merge_partials(partials: DataFrame, group_cols: list[str],
     level's partition_id, so the fold order is deterministic
     run-to-run at every level for the lossy quantile sketches too.
     """
-    nparts = partials.rdd.getNumPartitions()
+    # nparts is needed to resolve "auto" and to detect the narrow
+    # single-partition case; an explicit multi-level fanout needs
+    # neither, so skip the DataFrame->RDD plan conversion then
+    nparts = None
     if fanout == "auto":
+        nparts = partials.rdd.getNumPartitions()
         fanout = _auto_fanout(nparts)
     out_schema = _merged_schema(partials, group_cols)
     keys = [*group_cols, "sketch_name"]
@@ -338,6 +342,8 @@ def merge_partials(partials: DataFrame, group_cols: list[str],
 
     plan = list(fanout) if isinstance(fanout, (list, tuple)) else \
         ([int(fanout)] if fanout and fanout > 1 else [])
+    if not plan and nparts is None:
+        nparts = partials.rdd.getNumPartitions()
 
     if nparts == 1 and not plan:
         # every partial row of a (group, spec) lives in the one input
@@ -469,16 +475,15 @@ def build_sketches(df: DataFrame, group_cols: list[str],
                    fanout: int | str | None = "auto") -> DataFrame:
     """Full stage-2: partial build then hierarchical merge.
 
-    ``fanout="auto"`` (default) sizes the merge tree from the input
-    partition count: single-level up to 64 partials per group, else a
-    two-level tree with ~sqrt(parts) buckets — so one merge task never
-    deserializes more than ~sqrt(parts) states on a 10k-partition input.
+    ``fanout="auto"`` (default) is resolved inside ``merge_partials``
+    (see ``_auto_fanout``): single fold up to 64 partials per group,
+    else a multi-level salt plan bounding every merge task's fan-in
+    AND input bytes; a single-partition input merges in a narrow
+    no-Exchange fold.
 
     Returns one row per (group, sketch_name):
     (group_cols..., sketch_name, sketch binary, n_rows, n_partials).
     """
-    if fanout == "auto":
-        fanout = _auto_fanout(df.rdd.getNumPartitions())
     return merge_partials(build_partials(df, group_cols, specs),
                           group_cols, fanout=fanout)
 

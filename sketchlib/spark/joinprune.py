@@ -53,8 +53,12 @@ def _as_key(df: DataFrame, col: str, out: str) -> DataFrame:
 
 
 def _key_bloom_merged_df(df: DataFrame, key_col: str, p: float,
-                         n_keys: int | None, seed: int) -> DataFrame:
-    """ONE-row DataFrame holding the fully-merged key filter.
+                         n_keys: int | None, seed: int
+                         ) -> tuple[DataFrame, DataFrame | None]:
+    """(merged, cached): ``merged`` is a ONE-row DataFrame holding the
+    fully-merged key filter; ``cached`` is the persisted key
+    projection to unpersist after collecting (None when the caller
+    supplied ``n_keys`` and no sizing count was needed).
 
     Plan shape: pruned scan -> mapInPandas partial filters (one sparse
     blob per input partition, merge_partials-shaped rows) -> the SAME

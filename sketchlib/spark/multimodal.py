@@ -558,6 +558,30 @@ def encode_mp4_stub(duration_ms: int, width: int, height: int,
     return out
 
 
+def _bmff_walk(buf: bytes, start: int, end: int):
+    """Yield (tag, body_start, box_end) for each ISO-BMFF box in
+    [start, end) — the one box-walk shared by probe_mp4 and
+    mp4_extract_samples. ValueError (never struct.error) on truncated
+    or lying sizes, so the quarantine handlers catch every refusal."""
+    import struct
+    pos = start
+    while pos + 8 <= end:
+        (size,), tag = struct.unpack(">I", buf[pos:pos + 4]), \
+            buf[pos + 4:pos + 8]
+        hdr = 8
+        if size == 1:  # 64-bit largesize
+            if pos + 16 > end:
+                raise ValueError("truncated MP4 largesize box")
+            (size,) = struct.unpack(">Q", buf[pos + 8:pos + 16])
+            hdr = 16
+        elif size == 0:  # box extends to EOF
+            size = end - pos
+        if size < hdr or pos + size > end:
+            raise ValueError(f"bad MP4 box size {size} at {pos}")
+        yield tag, pos + hdr, pos + size
+        pos += size
+
+
 def mp4_extract_samples(payload: bytes, handler: str = "vide") -> list[bytes]:
     """Pull the raw per-sample byte payloads of the first ``handler``
     track out of an ISO-BMFF container — the stsz (sizes) + stsc
@@ -568,25 +592,8 @@ def mp4_extract_samples(payload: bytes, handler: str = "vide") -> list[bytes]:
     sample tables or out-of-range offsets.
     """
     import struct
-    meta = probe_mp4(payload)  # validates container structure
-
-    # re-walk for the raw tables (probe keeps only derived stats)
-    def walk(buf, start, end):
-        pos = start
-        while pos + 8 <= end:
-            (size,), tag = struct.unpack(">I", buf[pos:pos + 4]), \
-                buf[pos + 4:pos + 8]
-            hdr = 8
-            if size == 1:
-                (size,) = struct.unpack(">Q", buf[pos + 8:pos + 16])
-                hdr = 16
-            elif size == 0:
-                size = end - pos
-            if size < hdr or pos + size > end:
-                raise ValueError(f"bad MP4 box size {size} at {pos}")
-            yield tag, pos + hdr, pos + size
-            pos += size
-
+    probe_mp4(payload)  # validates container structure up front
+    walk = _bmff_walk  # re-walk for the raw tables (probe keeps stats)
     n = len(payload)
     for tag, b0, b1 in walk(payload, 0, n):
         if tag != b"moov":
@@ -607,27 +614,47 @@ def mp4_extract_samples(payload: bytes, handler: str = "vide") -> list[bytes]:
                                 continue
                             for t6, g0, g1 in walk(payload, f0, f1):
                                 if t6 == b"stsz":
+                                    if g1 - g0 < 12:
+                                        raise ValueError(
+                                            "truncated MP4 stsz")
                                     fixed, cnt = struct.unpack(
                                         ">II", payload[g0 + 4:g0 + 12])
                                     if fixed:
                                         sizes = [fixed] * cnt
+                                    elif g1 - g0 < 12 + 4 * cnt:
+                                        raise ValueError(
+                                            "truncated MP4 stsz table")
                                     else:
                                         sizes = list(struct.unpack(
                                             f">{cnt}I",
                                             payload[g0 + 12:g0 + 12 + 4 * cnt]))
                                 elif t6 == b"stsc":
+                                    if g1 - g0 < 8:
+                                        raise ValueError(
+                                            "truncated MP4 stsc")
                                     (ne,) = struct.unpack(
                                         ">I", payload[g0 + 4:g0 + 8])
+                                    if g1 - g0 < 8 + 12 * ne:
+                                        raise ValueError(
+                                            "truncated MP4 stsc table")
                                     stsc = [struct.unpack(
                                         ">III",
                                         payload[g0 + 8 + 12 * i:
                                                 g0 + 20 + 12 * i])
                                         for i in range(ne)]
                                 elif t6 in (b"stco", b"co64"):
+                                    if g1 - g0 < 8:
+                                        raise ValueError(
+                                            "truncated MP4 " +
+                                            t6.decode("latin1"))
                                     (ne,) = struct.unpack(
                                         ">I", payload[g0 + 4:g0 + 8])
                                     fmt, w = (">Q", 8) if t6 == b"co64" \
                                         else (">I", 4)
+                                    if g1 - g0 < 8 + w * ne:
+                                        raise ValueError(
+                                            "truncated MP4 chunk-offset "
+                                            "table")
                                     offsets = [struct.unpack(
                                         fmt, payload[g0 + 8 + w * i:
                                                      g0 + 8 + w * (i + 1)])[0]
@@ -699,24 +726,7 @@ def probe_mp4(payload: bytes) -> dict:
     libs). ValueError on non-BMFF or truncated structure.
     """
     import struct
-
-    def walk(buf: bytes, start: int, end: int):
-        pos = start
-        while pos + 8 <= end:
-            (size,), tag = struct.unpack(">I", buf[pos:pos + 4]), \
-                buf[pos + 4:pos + 8]
-            hdr = 8
-            if size == 1:  # 64-bit largesize
-                if pos + 16 > end:
-                    raise ValueError("truncated MP4 largesize box")
-                (size,) = struct.unpack(">Q", buf[pos + 8:pos + 16])
-                hdr = 16
-            elif size == 0:  # box extends to EOF
-                size = end - pos
-            if size < hdr or pos + size > end:
-                raise ValueError(f"bad MP4 box size {size} at {pos}")
-            yield tag, pos + hdr, pos + size
-            pos += size
+    walk = _bmff_walk
 
     if len(payload) < 12 or payload[4:8] != b"ftyp":
         raise ValueError("not an ISO-BMFF payload (no ftyp box)")
@@ -1005,7 +1015,11 @@ def probe_mp3(payload: bytes) -> dict:
                     si = 9 if mode == 3 else 17
                 spf = 384 if lyr == 1 else (
                     1152 if (lyr == 2 or vgrp == 1) else 576)
-                xoff = pos + 4 + si
+                # protection_bit == 0 means a 16-bit CRC sits between
+                # the header and the side info — the Xing tag shifts
+                # with it (common in broadcast rips)
+                crc = 0 if (b1 & 1) else 2
+                xoff = pos + 4 + crc + si
                 tag = payload[xoff:xoff + 4]
                 if tag in (b"Xing", b"Info") and xoff + 8 <= n:
                     (flags,) = struct.unpack(">I", payload[xoff + 4:xoff + 8])

@@ -311,12 +311,16 @@ class SketchTableSink:
     stored per-group states; the base corpus is never re-scanned.
 
     Exactly-once across restarts: each fold writes a new versioned
-    table ``<path>/v=<batch_id>`` and then commits a LATEST pointer
-    (single JSON doc, written through Spark text IO so hdfs://s3a://
-    work like file://). Structured Streaming replays the in-flight
-    micro-batch after a crash; a replayed ``batch_id <= LATEST`` is a
-    no-op, and a version dir without a LATEST commit is dead weight
-    the next fold overwrites — never half-applied state. Old versions
+    table ``<path>/v=<batch_id>`` and then commits it by writing a
+    ``_COMMIT`` marker INSIDE that version dir (through Spark text IO
+    so hdfs:// s3a:// work like file://; the leading underscore keeps
+    parquet readers from seeing it as data). Nothing is ever
+    overwritten, so there is no delete-then-write window: the current
+    state is simply the highest-numbered version whose marker reads
+    back as valid JSON. Structured Streaming replays the in-flight
+    micro-batch after a crash; a replayed ``batch_id <= latest`` is a
+    no-op, and a version dir without a readable marker (crash before
+    or during the commit) is invisible dead weight. Old versions
     beyond ``keep_versions`` are pruned through the Hadoop FileSystem
     API (any scheme).
 
@@ -336,21 +340,44 @@ class SketchTableSink:
         self.fanout = fanout
         self.keep_versions = max(1, int(keep_versions))
 
-    # -- LATEST pointer ----------------------------------------------
-    @property
-    def _latest_path(self) -> str:
-        return self.path + "/LATEST"
+    # -- committed-version resolution --------------------------------
+    def _fs(self):
+        jvm = self.spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(self.path)
+        return jvm, jpath.getFileSystem(
+            self.spark._jsc.hadoopConfiguration())
+
+    def _versions(self) -> list[int]:
+        """Version ids present on disk (committed or not), ascending."""
+        jvm, fs = self._fs()
+        root = jvm.org.apache.hadoop.fs.Path(self.path)
+        if not fs.exists(root):
+            return []
+        out = []
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if name.startswith("v="):
+                try:
+                    out.append(int(name[2:]))
+                except ValueError:
+                    pass
+        return sorted(out)
 
     def latest(self) -> dict | None:
+        """Highest version whose _COMMIT marker reads back as valid
+        JSON — an unreadable/absent marker means the version never
+        committed (crash before or mid-commit) and is skipped."""
         import json
-        try:
-            rows = self.spark.read.text(self._latest_path).collect()
-        except Exception as e:
-            from sketchlib.spark.checkpoint import _is_path_missing
-            if _is_path_missing(e):
-                return None
-            raise
-        return json.loads("".join(r["value"] for r in rows))
+        for v in reversed(self._versions()):
+            try:
+                rows = self.spark.read.text(
+                    f"{self.path}/v={v}/_COMMIT").collect()
+                doc = json.loads("".join(r["value"] for r in rows))
+                if int(doc.get("batch_id", -1)) == v:
+                    return doc
+            except Exception:
+                continue
+        return None
 
     def read_table(self) -> DataFrame | None:
         man = self.latest()
@@ -377,24 +404,20 @@ class SketchTableSink:
         vpath = f"{self.path}/v={int(batch_id)}"
         updated.write.mode("overwrite").parquet(vpath)
         doc = json.dumps({"batch_id": int(batch_id), "path": vpath})
+        # the version becomes canonical only when its marker reads
+        # back as JSON with the matching batch_id — a crash mid-write
+        # leaves an unreadable marker and the version stays invisible;
+        # no previously-committed version is ever touched
         (self.spark.createDataFrame([(doc,)], "value string")
-         .coalesce(1).write.mode("overwrite").text(self._latest_path))
+         .coalesce(1).write.mode("overwrite").text(vpath + "/_COMMIT"))
         self._prune(int(batch_id))
 
     def _prune(self, committed: int) -> None:
         """Best-effort removal of versions older than the newest
         ``keep_versions`` — through Hadoop FS so any scheme works."""
         try:
-            jvm = self.spark._jvm
-            jpath = jvm.org.apache.hadoop.fs.Path(self.path)
-            fs = jpath.getFileSystem(
-                self.spark._jsc.hadoopConfiguration())
-            versions = []
-            for st in fs.listStatus(jpath):
-                name = st.getPath().getName()
-                if name.startswith("v="):
-                    versions.append(int(name[2:]))
-            for v in sorted(versions)[:-self.keep_versions]:
+            jvm, fs = self._fs()
+            for v in self._versions()[:-self.keep_versions]:
                 if v < committed:
                     fs.delete(jvm.org.apache.hadoop.fs.Path(
                         f"{self.path}/v={v}"), True)

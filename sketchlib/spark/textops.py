@@ -699,8 +699,13 @@ def decontaminate(docs: DataFrame, id_col: str, text_col: str,
         from sketchlib.spark.joinprune import build_key_bloom, bloom_prune
         bf = build_key_bloom(bsh, "sh", p=bloom_p)
         dsh = bloom_prune(dsh, "sh", bf)
-    hits = (dsh.join(F.broadcast(bsh), "sh")
-            .groupBy("_id").agg(F.count("*").alias("n_hits")))
+        # bloom mode exists because bsh outgrew the broadcast budget —
+        # so do NOT force-broadcast it here: the pruned dsh is small
+        # (~p of the corpus shingles), and Spark picks the join
+        joined = dsh.join(bsh, "sh")
+    else:
+        joined = dsh.join(F.broadcast(bsh), "sh")
+    hits = joined.groupBy("_id").agg(F.count("*").alias("n_hits"))
     return (docs.select(F.col(id_col).alias("_id"))
             .join(hits, "_id", "left")
             .select(F.col("_id").alias(id_col),

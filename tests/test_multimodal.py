@@ -699,3 +699,48 @@ class TestMjpegMp4Decode:
         t = probe_mp4(p)["tracks"][0]
         assert t["n_samples"] == 3
         assert t["sample_bytes"] == sum(len(f) for f in frames)
+
+
+def test_mp3_xing_found_behind_crc(monkeypatch=None):
+    """protection_bit=0 inserts a 16-bit CRC between header and side
+    info; the Xing tag shifts with it and must still be found (review
+    finding r4)."""
+    import struct
+    from sketchlib.spark.multimodal import probe_mp3, _MP3_BITRATES, _MP3_RATES
+    br_idx = _MP3_BITRATES[(1, 3)].index(128)
+    sr_idx = _MP3_RATES[3].index(44100)
+    # 0xFA = MPEG1 Layer III, protection ON (bit0=0 -> CRC present)
+    hdr = bytes([0xFF, 0xFB & 0xFE, (br_idx << 4) | (sr_idx << 2), 0x00])
+    flen = 144 * 128 * 1000 // 44100
+    n_frames = 42
+    body = bytearray(flen - 4)
+    # CRC(2) + side info(32) then the tag
+    tag_at = 2 + 32
+    body[tag_at:tag_at + 16] = b"Xing" + struct.pack(
+        ">III", 0x3, n_frames, flen * n_frames)
+    frame = bytes(hdr) + bytes(body)
+    m = probe_mp3(frame * 3)
+    assert m["vbr"] is True and m["n_frames"] == n_frames
+    assert m["duration_ms_est"] == n_frames * 1152 * 1000 // 44100
+
+
+def test_mp4_truncated_stsc_refuses_with_valueerror():
+    """A lying stsc entry_count must refuse with ValueError (never
+    struct.error, which escapes the quarantine catches) even though
+    probe_mp4 itself passes — it never parses stsc (review finding
+    r4)."""
+    import struct
+    from sketchlib.spark.multimodal import (encode_mp4_stub,
+                                            mp4_extract_samples)
+    p = encode_mp4_stub(1000, 8, 8, samples=[b"\xFF\xD8fakejpeg"] * 2)
+    i = p.find(b"stsc")
+    # inflate the claimed entry count (at tag+8, after ver/flags)
+    # far past the box end
+    bad = p[:i + 8] + struct.pack(">I", 1000) + p[i + 12:]
+    with pytest.raises(ValueError):
+        mp4_extract_samples(bad)
+    # same for stco
+    j = p.find(b"stco")
+    bad2 = p[:j + 8] + struct.pack(">I", 1 << 20) + p[j + 12:]
+    with pytest.raises(ValueError):
+        mp4_extract_samples(bad2)

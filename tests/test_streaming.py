@@ -150,3 +150,39 @@ def test_streaming_sketch_table_matches_batch_build(spark, pages_tiny,
     import os as _os
     vdirs = [d for d in _os.listdir(tbl) if d.startswith("v=")]
     assert len(vdirs) <= 2
+
+
+def test_sketch_table_uncommitted_version_is_invisible(spark, pages_tiny,
+                                                       tmp_path):
+    """Crash simulation: a version dir WITHOUT a readable _COMMIT
+    marker (died before/during commit) must be skipped by latest(),
+    and re-folding that batch must land on the prior state, not an
+    empty base (review finding r4: the old LATEST overwrite had a
+    delete-then-write window that reset the table)."""
+    import shutil
+    from sketchlib.spark.streaming import SketchTableSink
+    tbl = str(tmp_path / "sktbl2")
+    sink = SketchTableSink(spark, tbl, ["lang"], SPECS, keep_versions=10)
+    half = pages_tiny.limit(pages_tiny.count() // 2)
+    sink(half, 0)
+    man0 = sink.latest()
+    assert man0["batch_id"] == 0
+
+    # batch 1 "crashes": parquet written, marker missing
+    rest = pages_tiny.subtract(half)
+    from sketchlib.spark.build import build_sketches
+    build_sketches(rest, ["lang"], SPECS).write.parquet(f"{tbl}/v=1")
+    assert sink.latest()["batch_id"] == 0  # uncommitted v=1 invisible
+
+    # a corrupt (empty) marker is also invisible, not a crash-loop
+    import os
+    os.makedirs(f"{tbl}/v=2/_COMMIT", exist_ok=True)
+    assert sink.latest()["batch_id"] == 0
+
+    # replayed batch 1 folds onto v=0's state and commits
+    sink(rest, 1)
+    assert sink.latest()["batch_id"] == 1
+    total = sum(r["n_rows"] for r in sink.read_table().collect()
+                if r["sketch_name"] == "b")
+    assert total == pages_tiny.count()
+    shutil.rmtree(tbl)
