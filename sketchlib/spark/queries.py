@@ -783,6 +783,30 @@ def q_user_overlap_exact(spark, sf_dir):
             .agg(F.countDistinct(F.col("a.user_id")).alias("n_shared")))
 
 
+def q_user_jaccard_exact(spark, sf_dir):
+    """Exact Jaccard of user sets between event_type pairs — the
+    companion of q_theta_user_overlap's jaccard_est column:
+    J = shared / (|A| + |B| - shared)."""
+    u = (load(spark, sf_dir, "events")
+         .select("event_type", "user_id").distinct())
+    na = u.groupBy("event_type").agg(F.count("*").alias("n"))
+    a, b = u.alias("a"), u.alias("b")
+    shared = (a.join(b, (F.col("a.user_id") == F.col("b.user_id"))
+                     & (F.col("a.event_type") < F.col("b.event_type")))
+              .groupBy(F.col("a.event_type").alias("type_a"),
+                       F.col("b.event_type").alias("type_b"))
+              .agg(F.count("*").alias("n_shared")))
+    return (shared
+            .join(na.select(F.col("event_type").alias("type_a"),
+                            F.col("n").alias("n_a")), "type_a")
+            .join(na.select(F.col("event_type").alias("type_b"),
+                            F.col("n").alias("n_b")), "type_b")
+            .select("type_a", "type_b",
+                    F.round(F.col("n_shared") /
+                            (F.col("n_a") + F.col("n_b")
+                             - F.col("n_shared")), 4).alias("jaccard")))
+
+
 def q_hll_rollup_lang(spark, sf_dir):
     """SQL-side sketch-merge rollup: build HLLs at the FINER key
     (lang, source), then roll up to per-lang **by merging stored
