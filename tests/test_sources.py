@@ -66,3 +66,36 @@ def test_same_sketch_from_tsv_and_parquet(spark, format_dirs):
         merged = build_sketches(df, ["lang"], [spec])
         out[fmt] = collect_sketches(merged, ["lang"], "b")
     assert out["parquet"] == out["tsv"]
+
+
+def test_partition_pruning_and_filter_pushdown(spark, tmp_path):
+    """The 100 TB posture in one plan: a lang-partitioned table read
+    with a lang predicate must prune at the DIRECTORY level
+    (PartitionFilters), push the residual predicate into the parquet
+    scan (PushedFilters), and read only the projected columns
+    (ReadSchema) — none of which survives if an operator wraps the
+    scan in an opaque UDF first."""
+    import pyspark.sql.functions as F
+    df = spark.createDataFrame(
+        [(i, ["en", "de", "fr"][i % 3], f"u{i}", i * 10)
+         for i in range(300)],
+        "doc_id long, lang string, url string, n_chars long")
+    path = str(tmp_path / "pages_part")
+    df.write.partitionBy("lang").parquet(path)
+
+    q = (spark.read.parquet(path)
+         .filter((F.col("lang") == "en") & (F.col("n_chars") > 100))
+         .select("url"))
+    plan = q._jdf.queryExecution().executedPlan().toString() \
+        .split("Initial Plan")[0]
+    assert "PartitionFilters" in plan and "lang" in \
+        plan.split("PartitionFilters")[1][:200], plan
+    assert "PushedFilters" in plan and "n_chars" in \
+        plan.split("PushedFilters")[1][:200], plan
+    assert "ReadSchema" in plan
+    # only url + the pushed filter column cross the scan boundary
+    read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "url" in read_schema and "doc_id" not in read_schema
+    # and the answer is right
+    assert q.count() == sum(1 for i in range(300)
+                            if i % 3 == 0 and i * 10 > 100)
