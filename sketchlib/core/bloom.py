@@ -19,6 +19,11 @@ from sketchlib.core import hashing
 from sketchlib.core import serde
 from sketchlib.core.params import bloom_params
 
+# bits-set-per-byte lookup (numpy 1.x has no np.bitwise_count)
+_POPCOUNT_LUT = np.unpackbits(
+    np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1,
+                                                         dtype=np.int64)
+
 
 @serde.register_sketch(serde.TYPE_BLOOM)
 class BloomFilter:
@@ -43,7 +48,11 @@ class BloomFilter:
     # --- UDAF contract: new / update_batch / merge / estimate / serde ---
 
     def update_batch(self, values) -> "BloomFilter":
-        """Insert a batch of str/bytes keys (vectorized)."""
+        """Insert a batch of str/bytes keys (vectorized). Null keys
+        are dropped — SQL semantics; null is not a value."""
+        if len(values) == 0:
+            return self
+        values = hashing.drop_null_keys(values)
         if len(values) == 0:
             return self
         idx = hashing.probe_indices(values, self.k, self.m, self.seed)
@@ -54,11 +63,20 @@ class BloomFilter:
         return self
 
     def contains_batch(self, values) -> np.ndarray:
-        """Membership test for a batch. bool[n]; no false negatives."""
+        """Membership test for a batch. bool[n]; no false negatives.
+        Null keys answer False (a null never equi-matches)."""
         if len(values) == 0:
             return np.zeros(0, dtype=bool)
-        idx = hashing.probe_indices(values, self.k, self.m, self.seed)
-        return self._test_indices(idx)
+        arr, valid = hashing.valid_key_mask(values)
+        if valid is None:
+            idx = hashing.probe_indices(arr, self.k, self.m, self.seed)
+            return self._test_indices(idx)
+        out = np.zeros(len(arr), dtype=bool)
+        kept = arr.drop_null()
+        if len(kept):
+            idx = hashing.probe_indices(kept, self.k, self.m, self.seed)
+            out[valid] = self._test_indices(idx)
+        return out
 
     def contains_from_hash_pair(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
         """Membership test from precomputed KM hash pairs (uint64[n]).
@@ -69,10 +87,7 @@ class BloomFilter:
         murmur passes)."""
         if len(h1) == 0:
             return np.zeros(0, dtype=bool)
-        i = np.arange(self.k, dtype=np.uint64)
-        with np.errstate(over="ignore"):
-            idx = (h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(self.m)
-        return self._test_indices(idx)
+        return self._test_indices(hashing.km_indices(h1, h2, self.k, self.m))
 
     def _test_indices(self, idx: np.ndarray) -> np.ndarray:
         byte_idx = (idx >> np.uint64(3)).astype(np.int64)
@@ -87,15 +102,25 @@ class BloomFilter:
         self.n_added += other.n_added
         return self
 
+    def _popcount(self) -> int:
+        """Set-bit count via a 256-entry LUT, chunked — never the 8x
+        unpackbits expansion (a filter sized for 1e9 keys is a 1.2 GB
+        byte array; unpacking it whole would allocate ~10 GB, the
+        exact blow-up to_bytes already chunks to avoid)."""
+        total, chunk = 0, 1 << 22
+        for off in range(0, len(self.bits), chunk):
+            total += int(_POPCOUNT_LUT[self.bits[off:off + chunk]].sum())
+        return total
+
     def estimate(self) -> float:
         """Cardinality estimate from fill ratio: -(m/k)·ln(1 - X/m)."""
-        x = float(np.unpackbits(self.bits).sum())
+        x = float(self._popcount())
         if x >= self.m:
             return float("inf")
         return -(self.m / self.k) * np.log1p(-x / self.m)
 
     def fill_ratio(self) -> float:
-        return float(np.unpackbits(self.bits).sum()) / self.m
+        return float(self._popcount()) / self.m
 
     # --- serialization ---
 
@@ -154,8 +179,11 @@ class BloomFilter:
         return cls._from_parts(header, payload)
 
     def __eq__(self, other) -> bool:
+        # n_added included: it rides in the canonical bytes, so eq
+        # must imply identical serialization
         return (isinstance(other, BloomFilter)
-                and (self.m, self.k, self.seed) == (other.m, other.k, other.seed)
+                and (self.m, self.k, self.seed, self.n_added)
+                == (other.m, other.k, other.seed, other.n_added)
                 and np.array_equal(self.bits, other.bits))
 
     def __repr__(self) -> str:

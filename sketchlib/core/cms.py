@@ -55,9 +55,7 @@ class CountMinSketch:
     def _row_indices(self, values) -> np.ndarray:
         """uint64[n, d] column index per row, via double hashing."""
         h1, h2 = hashing.hash64_pair(values, self.seed)
-        i = np.arange(self.d, dtype=np.uint64)
-        with np.errstate(over="ignore"):
-            return (h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(self.w)
+        return hashing.km_indices(h1, h2, self.d, self.w)
 
     def update_batch(self, values, counts=None,
                      conservative: bool | None = None) -> "CountMinSketch":
@@ -81,6 +79,14 @@ class CountMinSketch:
         n = len(values)
         if n == 0:
             return self
+        values, valid = hashing.valid_key_mask(values)  # null: no value
+        if valid is not None:
+            values = values.drop_null()
+            if counts is not None:
+                counts = np.asarray(counts, dtype=np.int64)[valid]
+            n = len(values)
+            if n == 0:
+                return self
         if conservative:
             # a single CU update makes cells under-count bucket sums
             # FOREVER — taint the sketch so inner_product's guard and
@@ -91,20 +97,27 @@ class CountMinSketch:
             counts = np.ones(n, dtype=np.int64)
         else:
             counts = np.asarray(counts, dtype=np.int64)
-        idx = self._row_indices(values)
+        h1, h2 = hashing.hash64_pair(values, self.seed)
         if conservative:
-            # pre-aggregate duplicate keys (identified by their d-row
-            # index signature — exact for the sketch's purposes)
-            uniq, inv = np.unique(idx, axis=0, return_inverse=True)
-            agg = np.zeros(len(uniq), dtype=np.int64)
+            # pre-aggregate duplicate keys: h2 (and so every row
+            # index) is a pure function of h1, so a 1-D unique on h1
+            # gives the same grouping as the old lexicographic
+            # unique over the (n, d) index matrix, several times
+            # cheaper. Outcome is order-independent: all estimates
+            # read the pre-update table, then maximum.at writes.
+            uh1, first, inv = np.unique(h1, return_index=True,
+                                        return_inverse=True)
+            agg = np.zeros(len(uh1), dtype=np.int64)
             np.add.at(agg, inv, counts)
-            uidx = uniq.astype(np.int64)
+            uidx = hashing.km_indices(uh1, h2[first], self.d,
+                                      self.w).astype(np.int64)
             est = np.stack([self.table[r][uidx[:, r]]
                             for r in range(self.d)], axis=1).min(axis=1)
             newval = est + agg
             for r in range(self.d):
                 np.maximum.at(self.table[r], uidx[:, r], newval)
         else:
+            idx = hashing.km_indices(h1, h2, self.d, self.w)
             for r in range(self.d):
                 np.add.at(self.table[r], idx[:, r].astype(np.int64), counts)
         self.total += int(counts.sum())
@@ -193,8 +206,14 @@ class CountMinSketch:
         return cls._from_parts(header, payload)
 
     def __eq__(self, other) -> bool:
+        # FULL state: total / conservative / cu_tainted ride in the
+        # canonical bytes and change behavior (inner_product refusal),
+        # so eq must imply same-bytes-and-behavior
         return (isinstance(other, CountMinSketch)
-                and (self.w, self.d, self.seed) == (other.w, other.d, other.seed)
+                and (self.w, self.d, self.seed, self.total,
+                     self.conservative, self.cu_tainted)
+                == (other.w, other.d, other.seed, other.total,
+                    other.conservative, other.cu_tainted)
                 and np.array_equal(self.table, other.table))
 
     def __repr__(self) -> str:

@@ -56,9 +56,7 @@ class CountSketch:
         yields the bucket from its low bits and the sign from bit 63 —
         disjoint bit ranges of the same uniform word (w << 2^63)."""
         h1, h2 = hashing.hash64_pair(values, self.seed)
-        i = np.arange(self.d, dtype=np.uint64)
-        with np.errstate(over="ignore"):
-            hv = h1[:, None] + i[None, :] * h2[:, None]
+        hv = hashing.km_expand(h1, h2, self.d)
         bucket = (hv % np.uint64(self.w)).astype(np.int64)
         sign = 1 - 2 * (hv >> np.uint64(63)).astype(np.int64)
         return bucket, sign
@@ -69,6 +67,14 @@ class CountSketch:
         n = len(values)
         if n == 0:
             return self
+        values, valid = hashing.valid_key_mask(values)  # null: no value
+        if valid is not None:
+            values = values.drop_null()
+            if counts is not None:
+                counts = np.asarray(counts, dtype=np.int64)[valid]
+            n = len(values)
+            if n == 0:
+                return self
         if counts is None:
             counts = np.ones(n, dtype=np.int64)
         else:

@@ -81,7 +81,13 @@ class FrequentDirections:
         """values: iterable of fixed-length float vectors (list/np)."""
         if len(values) == 0:
             return self
-        rows = np.asarray([np.asarray(v, dtype=np.float64) for v in values])
+        try:  # already-rectangular input: one conversion, no per-row loop
+            rows = np.asarray(values, dtype=np.float64)
+        except (ValueError, TypeError):
+            # object arrays / ragged input: per-row fallback (raises on
+            # genuinely ragged rows via the ndim check below)
+            rows = np.asarray([np.asarray(v, dtype=np.float64)
+                               for v in values])
         if rows.ndim != 2:
             raise ValueError("embedding rows must share one fixed length")
         self._ensure(rows.shape[1])
@@ -91,10 +97,12 @@ class FrequentDirections:
         return self
 
     def merge(self, other: "FrequentDirections") -> "FrequentDirections":
-        if other.dim is None:       # empty other
-            return self
+        # param check FIRST: an empty partial from a misconfigured
+        # tree must refuse like every other kernel, not slip through
         if self.l != other.l:
             raise ValueError("cannot merge FD sketches with different l")
+        if other.dim is None:       # empty other
+            return self
         self._ensure(other.dim)
         self.sq_frobenius += other.sq_frobenius
         self.n_rows += other.n_rows

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pa_compute
 
 _C1 = np.uint32(0xCC9E2D51)
 _C2 = np.uint32(0x1B873593)
@@ -149,6 +150,26 @@ def to_large_binary(values) -> "pa.Array":
     return arr
 
 
+def drop_null_keys(values) -> "pa.Array":
+    """Canonical large_binary key batch with nulls REMOVED — the one
+    null rule for every key-kernel update path (SQL semantics: null is
+    not a value; it joins, counts, and matches nothing). Returns an
+    arrow array to_bytes_matrix accepts directly, so conversion
+    happens once."""
+    arr = to_large_binary(values)
+    return arr.drop_null() if arr.null_count else arr
+
+
+def valid_key_mask(values) -> tuple["pa.Array", np.ndarray | None]:
+    """(large_binary array, validity mask | None): mask is None when
+    no nulls — for aligned update/query paths (weighted counts,
+    membership) that must keep row positions."""
+    arr = to_large_binary(values)
+    if not arr.null_count:
+        return arr, None
+    return arr, np.asarray(pa_compute.is_valid(arr))
+
+
 def to_bytes_matrix(values) -> tuple[np.ndarray, np.ndarray]:
     """Encode a batch of str/bytes into a zero-padded uint8 matrix + lengths.
 
@@ -178,7 +199,13 @@ def to_bytes_matrix(values) -> tuple[np.ndarray, np.ndarray]:
     if n == 0:
         return np.zeros((0, 4), dtype=np.uint8), np.zeros(0, dtype=np.int64)
     if arr.null_count:
-        arr = arr.fill_null(b"")
+        # hashing null as b"" would conflate null with the genuine
+        # empty string (distinct counts / membership silently wrong);
+        # update paths drop nulls via drop_null_keys, query paths must
+        # mask them out — reaching here with a null is a caller bug
+        raise ValueError(
+            "null keys cannot be hashed — kernel update paths drop "
+            "them (drop_null_keys); mask nulls out before querying")
     bufs = arr.buffers()
     offsets = np.frombuffer(bufs[1], dtype=np.int64)[arr.offset:arr.offset + n + 1]
     data = (np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None
@@ -268,10 +295,7 @@ def hash64_pair(values, seed: int = 0) -> tuple[np.ndarray, np.ndarray]:
     key; independence holds except on 64-bit h1 collisions, which are
     negligible below ~2^32 distinct keys per filter.
     """
-    mat, lengths = to_bytes_matrix(values)
-    a = murmur3_32_mat(mat, lengths, seed).astype(np.uint64)
-    b = murmur3_32_mat(mat, lengths, seed ^ _GOLDEN).astype(np.uint64)
-    h1 = (a << np.uint64(32)) | b
+    h1 = hash64(values, seed)
     h2 = mix64(h1 ^ np.uint64(_GOLDEN)) | np.uint64(1)
     return h1, h2
 
@@ -284,12 +308,25 @@ def hash64(values, seed: int = 0) -> np.ndarray:
     return (a << np.uint64(32)) | b
 
 
+def km_expand(h1: np.ndarray, h2: np.ndarray, k: int) -> np.ndarray:
+    """Kirsch-Mitzenmacher expansion: uint64[n, k] = h1 + i*h2
+    (wrapping). THE one definition of the probe family — Bloom, CMS,
+    and count sketch all index through here so a change propagates
+    everywhere at once."""
+    i = np.arange(k, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        return h1[:, None] + i[None, :] * h2[:, None]
+
+
+def km_indices(h1: np.ndarray, h2: np.ndarray, k: int, m: int) -> np.ndarray:
+    """uint64[n, k] = (h1 + i*h2) % m."""
+    return km_expand(h1, h2, k) % np.uint64(m)
+
+
 def probe_indices(values, k: int, m: int, seed: int = 0) -> np.ndarray:
     """k Bloom bit positions per key: uint64[n, k] = (h1 + i*h2) % m."""
     h1, h2 = hash64_pair(values, seed)
-    i = np.arange(k, dtype=np.uint64)
-    with np.errstate(over="ignore"):
-        return (h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(m)
+    return km_indices(h1, h2, k, m)
 
 
 def mix64(x: np.ndarray) -> np.ndarray:

@@ -73,6 +73,9 @@ class HyperLogLog:
     def update_batch(self, values) -> "HyperLogLog":
         if len(values) == 0:
             return self
+        values = hashing.drop_null_keys(values)  # null is not a value
+        if len(values) == 0:
+            return self
         h = hashing.hash64(values, self.seed)
         reg = (h >> np.uint64(64 - self.b)).astype(np.int64)
         rest = (h << np.uint64(self.b)) | np.uint64(1 << (self.b - 1))
@@ -135,11 +138,21 @@ class HyperLogLog:
     def _from_parts(cls, header: dict, payload: bytes) -> "HyperLogLog":
         h = cls(header["b"], header["seed"])
         if header.get("enc", "dense") == "sparse":
+            if len(payload) % 5:
+                raise ValueError("truncated HLL sparse blob")
             n = len(payload) // 5
             idx = np.frombuffer(payload[:4 * n], dtype=np.uint32).astype(np.int64)
             vals = np.frombuffer(payload[4 * n:], dtype=np.uint8)
+            if len(idx) and int(idx.max()) >= h.m:
+                raise ValueError(
+                    f"corrupt HLL sparse blob: register index "
+                    f"{int(idx.max())} >= m={h.m}")
             h.registers[idx] = vals
         else:
+            if len(payload) != h.m:
+                raise ValueError(
+                    f"truncated HLL dense blob: {len(payload)} "
+                    f"registers, expected {h.m}")
             h.registers = np.frombuffer(payload, dtype=np.uint8).copy()
         return h
 

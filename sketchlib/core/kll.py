@@ -161,6 +161,14 @@ class KLL:
         s.vmin = float(header["vmin"]) if header["vmin"] is not None else np.inf
         s.vmax = float(header["vmax"]) if header["vmax"] is not None else -np.inf
         arr = np.frombuffer(payload, dtype=np.float64)
+        if len(arr) != sum(header["sizes"]):
+            # a clipped blob would otherwise decode into short/empty
+            # levels while n/vmin/vmax still claim the full state —
+            # silently wrong quantiles instead of the serde contract's
+            # loud refusal
+            raise ValueError(
+                f"truncated KLL blob: payload holds {len(arr)} values, "
+                f"header claims {sum(header['sizes'])}")
         s.levels = []
         off = 0
         for size in header["sizes"]:

@@ -56,11 +56,9 @@ class BottomKSample:
     def update_batch(self, values) -> "BottomKSample":
         if len(values) == 0:
             return self
-        arr = hashing.to_large_binary(values)
-        if arr.null_count:
-            arr = arr.drop_null()
-            if len(arr) == 0:
-                return self
+        arr = hashing.drop_null_keys(values)  # the shared null rule
+        if len(arr) == 0:
+            return self
         tags = hashing.hash64(arr, self.seed)
         # bound Python-object work to k payloads per batch: only the k
         # smallest DISTINCT tags of this batch can enter the state.

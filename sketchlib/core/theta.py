@@ -47,6 +47,9 @@ class ThetaSketch:
     def update_batch(self, values) -> "ThetaSketch":
         if len(values) == 0:
             return self
+        values = hashing.drop_null_keys(values)  # null is not a value
+        if len(values) == 0:
+            return self
         h = hashing.hash64(values, self.seed)
         merged = np.union1d(self.hashes, h)  # sorted + distinct
         self.hashes = merged[: self.k]
@@ -76,37 +79,32 @@ class ThetaSketch:
             return float(len(self.hashes))  # exact below saturation
         return (self.k - 1) / self.theta()
 
-    def intersect_estimate(self, other: "ThetaSketch") -> float:
-        """Estimated |A ∩ B| (same k/seed family)."""
+    def _valid_samples(self, other: "ThetaSketch"):
+        """(a, b, raw_theta): both sketches' hashes STRICTLY below the
+        shared threshold — the k-th smallest hash IS the threshold,
+        not a sample (the cardinality estimator counts k-1 for the
+        same reason); <= would bias intersections up and push
+        self-Jaccard above 1. The one threshold rule for every
+        pairwise set-algebra estimate."""
         if (other.k, other.seed) != (self.k, self.seed):
             raise ValueError("sketches must share (k,seed)")
         raw = min(self._theta_raw(), other._theta_raw())
-        # entries strictly below the threshold are the valid sample —
-        # the k-th smallest hash IS the threshold, not a sample (the
-        # cardinality estimator counts k-1 for the same reason); <=
-        # would bias intersections up and push self-Jaccard above 1
         if raw >= 2 ** 64:
-            a, b = self.hashes, other.hashes
-        else:
-            cut = np.uint64(raw)
-            a = self.hashes[self.hashes < cut]
-            b = other.hashes[other.hashes < cut]
+            return self.hashes, other.hashes, raw
+        cut = np.uint64(raw)
+        return (self.hashes[self.hashes < cut],
+                other.hashes[other.hashes < cut], raw)
+
+    def intersect_estimate(self, other: "ThetaSketch") -> float:
+        """Estimated |A ∩ B| (same k/seed family)."""
+        a, b, raw = self._valid_samples(other)
         common = np.intersect1d(a, b)
         return len(common) / (raw / _MAX_U64)
 
     def difference_estimate(self, other: "ThetaSketch") -> float:
-        """Estimated |A \\ B| (a-not-b) — same threshold logic as
-        intersection: valid samples are the hashes strictly below the
-        shared theta; A-not-B samples are those absent from B's set."""
-        if (other.k, other.seed) != (self.k, self.seed):
-            raise ValueError("sketches must share (k,seed)")
-        raw = min(self._theta_raw(), other._theta_raw())
-        if raw >= 2 ** 64:
-            a, b = self.hashes, other.hashes
-        else:
-            cut = np.uint64(raw)
-            a = self.hashes[self.hashes < cut]
-            b = other.hashes[other.hashes < cut]
+        """Estimated |A \\ B| (a-not-b): valid samples absent from
+        B's set, scaled by the shared theta."""
+        a, b, raw = self._valid_samples(other)
         only = np.setdiff1d(a, b, assume_unique=True)
         return len(only) / (raw / _MAX_U64)
 

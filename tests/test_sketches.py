@@ -240,3 +240,81 @@ class TestTheta:
         t = ThetaSketch(k=16).update_batch(_keys(100))
         assert t.jaccard_estimate(t) == pytest.approx(1.0)
         assert t.intersect_estimate(t) == pytest.approx(t.estimate())
+
+
+class TestKernelReviewRound4:
+    """Core-kernel review findings (round 4): null semantics, GB-scale
+    popcount, FD merge check order, eq completeness, truncated blobs."""
+
+    def test_null_is_not_a_value_anywhere(self):
+        import pyarrow as pa
+        from sketchlib.core.bloom import BloomFilter
+        from sketchlib.core.hll import HyperLogLog
+        from sketchlib.core.theta import ThetaSketch
+        from sketchlib.core.sample import BottomKSample
+        from sketchlib.core.cms import CountMinSketch
+        vals = pa.array(["a", None, "b"], type=pa.large_string())
+        # distinct-count kernels agree: 2 values, not 3
+        assert ThetaSketch(k=64).update_batch(vals).estimate() == 2.0
+        assert BottomKSample(k=64).update_batch(vals).estimate() == 2.0
+        h = HyperLogLog(b=10).update_batch(vals)
+        h2 = HyperLogLog(b=10).update_batch(pa.array(["a", "b"]))
+        assert (h.registers == h2.registers).all()
+        # null and empty string are DIFFERENT values
+        h3 = HyperLogLog(b=10).update_batch(pa.array(["a", "", "b"]))
+        assert not (h.registers == h3.registers).all()
+        # membership: null inserted is dropped; b"" not a member
+        bf = BloomFilter(4096, 5).update_batch(vals)
+        assert bf.n_added == 2
+        got = bf.contains_batch(pa.array(["a", None, ""], type=pa.large_string()))
+        assert got.tolist() == [True, False, False]
+        # weighted CMS: counts stay aligned after the null drop
+        c = CountMinSketch(w=256, d=3)
+        c.update_batch(pa.array(["x", None, "y"]), counts=[5, 99, 7])
+        assert c.query_batch(["x"])[0] == 5
+        assert c.query_batch(["y"])[0] == 7
+        assert c.total == 12
+
+    def test_bloom_popcount_no_unpack_blowup(self):
+        from sketchlib.core.bloom import BloomFilter
+        bf = BloomFilter(1 << 20, 7).update_batch([f"k{i}" for i in range(5000)])
+        est = bf.estimate()
+        assert 4500 < est < 5500
+        # LUT path == unpackbits ground truth
+        import numpy as np
+        assert bf._popcount() == int(np.unpackbits(bf.bits).sum())
+
+    def test_fd_merge_l_mismatch_raises_even_when_empty(self):
+        from sketchlib.core.fd import FrequentDirections
+        import pytest
+        with pytest.raises(ValueError, match="different l"):
+            FrequentDirections(l=64).merge(FrequentDirections(l=8))
+
+    def test_eq_covers_full_state(self):
+        from sketchlib.core.bloom import BloomFilter
+        from sketchlib.core.cms import CountMinSketch
+        a = BloomFilter(1024, 3).update_batch(["x"])
+        b = BloomFilter(1024, 3).update_batch(["x"])
+        assert a == b
+        b.n_added += 1
+        assert a != b  # different canonical bytes => not equal
+        c1 = CountMinSketch(w=64, d=2).update_batch(["x"])
+        c2 = CountMinSketch(w=64, d=2).update_batch(["x"])
+        assert c1 == c2
+        c2.cu_tainted = True
+        assert c1 != c2  # inner_product would refuse c2 but not c1
+
+    def test_truncated_blobs_refuse(self):
+        import pytest
+        from sketchlib.core.kll import KLL
+        from sketchlib.core.hll import HyperLogLog
+        from sketchlib.core import serde
+        k = KLL(64).update_batch(list(range(500)))
+        t, hdr, payload = serde.unpack(k.to_bytes())
+        clipped = serde.pack(t, hdr, payload[:-16])
+        with pytest.raises(ValueError, match="truncated KLL"):
+            KLL.from_bytes(clipped)
+        h = HyperLogLog(b=8).update_batch([f"v{i}" for i in range(1000)])
+        t, hdr, payload = serde.unpack(h.to_bytes())
+        with pytest.raises(ValueError, match="HLL"):
+            HyperLogLog.from_bytes(serde.pack(t, hdr, payload[:-7]))
