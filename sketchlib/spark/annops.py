@@ -29,13 +29,17 @@ from pyspark.sql.types import (ArrayType, DoubleType, LongType, StructField,
 
 def with_norm(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """(vid, emb, norm) — shared by every cosine path so precision /
-    zero-norm fixes apply everywhere at once."""
-    return df.select(
+    zero-norm fixes apply everywhere at once. Zero-norm vectors are
+    EXCLUDED here: cosine direction is undefined for them, and the
+    NULL score a 0/0 division yields would otherwise ride through
+    row_number as arbitrary trailing 'neighbors'."""
+    out = df.select(
         F.col(id_col).cast("long").alias("vid"),
         F.col(vec_col).alias("emb"),
         F.sqrt(F.aggregate(F.transform(vec_col,
                                        lambda x: x.cast("double") * x.cast("double")),
                            F.lit(0.0), lambda a, v: a + v)).alias("norm"))
+    return out.filter(F.col("norm") > 0)
 
 
 def dot_expr(a_col: str, b_col: str):
@@ -83,10 +87,16 @@ def ann_lsh_topk(df: DataFrame, id_col: str, vec_col: str, dim: int,
     Output: (q_id, nbr_id, rnk, score) — same shape as the brute-force
     baseline so recall is directly comparable.
     """
+    from sketchlib.spark.dfutil import materialize
     sigs = srp_signatures(df, id_col, vec_col, dim, bands, bits_per_band,
                           seed)
-    banded = sigs.select(
-        "vid", F.posexplode("bands").alias("band", "bucket"))
+    # banded feeds BOTH join branches (query buckets + candidate side);
+    # without materialization the full-corpus SRP signature pass runs
+    # twice — eager checkpoint (never .cache()) pays it once. norms is
+    # left lazy: its recompute is one codegen scan, cheaper than
+    # materializing every embedding.
+    banded = materialize(sigs.select(
+        "vid", F.posexplode("bands").alias("band", "bucket")))
     norms = with_norm(df, id_col, vec_col)
     q_ids = df.filter(query_filter).select(
         F.col(id_col).cast("long").alias("q_id"))
@@ -239,6 +249,15 @@ def ann_ivf_topk(df: DataFrame, id_col: str, vec_col: str, dim: int,
     ``centroids``/``assignments`` at pipeline scale (train once, query
     many) — the cid equi-join is then the only per-query work.
     """
+    if assignments is not None and centroids is None:
+        # half-precomputed is a trap: retraining here would produce
+        # cell ids that need not correspond to the supplied
+        # assignments' cids — nprobe would then search the wrong
+        # inverted lists and recall silently collapses
+        raise ValueError(
+            "assignments were precomputed but centroids were not "
+            "passed — supply the matching centroids (ivf_assign and "
+            "the query-side cell ranking must share them)")
     if centroids is None:
         centroids = ivf_train_centroids(df, id_col, vec_col, dim,
                                         n_centroids, iters, seed)

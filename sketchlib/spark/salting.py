@@ -29,9 +29,20 @@ def with_salt(df: DataFrame, group_col: str, salts: dict,
               uid_col: str, salt_col: str = "salt") -> DataFrame:
     """Deterministic per-row salt in [0, salts[group]) from a hash of
     the row's uid — no RNG, so retries/resumes assign identical salts."""
-    mapping = F.create_map(*[x for g, s in sorted(salts.items())
-                             for x in (F.lit(g), F.lit(int(s)))])
-    n_salt = F.coalesce(mapping[F.col(group_col)], F.lit(1))
+    # a null group key is first-class upstream (calibration counts use
+    # dropna=False) but cannot live in a Spark map literal (null map
+    # keys are illegal) nor in sorted() — route it through its own
+    # branch
+    null_salt = salts.get(None)
+    keyed = {g: s for g, s in salts.items() if g is not None}
+    n_salt = F.lit(1)
+    if keyed:
+        mapping = F.create_map(*[x for g, s in sorted(keyed.items())
+                                 for x in (F.lit(g), F.lit(int(s)))])
+        n_salt = F.coalesce(mapping[F.col(group_col)], F.lit(1))
+    if null_salt is not None:
+        n_salt = F.when(F.col(group_col).isNull(),
+                        F.lit(int(null_salt))).otherwise(n_salt)
     return df.withColumn(salt_col,
                          F.pmod(F.xxhash64(F.col(uid_col)), n_salt).cast("int"))
 

@@ -61,4 +61,9 @@ def hash_split(df: DataFrame, id_col: str, weights: dict[str, float],
             expr.when(cond, F.lit(label))
     expr = (F.lit(labels[0]) if expr is None
             else expr.otherwise(F.lit(labels[-1])))
+    # a NULL id hashes to NULL, failing every when() and silently
+    # landing in the otherwise() label (the last sorted split) —
+    # give it a NULL label instead so no split gets fabricated
+    # membership; hash_sample's filter drops the same rows
+    expr = F.when(F.col(id_col).isNull(), F.lit(None)).otherwise(expr)
     return df.withColumn(split_col, expr)

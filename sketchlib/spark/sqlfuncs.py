@@ -150,7 +150,9 @@ def _make_udfs() -> dict:
         from sketchlib.core.fd import FrequentDirections
         out = []
         for b, k in zip(blobs, ks):
-            if b is None or k is None:
+            # k != k: SQL NULL ints arrive as float NaN through Arrow
+            # (same guard as sketch_quantile/sketch_cdf)
+            if b is None or k is None or k != k:
                 out.append(None)
                 continue
             vals, _ = FrequentDirections.from_bytes(bytes(b)) \

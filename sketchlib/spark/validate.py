@@ -39,6 +39,15 @@ def collect_sketches(merged: DataFrame, group_cols: list[str],
     df = merged
     if sketch_name is not None:
         df = df.filter(F.col("sketch_name") == sketch_name)
+    elif "sketch_name" in merged.columns:
+        names = [r[0] for r in
+                 merged.select("sketch_name").distinct().limit(2).collect()]
+        if len(names) > 1:
+            # one arbitrary sketch per group would silently win the
+            # key collision — probing the wrong kernel downstream
+            raise ValueError(
+                "merged table holds multiple sketch_names; pass "
+                "sketch_name= to pick one")
     out = {}
     for r in df.collect():
         d = r.asDict()
@@ -190,6 +199,19 @@ def accuracy_table(df: DataFrame, group_cols: list[str], specs,
     quant_specs = [s for s in todo if s.kind in quantile_kinds]
     out = []
 
+    def _join_groups(left, right):
+        """Null-safe group join: the build groups with dropna=False,
+        so null-key groups are first-class and must not vanish from
+        the accuracy table through a null-unsafe equi-join."""
+        r = right
+        for c in group_cols:
+            r = r.withColumnRenamed(c, f"__g_{c}")
+        cond = None
+        for c in group_cols:
+            e = left[c].eqNullSafe(r[f"__g_{c}"])
+            cond = e if cond is None else (cond & e)
+        return left.join(r, cond).drop(*[f"__g_{c}" for c in group_cols])
+
     if dist_specs:
         # ONE exact aggregation pass covers every distinct-kind spec —
         # multiple countDistinct columns share the scan (specs often
@@ -203,7 +225,7 @@ def accuracy_table(df: DataFrame, group_cols: list[str], specs,
                            udfs["sketch_estimate"]("sketch").alias("est")))
             ex = F.col(f"__ex_{spec.value_col}")
             out.append(
-                est.join(exact, group_cols)
+                _join_groups(est, exact)
                 .withColumn("err", F.abs(F.col("est") - ex) / ex)
                 .withColumn("bound", F.lit(float(_bound(spec))))
                 .select(*group_cols, "sketch_name",
@@ -229,14 +251,25 @@ def accuracy_table(df: DataFrame, group_cols: list[str], specs,
                          udfs["sketch_quantile"]("sketch", F.lit(0.5))
                          .alias("est")))
             ests = e if ests is None else ests.unionByName(e)
-        ranked = (df.select(*group_cols, F.col(vcol).alias("_v"))
-                  .dropna(subset=["_v"])
-                  .join(ests, group_cols)
+        vals = (df.select(*group_cols, F.col(vcol).alias("_v"))
+                .dropna(subset=["_v"]))
+        ranked = (_join_groups(ests, vals)
                   .groupBy(*group_cols, "sketch_name", "kind", "est")
                   .agg(F.avg((F.col("_v") <= F.col("est"))
-                             .cast("double")).alias("exact")))
+                             .cast("double")).alias("exact"),
+                       F.avg((F.col("_v") < F.col("est"))
+                             .cast("double")).alias("_lo")))
+        # tied data makes the median's rank an INTERVAL
+        # [P(v < est), P(v <= est)]; an exact median on a column with
+        # heavy ties has 0.5 inside that interval even though the <=
+        # endpoint alone sits far above 0.5 — measure the distance
+        # from 0.5 to the interval, not to the endpoint
+        err = (F.when((F.col("_lo") <= 0.5) & (F.col("exact") >= 0.5),
+                      F.lit(0.0))
+               .otherwise(F.least(F.abs(F.col("_lo") - 0.5),
+                                  F.abs(F.col("exact") - 0.5))))
         out.append(ranked
-                   .withColumn("err", F.abs(F.col("exact") - 0.5))
+                   .withColumn("err", err).drop("_lo")
                    .withColumn("bound", F.lit(float(quantile_rank_bound)))
                    .select(*group_cols, "sketch_name", "kind",
                            F.lit("median_rank_err").alias("metric"),

@@ -838,3 +838,99 @@ class TestDecontamination:
             docs, "doc_id", "text", bench, "btext",
             use_bloom=True).collect()))
         assert exact == bloom
+
+
+class TestSparkLayerReviewRound4:
+    """Spark-layer review findings (round 4, second pass)."""
+
+    def test_accuracy_table_tied_median_not_flagged(self, spark):
+        """A constant column has rank interval [0, 1] around any exact
+        median — the tied-data interval metric must not flag it."""
+        from sketchlib.spark.build import build_sketches
+        from sketchlib.spark.validate import accuracy_table
+        df = spark.createDataFrame([("en", 7.0)] * 100 + [("fr", float(i))
+                                                          for i in range(100)],
+                                   "lang string, v double")
+        specs = [SketchSpec("k", "kll", "v", {"k": 128})]
+        merged = build_sketches(df, ["lang"], specs)
+        rows = accuracy_table(df, ["lang"], specs, merged=merged).collect()
+        med = {r["lang"]: r for r in rows if r["metric"] == "median_rank_err"}
+        assert med["en"]["within_bound"], med["en"]  # ties: err == 0
+        assert med["fr"]["within_bound"]
+
+    def test_accuracy_table_keeps_null_group(self, spark):
+        from sketchlib.spark.build import build_sketches
+        from sketchlib.spark.validate import accuracy_table
+        df = spark.createDataFrame(
+            [("en", f"u{i}") for i in range(20)] +
+            [(None, f"x{i}") for i in range(10)],
+            "lang string, url string")
+        specs = [SketchSpec("h", "hll", "url", {"b": 10})]
+        merged = build_sketches(df, ["lang"], specs)
+        rows = accuracy_table(df, ["lang"], specs, merged=merged).collect()
+        langs = {r["lang"] for r in rows}
+        assert None in langs, "null-key group dropped from accuracy table"
+
+    def test_with_salt_null_group_key(self, spark):
+        from sketchlib.spark.salting import with_salt
+        df = spark.createDataFrame([("en", "u1"), (None, "u2"), (None, "u3")],
+                                   "lang string, uid string")
+        out = with_salt(df, "lang", {"en": 2, None: 4}, "uid").collect()
+        by = {(r["lang"], r["uid"]): r["salt"] for r in out}
+        assert all(0 <= s < 4 for s in by.values())
+        assert by[("en", "u1")] < 2
+
+    def test_hash_split_null_id_gets_null_label(self, spark):
+        from sketchlib.spark.sampling import hash_split
+        df = spark.createDataFrame([(1,), (None,), (3,)], "doc_id long")
+        out = {r["doc_id"]: r["split"] for r in hash_split(
+            df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+        assert out[None] is None  # no fabricated split membership
+        assert out[1] is not None and out[3] is not None
+
+    def test_zero_norm_vectors_excluded_from_ann(self, spark):
+        from sketchlib.spark import annops
+        rows = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 0.0]),
+                (3, [0.5, 0.5])]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        import pyspark.sql.functions as F
+        got = annops.cosine_pairs(df, "vec_id", "embedding", threshold=0.1)
+        ids = {i for r in got.collect() for i in (r["a_id"], r["b_id"])}
+        assert 2 not in ids  # zero vector has no cosine direction
+
+    def test_collect_sketches_multi_name_refuses(self, spark):
+        from sketchlib.spark.build import build_sketches
+        from sketchlib.spark.validate import collect_sketches
+        df = spark.createDataFrame([("en", "u1")], "lang string, url string")
+        merged = build_sketches(df, ["lang"], [
+            SketchSpec("h", "hll", "url", {"b": 8}),
+            SketchSpec("b", "bloom", "url", {"m": 64, "k": 2})])
+        with pytest.raises(ValueError, match="sketch_name"):
+            collect_sketches(merged, ["lang"])
+        assert collect_sketches(merged, ["lang"], "h")  # explicit ok
+
+    def test_ivf_half_precomputed_refused(self, spark):
+        from sketchlib.spark import annops
+        df = spark.createDataFrame([(0, [1.0, 0.0])],
+                                   "vec_id long, embedding array<float>")
+        fake_assign = spark.createDataFrame([(0, 0)], "vid long, cid long")
+        import pyspark.sql.functions as F
+        with pytest.raises(ValueError, match="centroids"):
+            annops.ann_ivf_topk(df, "vec_id", "embedding", 2,
+                                F.col("vec_id") < 1,
+                                assignments=fake_assign)
+
+    def test_fd_spectrum_null_k_yields_null(self, spark):
+        from sketchlib.spark.build import build_sketches
+        from sketchlib.spark.sqlfuncs import register_sql_functions
+        register_sql_functions(spark)
+        df = spark.createDataFrame([("a", [1.0, 2.0]), ("a", [2.0, 1.0])],
+                                   "g string, emb array<double>")
+        from sketchlib.core.fd import FrequentDirections
+        fd = FrequentDirections(l=8).update_batch([[1.0, 2.0], [2.0, 1.0]])
+        sk = spark.createDataFrame([(fd.to_bytes(), None)],
+                                   "sketch binary, k int")
+        sk.createOrReplaceTempView("fd_null_k")
+        row = spark.sql(
+            "SELECT fd_spectrum(sketch, k) AS s FROM fd_null_k").collect()[0]
+        assert row["s"] is None  # not a task-killing ValueError
