@@ -231,8 +231,9 @@ def build_partials(df: DataFrame, group_cols: list[str],
             "SKETCHLIB_MAX_GROUPS_IN_FLIGHT", "8192"))
     if max_groups_in_flight < 1:
         raise ValueError("max_groups_in_flight must be >= 1")
-    value_cols = sorted({s.value_col for s in specs}
-                        | {s.weight_col for s in specs if s.weight_col})
+    value_cols = sorted(({s.value_col for s in specs}
+                         | {s.weight_col for s in specs if s.weight_col})
+                        - set(group_cols))  # a group col can be sketched
     sel = df.select(*group_cols, *value_cols)
     schema = _partials_schema(df, group_cols)
     n_groups = len(group_cols)

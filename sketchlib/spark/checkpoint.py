@@ -100,7 +100,14 @@ def spec_fingerprint(df: DataFrame, group_cols: list[str],
         "n_partitions": df.rdd.getNumPartitions(),
         "group_cols": group_cols,
         "specs": [{"name": s.name, "kind": s.kind, "value_col": s.value_col,
-                   "params": s.params, "per_group": s.per_group_params is not None,
+                   "params": s.params,
+                   # CONTENT of per-group params, not just presence: a
+                   # resume against recalibrated (m,k) must refuse up
+                   # front, not fail deep inside merge (or, for params
+                   # merge doesn't validate, silently mix modes)
+                   "per_group": (sorted((repr(g), repr(p)) for g, p in
+                                        s.per_group_params.items())
+                                 if s.per_group_params is not None else None),
                    "tokenize": s.tokenize, "weight_col": s.weight_col}
                   for s in specs],
     }, sort_keys=True)

@@ -19,7 +19,12 @@ _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__f
 def package_zip(out_dir: str | None = None) -> str:
     """Zip the sketchlib package for --py-files / addPyFile shipping."""
     pkg_dir = os.path.join(_REPO_ROOT, "sketchlib")
-    out = os.path.join(out_dir or tempfile.gettempdir(), "sketchlib_pyfiles.zip")
+    # unique per call: a fixed name in the shared tmp dir races
+    # concurrent sessions (overwrite while another session's executors
+    # fetch it -> truncated archive) and fails across users
+    fd, out = tempfile.mkstemp(prefix="sketchlib_pyfiles_", suffix=".zip",
+                               dir=out_dir)
+    os.close(fd)
     with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as zf:
         for root, _dirs, files in os.walk(pkg_dir):
             if "__pycache__" in root:
@@ -33,7 +38,12 @@ def package_zip(out_dir: str | None = None) -> str:
 
 def attach_package(spark: SparkSession) -> None:
     """Make sketchlib importable inside Spark Python workers."""
-    if os.environ.get("PYTHONPATH", "").find(_REPO_ROOT) >= 0:
+    # PYTHONPATH only reaches forked LOCAL workers, and only an exact
+    # path entry counts (a substring test false-positives on sibling
+    # dirs like /root/repo-old); on a real cluster always ship the zip
+    is_local = spark.sparkContext.master.startswith("local")
+    entries = os.environ.get("PYTHONPATH", "").split(os.pathsep)
+    if is_local and _REPO_ROOT in entries:
         return  # already visible to forked workers
     spark.sparkContext.addPyFile(package_zip())
 

@@ -67,6 +67,11 @@ class SketchSpec:
         if self.weight_col is not None and self.tokenize:
             raise ValueError("weight_col + tokenize is ambiguous (one "
                              "weight per row, many tokens per row)")
+        if self.tokenize and self.kind in ("kll", "tdigest"):
+            raise ValueError(
+                f"tokenize=True feeds token STRINGS, but {self.kind} is "
+                "a numeric-value sketch — drop tokenize or sketch a "
+                "numeric column")
 
     def make(self, group_key: Any):
         kwargs = dict(self.params)

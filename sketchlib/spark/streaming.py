@@ -28,6 +28,28 @@ from sketchlib.spark.build import _feed, _group_fields
 from sketchlib.spark.specs import SketchSpec
 
 
+def _restore_feed_update(state, specs, gkey, pdfs):
+    """Shared stateful core of streaming_build and
+    streaming_windowed_build: restore per-group sketch states, feed
+    the micro-batch through the one _feed path, persist — so state
+    layout and feed semantics cannot drift between the two."""
+    if state.exists:
+        stored = state.get
+        sketches = [sketch_from_bytes(bytes(b)) for b in stored[:-1]]
+        n_rows = int(stored[-1])
+    else:
+        sketches = [spec.make(gkey) for spec in specs]
+        n_rows = 0
+    for pdf in pdfs:
+        vcache: dict = {}
+        for si, spec in enumerate(specs):
+            _feed(spec, sketches[si], pdf, vcache)
+        n_rows += len(pdf)
+    blobs = [sk.to_bytes() for sk in sketches]
+    state.update(tuple(blobs) + (n_rows,))
+    return blobs, n_rows
+
+
 def streaming_build(stream_df: DataFrame, group_cols: list[str],
                     specs: list[SketchSpec]) -> DataFrame:
     """Continuously-maintained sketch table over a stream.
@@ -53,20 +75,7 @@ def streaming_build(stream_df: DataFrame, group_cols: list[str],
     def fn(key: tuple, pdfs: Iterator[pd.DataFrame],
            state: GroupState) -> Iterator[pd.DataFrame]:
         gkey = key if n_groups > 1 else key[0]
-        if state.exists:
-            stored = state.get
-            sketches = [sketch_from_bytes(bytes(b)) for b in stored[:-1]]
-            n_rows = int(stored[-1])
-        else:
-            sketches = [spec.make(gkey) for spec in specs]
-            n_rows = 0
-        for pdf in pdfs:
-            vcache: dict = {}
-            for si, spec in enumerate(specs):
-                _feed(spec, sketches[si], pdf, vcache)
-            n_rows += len(pdf)
-        blobs = [sk.to_bytes() for sk in sketches]
-        state.update(tuple(blobs) + (n_rows,))
+        blobs, n_rows = _restore_feed_update(state, specs, gkey, pdfs)
         kt = key
         yield pd.DataFrame({
             **{c: [kt[i]] * len(specs) for i, c in enumerate(group_cols)},
@@ -136,7 +145,9 @@ def streaming_heavy_hitters(stream_df: DataFrame, group_cols: list[str],
             "rnk": np.arange(1, len(top_toks) + 1, dtype=np.int32),
         })
 
-    return (stream_df.select(*group_cols, text_col).groupBy(*group_cols)
+    sel_cols = [*group_cols] + ([text_col] if text_col not in group_cols
+                                else [])
+    return (stream_df.select(*sel_cols).groupBy(*group_cols)
             .applyInPandasWithState(fn, out_schema, state_schema,
                                     "update", GroupStateTimeout.NoTimeout))
 
@@ -156,7 +167,11 @@ def streaming_dedup(stream_df: DataFrame, key_col: str,
     new key is falsely dropped at rate <= p (a Bloom false positive
     reads as "seen before"). For training-data dedup that tradeoff is
     the right direction — losing ~0.1% of unique docs is noise, while
-    unbounded state is an outage.
+    unbounded state is an outage. NULL-key rows are DROPPED entirely
+    (never emitted) — deliberate divergence from dropDuplicates,
+    which emits the first null row: a null dedup key means the
+    upstream extractor failed, and such rows are quarantine input,
+    not corpus.
 
     Sharding: rows hash-partition by ``xxhash64(key) % shards``
     (JVM-side), so each shard's filter covers a disjoint key slice and
@@ -268,20 +283,7 @@ def streaming_windowed_build(stream_df: DataFrame, ts_col: str,
                 "is_final": [True] * len(specs),
             })
             return
-        if state.exists:
-            stored = state.get
-            sketches = [sketch_from_bytes(bytes(b)) for b in stored[:-1]]
-            n_rows = int(stored[-1])
-        else:
-            sketches = [spec.make(gkey) for spec in specs]
-            n_rows = 0
-        for pdf in pdfs:
-            vcache: dict = {}
-            for si, spec in enumerate(specs):
-                _feed(spec, sketches[si], pdf, vcache)
-            n_rows += len(pdf)
-        blobs = [sk.to_bytes() for sk in sketches]
-        state.update(tuple(blobs) + (n_rows,))
+        blobs, n_rows = _restore_feed_update(state, specs, gkey, pdfs)
         # close the window once the watermark passes its end; if this
         # batch itself advanced the watermark beyond the window end the
         # raw value would be rejected — clamp so the timeout fires on
@@ -365,18 +367,27 @@ class SketchTableSink:
 
     def latest(self) -> dict | None:
         """Highest version whose _COMMIT marker reads back as valid
-        JSON — an unreadable/absent marker means the version never
-        committed (crash before or mid-commit) and is skipped."""
+        JSON. An ABSENT or CORRUPT marker means the version never
+        committed (crash before or mid-commit) and is skipped; any
+        OTHER read error (throttling, network, permissions) RAISES —
+        treating a transient IO failure as "uncommitted" would fall
+        back to a stale base and silently drop committed batches."""
         import json
+        from sketchlib.spark.checkpoint import _is_path_missing
         for v in reversed(self._versions()):
             try:
                 rows = self.spark.read.text(
                     f"{self.path}/v={v}/_COMMIT").collect()
+            except Exception as e:
+                if _is_path_missing(e):
+                    continue  # never committed
+                raise
+            try:
                 doc = json.loads("".join(r["value"] for r in rows))
-                if int(doc.get("batch_id", -1)) == v:
-                    return doc
-            except Exception:
-                continue
+            except ValueError:
+                continue  # crash mid-marker-write: not committed
+            if int(doc.get("batch_id", -1)) == v:
+                return doc
         return None
 
     def read_table(self) -> DataFrame | None:
@@ -390,8 +401,19 @@ class SketchTableSink:
         import json
         from sketchlib.spark.build import build_sketches, incremental_update
         man = self.latest()
-        if man is not None and int(batch_id) <= int(man["batch_id"]):
-            return  # post-crash replay of an already-folded batch
+        if man is not None and int(batch_id) == int(man["batch_id"]):
+            return  # post-crash replay of the one in-flight batch
+        if man is not None and int(batch_id) < int(man["batch_id"]):
+            # Structured Streaming ids are monotonic within one
+            # checkpoint dir; a LOWER id means the query restarted
+            # with a fresh/cleared checkpointLocation. Silently
+            # skipping would freeze the table forever — refuse so the
+            # operator points the fresh query at a new table path (or
+            # removes the old table deliberately).
+            raise ValueError(
+                f"micro-batch id {int(batch_id)} is behind the "
+                f"committed {int(man['batch_id'])} — the streaming "
+                "checkpoint was reset; use a fresh table path")
         if batch_df.isEmpty():
             return  # empty trigger: nothing to fold, keep the version
         if man is None:

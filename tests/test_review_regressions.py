@@ -934,3 +934,44 @@ class TestSparkLayerReviewRound4:
         row = spark.sql(
             "SELECT fd_spectrum(sketch, k) AS s FROM fd_null_k").collect()[0]
         assert row["s"] is None  # not a task-killing ValueError
+
+
+class TestThirdReviewPass:
+    """build/checkpoint/session/specs findings (round 4, third pass)."""
+
+    def test_group_col_can_be_sketched(self, spark):
+        """Sketching a column that is ALSO a group column must not
+        produce a duplicate-column pandas groupby crash."""
+        from sketchlib.spark.build import build_sketches
+        df = spark.createDataFrame(
+            [("en", "s1"), ("en", "s2"), ("fr", "s1")],
+            "lang string, source string")
+        rows = build_sketches(df, ["lang"], [
+            SketchSpec("l", "hll", "lang", {"b": 8}),
+            SketchSpec("s", "hll", "source", {"b": 8})]).collect()
+        by = {(r["lang"], r["sketch_name"]): r for r in rows}
+        assert set(by) == {("en", "l"), ("en", "s"), ("fr", "l"),
+                           ("fr", "s")}
+
+    def test_tokenize_numeric_kind_rejected_at_parse_time(self):
+        with pytest.raises(ValueError, match="numeric"):
+            SketchSpec("q", "kll", "text", {"k": 64}, tokenize=True)
+
+    def test_resume_refused_on_changed_per_group_params(self, spark,
+                                                        tmp_path):
+        """Recalibrated per-group (m,k) must refuse up front, not fail
+        deep inside merge with a confusing kernel error."""
+        from sketchlib.spark.checkpoint import build_sketches_checkpointed
+        src = str(tmp_path / "in")
+        spark.createDataFrame([("en", f"u{i}") for i in range(40)],
+                              "lang string, url string") \
+            .coalesce(1).write.parquet(src)
+        df = spark.read.parquet(src)
+        ck = str(tmp_path / "ck")
+        p1 = [SketchSpec("b", "bloom", "url",
+                         per_group_params={"en": {"m": 1 << 12, "k": 5}})]
+        build_sketches_checkpointed(df, ["lang"], p1, ck).collect()
+        p2 = [SketchSpec("b", "bloom", "url",
+                         per_group_params={"en": {"m": 1 << 13, "k": 6}})]
+        with pytest.raises(ValueError, match="fingerprint"):
+            build_sketches_checkpointed(df, ["lang"], p2, ck)

@@ -141,10 +141,17 @@ def test_streaming_sketch_table_matches_batch_build(spark, pages_tiny,
                 if r["sketch_name"] == "b")
     assert total == full.count()
 
-    # exactly-once: replaying an already-folded batch changes nothing
+    # exactly-once: replaying the in-flight (already-committed) batch
+    # id is a no-op — that is the only replay Structured Streaming
+    # ever performs within one checkpoint dir
     before = sink.latest()
-    sink(spark.read.parquet(stream_dir), 1)  # stale batch_id
+    sink(spark.read.parquet(stream_dir), 2)
     assert sink.latest() == before
+    # an OLDER id can only mean the streaming checkpoint was reset;
+    # silently skipping would freeze the table forever, so it refuses
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="checkpoint was reset"):
+        sink(spark.read.parquet(stream_dir), 1)
 
     # retention: only keep_versions version dirs remain
     import os as _os
