@@ -35,7 +35,8 @@ def _langid_oracle() -> str:
         for lang, ws in sorted(_LANG_PROFILES.items()))
     return (
         "WITH s AS (SELECT doc_id, "
-        "list_distinct(string_split(lower(text), ' ')) AS toks "
+        "list_distinct(list_filter(string_split(lower(text), ' '), "
+        "x -> x != '')) AS toks "
         "FROM documents), "
         f"sc AS (SELECT doc_id, toks, list_max([{structs}]) AS best FROM s) "
         "SELECT doc_id, "
@@ -176,7 +177,8 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY cnt DESC, token ASC) AS rnk FROM counts) WHERE rnk <= 10",
         "dedup_exact":
             "SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, "
-            "count(*) AS n_copies FROM documents GROUP BY md5(text)",
+            "count(*) AS n_copies FROM documents "
+            "WHERE text IS NOT NULL GROUP BY md5(text)",
         "token_counts":
             "SELECT doc_id, CAST(len(list_filter(string_split(text, ' '), "
             "x -> x != '')) AS BIGINT) AS n_tokens FROM documents",
@@ -192,8 +194,8 @@ def oracle_sql() -> dict[str, str]:
             "CAST(n_chars_raw AS BIGINT) AS n_chars_text, "
             "CAST(len(toks) AS BIGINT) AS n_tokens, "
             "round(len(list_distinct(toks)) / len(toks), 4) AS uniq_ratio, "
-            "round((n_chars_raw - (len(toks) - 1)) / len(toks), 4) "
-            "AS avg_token_len FROM t",
+            "round(list_sum(list_transform(toks, x -> length(x))) "
+            "/ len(toks), 4) AS avg_token_len FROM t",
         "repetition_scores":
             "WITH l AS (SELECT doc_id, string_split(text, chr(10)) "
             "AS lines FROM documents), "
@@ -240,7 +242,7 @@ def oracle_sql() -> dict[str, str]:
             "sh AS (SELECT sh0.* FROM sh0 JOIN (SELECT shingle "
             "FROM sh0 GROUP BY shingle HAVING count(*) <= 1000) f "
             "USING (shingle)), "
-            "sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY doc), "
+            "sizes AS (SELECT doc, count(*) AS sz FROM sh0 GROUP BY doc), "
             "inter AS (SELECT a.doc AS a_id, b.doc AS b_id, count(*) AS inter "
             "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc "
             "GROUP BY a.doc, b.doc) "
@@ -251,7 +253,7 @@ def oracle_sql() -> dict[str, str]:
             "WHERE inter / (sa.sz + sb.sz - inter) >= 0.5",
         "corpus_curation":
             "WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents "
-            "GROUP BY md5(text)), "
+            "WHERE text IS NOT NULL GROUP BY md5(text)), "
             "kept AS (SELECT d.* FROM documents d JOIN keep USING (doc_id)), "
             "q AS (SELECT doc_id, "
             "list_filter(string_split(text, ' '), x -> x != '') AS toks, "
@@ -262,7 +264,8 @@ def oracle_sql() -> dict[str, str]:
             "CAST(len(regexp_extract_all(text, "
             "'''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+'"
             ")) AS BIGINT) AS n_bpe_tokens, "
-            "list_distinct(string_split(ltext, ' ')) AS dtoks FROM q), "
+            "list_distinct(list_filter(string_split(ltext, ' '), "
+            "x -> x != '')) AS dtoks FROM q), "
             "sc AS (SELECT doc_id, n_tokens, uniq_ratio, n_bpe_tokens, "
             "list_max([" + ", ".join(
                 "{'score': len(list_intersect(dtoks, [%s])), 'lang': '%s'}"
@@ -293,7 +296,7 @@ def oracle_sql() -> dict[str, str]:
             "sh AS (SELECT sh0.* FROM sh0 JOIN (SELECT shingle "
             "FROM sh0 GROUP BY shingle HAVING count(*) <= 1000) f "
             "USING (shingle)), "
-            "sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY doc), "
+            "sizes AS (SELECT doc, count(*) AS sz FROM sh0 GROUP BY doc), "
             "inter AS (SELECT a.doc AS a_id, b.doc AS b_id, count(*) AS inter "
             "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc "
             "GROUP BY a.doc, b.doc), "

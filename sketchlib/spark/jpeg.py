@@ -320,6 +320,15 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 body[5]
             if prec != 8:
                 raise ValueError(f"unsupported JPEG precision {prec}")
+            if fh == 0 or fw == 0:
+                # zero dims would ZeroDivisionError in the thumbnail
+                raise ValueError(f"bad JPEG dimensions {fw}x{fh}")
+            from sketchlib.spark.multimodal import MAX_DECODE_PIXELS
+            if fh * fw > MAX_DECODE_PIXELS:
+                raise ValueError(
+                    f"JPEG dimensions {fw}x{fh} exceed the decode "
+                    f"limit ({MAX_DECODE_PIXELS} px) — a tiny header "
+                    "can claim arbitrary dimensions")
             if nc not in (1, 3):
                 raise ValueError(
                     f"unsupported JPEG component count {nc} — grayscale "

@@ -86,6 +86,11 @@ def media_metadata(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
 
 FEATURE_DIM = 64
 
+# decode-side resource cap: a few-KB header can declare arbitrary
+# dimensions; decoding is refused (ValueError, quarantine-catchable)
+# past this many pixels. Raise deliberately for trusted corpora.
+MAX_DECODE_PIXELS = 64_000_000
+
 
 def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
     """Mono float waveform in [-1, 1] -> 16-bit PCM WAV bytes."""
@@ -368,6 +373,15 @@ def decode_png(payload: bytes) -> np.ndarray:
     if ihdr is None or not idat:
         raise ValueError("truncated PNG: missing IHDR or IDAT")
     w, h, depth, ctype, comp, fmeth, interlace = ihdr
+    if w <= 0 or h <= 0:
+        # a (0, 0) image would ZeroDivisionError in the thumbnail
+        # block-mean — refuse with the quarantine-catchable error
+        raise ValueError(f"bad PNG dimensions {w}x{h}")
+    if w * h > MAX_DECODE_PIXELS:
+        raise ValueError(
+            f"PNG dimensions {w}x{h} exceed the decode limit "
+            f"({MAX_DECODE_PIXELS} px) — a few-KB header can claim "
+            "arbitrary dimensions; raise MAX_DECODE_PIXELS deliberately")
     if comp or fmeth:
         raise ValueError(f"bad PNG compression/filter method {comp}/{fmeth}")
     if interlace not in (0, 1):
@@ -381,10 +395,19 @@ def decode_png(payload: bytes) -> np.ndarray:
     nch = _PNG_CHANNELS[ctype]
     sample_bytes = depth // 8
     bpp = nch * sample_bytes
+    # bound the inflate to what the declared geometry can legitimately
+    # produce (scanlines + filter bytes; Adam7 adds at most 7 extra
+    # part-scanline rows) — an unbounded zlib.decompress would fully
+    # materialize a zip bomb before any length check runs
+    max_raw = (h + 7) * (w * bpp + 1) + 1024
     try:
-        raw = zlib.decompress(b"".join(idat))
+        dec = zlib.decompressobj()
+        raw = dec.decompress(b"".join(idat), max_raw + 1)
     except zlib.error as e:
         raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
+    if len(raw) > max_raw or dec.unconsumed_tail:
+        raise ValueError(
+            "PNG IDAT inflates beyond the declared geometry (zip bomb)")
     if interlace:  # Adam7: unfilter each pass, scatter into the grid
         grid = np.zeros((h, w, bpp), dtype=np.uint8)
         off = 0

@@ -190,9 +190,10 @@ def q_dedup_clusters_minhash(spark, sf_dir):
     # cluster_id IS min(doc_id) over the cluster by construction
     # (min-label propagation) — reuse it as keep_id rather than
     # re-aggregating a value that cannot differ
+    # no >=2 filter needed: dedup_clusters only emits nodes that
+    # appear in the pair graph, so every cluster has >= 2 members
     return (clusters.groupBy("cluster_id")
             .agg(F.count("*").alias("cluster_size"))
-            .filter(F.col("cluster_size") >= 2)
             .select(F.col("cluster_id"), "cluster_size",
                     F.col("cluster_id").alias("keep_id")))
 
@@ -286,6 +287,15 @@ def q_embedding_spectrum_exact(spark, sf_dir):
     evals = np.linalg.eigvalsh(g.reshape(dim, dim))[::-1][:5]
     rows = [(i + 1, round(float(v), 2)) for i, v in enumerate(evals)]
     return spark.createDataFrame(rows, "rnk int, sq_singular double")
+
+
+def _embedding_dim(emb):
+    """Dimension probe with an empty-table guard (first() is None on
+    an empty embeddings table — a clean error beats a TypeError)."""
+    row = emb.select("embedding").first()
+    if row is None:
+        raise ValueError("embeddings table is empty")
+    return len(row["embedding"])
 
 
 def q_ann_cosine_topk(spark, sf_dir):
@@ -721,7 +731,7 @@ def q_ann_lsh_topk(spark, sf_dir):
     q_ann_cosine_topk measures recall)."""
     from sketchlib.spark import annops
     emb = load(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()["embedding"])
+    dim = _embedding_dim(emb)
     return annops.ann_lsh_topk(emb, "vec_id", "embedding", dim,
                                query_filter=F.col("vec_id") < 10, k=5,
                                bands=32, bits_per_band=4)
@@ -739,7 +749,7 @@ def q_ann_ivf_topk(spark, sf_dir):
     favorable."""
     from sketchlib.spark import annops
     emb = load(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()["embedding"])
+    dim = _embedding_dim(emb)
     return annops.ann_ivf_topk(emb, "vec_id", "embedding", dim,
                                query_filter=F.col("vec_id") < 10, k=5,
                                n_centroids=8, nprobe=5)
@@ -765,7 +775,7 @@ def q_embedding_neardup_lsh(spark, sf_dir):
     """SRP-LSH near-dup pairs (rows-only; exact companion above)."""
     from sketchlib.spark import annops
     emb = load(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()["embedding"])
+    dim = _embedding_dim(emb)
     return annops.lsh_cosine_pairs(emb, "vec_id", "embedding", dim,
                                    threshold=0.4)
 
@@ -773,14 +783,19 @@ def q_embedding_neardup_lsh(spark, sf_dir):
 def q_user_overlap_exact(spark, sf_dir):
     """Exact shared-user counts between event_type pairs (theta
     companion)."""
-    ev = load(spark, sf_dir, "events").select("event_type", "user_id")
+    # distinct BEFORE the self-join: a user with f event rows would
+    # otherwise fan out f^2 join rows per pair — a skew job-killer at
+    # events scale; countDistinct becomes a plain count on the
+    # deduped set (identical result, hash-checked)
+    ev = (load(spark, sf_dir, "events")
+          .select("event_type", "user_id").distinct())
     a = ev.alias("a")
     b = ev.alias("b")
     return (a.join(b, (F.col("a.user_id") == F.col("b.user_id"))
                    & (F.col("a.event_type") < F.col("b.event_type")))
             .groupBy(F.col("a.event_type").alias("type_a"),
                      F.col("b.event_type").alias("type_b"))
-            .agg(F.countDistinct(F.col("a.user_id")).alias("n_shared")))
+            .agg(F.count("*").alias("n_shared")))
 
 
 def q_user_jaccard_exact(spark, sf_dir):

@@ -43,9 +43,15 @@ def _materialize(df: DataFrame) -> DataFrame:
 
 
 def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """One row per distinct text: (text_md5, keep_id=min id, n_copies)."""
-    return (df.select(F.md5(F.col(text_col).cast("binary")).alias("text_md5"),
-                      F.col(id_col))
+    """One row per distinct text: (text_md5, keep_id=min id, n_copies).
+
+    NULL texts are excluded: md5(NULL) is NULL, and grouping on it
+    would cluster every no-text doc as "duplicates" of each other and
+    keep exactly one — the same wrong semantics the minhash/simhash
+    paths explicitly refuse for null/short docs."""
+    return (df.filter(F.col(text_col).isNotNull())
+            .select(F.md5(F.col(text_col).cast("binary")).alias("text_md5"),
+                    F.col(id_col))
             .groupBy("text_md5")
             .agg(F.min(id_col).alias("keep_id"),
                  F.count("*").alias("n_copies")))
@@ -141,12 +147,15 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     The shingle->join plan is the exact counterpart of MinHash LSH:
     explode distinct shingles, join docs sharing one, count the
     intersection, Jaccard = inter / (|A| + |B| - inter).
-    ``max_shingle_freq`` drops ubiquitous shingles before the join
+    ``max_shingle_freq`` drops ubiquitous shingles before the JOIN
     (skew guard — a shingle shared by f docs creates f^2 join rows;
     an unbounded boilerplate shingle is a job-killer at scale). The
     default 1000 bounds any single shingle's fan-out to 1e6 rows.
-    Recall effect: a pair is missed only if ALL of its shared shingles
-    are boilerplate-frequent — at Jaccard >= 0.5 such pairs are
+    Set sizes are computed from the FULL (pre-cap) shingle sets, so
+    the cap can only shrink the measured intersection — a strictly
+    recall-only effect (reported Jaccard is never inflated): a pair
+    is missed only if ALL of its shared shingles are
+    boilerplate-frequent, and at Jaccard >= 0.5 such pairs are
     overwhelmingly boilerplate themselves; pass ``None`` to disable.
     """
     toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
@@ -158,17 +167,24 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
           .select("doc",
                   F.explode(_shingle_expr(F.col("t"), n)).alias("shingle"))
           .distinct())
+    # TRUE per-doc set sizes from the PRE-cap sets: computing them
+    # after the frequency cap inflated Jaccard for boilerplate-heavy
+    # docs (both sides shrink, intersection over tiny sets reads ~1.0)
+    # and emitted false-positive pairs — the cap must only LOWER the
+    # measured intersection (recall-only)
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    shj = sh
     if max_shingle_freq is not None:
         # skew cap as a WINDOW over one shingle-partitioned exchange
         # (not a separate groupBy + join): the self-join below joins on
         # the same key, so both join branches reuse this exchange
         # (ReusedExchange) instead of re-scanning + re-exploding the
         # corpus per branch
-        sh = (sh.withColumn("_f", F.count("*").over(Window.partitionBy("shingle")))
-              .filter(F.col("_f") <= max_shingle_freq).drop("_f"))
-    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+        shj = (sh.withColumn("_f",
+                             F.count("*").over(Window.partitionBy("shingle")))
+               .filter(F.col("_f") <= max_shingle_freq).drop("_f"))
+    a = shj.alias("a")
+    b = shj.alias("b")
     inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                     & (F.col("a.doc") < F.col("b.doc")))
              .groupBy(F.col("a.doc").alias("a_id"), F.col("b.doc").alias("b_id"))
@@ -544,7 +560,13 @@ def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         n_chars.alias("n_chars_text"),
         n_tok.alias("n_tokens"),
         F.round(F.size(F.array_distinct(toks)) / n_tok, 4).alias("uniq_ratio"),
-        F.round((n_chars - (n_tok - 1)) / n_tok, 4).alias("avg_token_len"),
+        # TRUE mean token length (sum of token lengths / n): the old
+        # (n_chars - (n-1)) / n shortcut assumed exactly one separator
+        # between tokens and mis-attributed runs of whitespace to the
+        # tokens themselves
+        F.round(F.aggregate(toks, F.lit(0),
+                            lambda a, t: a + F.length(t)).cast("double")
+                / n_tok, 4).alias("avg_token_len"),
     )
 
 
@@ -567,7 +589,8 @@ def langid_heuristic(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     array_intersect on the token array; argmax across a small fixed set
     of profiles. Docs matching no profile get 'und' (undetermined).
     """
-    toks = F.array_distinct(F.split(F.lower(F.col(text_col)), " "))
+    toks = F.array_distinct(F.filter(
+        F.split(F.lower(F.col(text_col)), " "), lambda x: x != ""))
     scores = F.array(*[
         F.struct(
             F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in sorted(ws)])))
@@ -622,7 +645,11 @@ def canonical_url(df: DataFrame, url_col: str,
     # scheme://host[:port] is everything through the 3rd '/' WHEN a
     # scheme is present; for scheme-less values only the first segment
     # (the host) is case-insensitive — the rest is path and stays as-is
-    has_scheme = base.rlike(r"^[a-zA-Z][a-zA-Z0-9+.\-]*://")
+    # protocol-relative URLs (//host/path) have the same shape as
+    # scheme'd ones after the split (['', '', host, ...]) — without
+    # this branch the host landed in the case-preserved tail
+    has_scheme = (base.rlike(r"^[a-zA-Z][a-zA-Z0-9+.\-]*://")
+                  | base.startswith("//"))
     parts = F.split(base, "/")
     n_head = F.when(has_scheme, F.lit(3)).otherwise(F.lit(1))
     head = F.concat_ws("/", F.slice(parts, F.lit(1), n_head))

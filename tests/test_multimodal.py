@@ -744,3 +744,58 @@ def test_mp4_truncated_stsc_refuses_with_valueerror():
     bad2 = p[:j + 8] + struct.pack(">I", 1 << 20) + p[j + 12:]
     with pytest.raises(ValueError):
         mp4_extract_samples(bad2)
+
+
+class TestDecodeResourceGuards:
+    """Round-4 fourth-pass review: adversarial payloads must refuse
+    with quarantine-catchable ValueError, never ZeroDivisionError or
+    an executor OOM."""
+
+    def test_zero_dimension_png_refused(self):
+        import struct
+        import zlib as _z
+        from sketchlib.spark.multimodal import (_PNG_SIG, _png_chunk,
+                                                decode_png, _decode_one)
+        ihdr = struct.pack(">IIBBBBB", 0, 0, 8, 2, 0, 0, 0)
+        png = (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+               + _png_chunk(b"IDAT", _z.compress(b""))
+               + _png_chunk(b"IEND", b""))
+        with pytest.raises(ValueError, match="dimensions"):
+            decode_png(png)
+        # ValueError is what extract_features' quarantine catches — a
+        # ZeroDivisionError (the pre-fix behavior) would kill the task
+        try:
+            _decode_one(png, "image", "image/png", fake=True)
+        except ValueError:
+            pass  # quarantine-catchable: correct
+
+    def test_zero_dimension_jpeg_refused(self):
+        from sketchlib.spark.jpeg import decode_jpeg, encode_jpeg
+        data = encode_jpeg(np.full((8, 8, 3), 100, dtype=np.uint8))
+        i = data.find(b"\xFF\xC0")
+        # rewrite SOF height to 0
+        bad = data[:i + 5] + b"\x00\x00" + data[i + 7:]
+        with pytest.raises(ValueError, match="dimensions"):
+            decode_jpeg(bad)
+
+    def test_png_zip_bomb_refused(self):
+        import struct
+        import zlib as _z
+        from sketchlib.spark.multimodal import (_PNG_SIG, _png_chunk,
+                                                decode_png)
+        # claims 2x2 RGB but IDAT inflates to ~50 MB
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+        bomb = _z.compress(b"\x00" * (50 << 20), 9)  # ~50 KB compressed
+        png = (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+               + _png_chunk(b"IDAT", bomb) + _png_chunk(b"IEND", b""))
+        with pytest.raises(ValueError, match="zip bomb|beyond"):
+            decode_png(png)
+
+    def test_huge_jpeg_dimensions_refused(self):
+        import struct
+        from sketchlib.spark.jpeg import decode_jpeg, encode_jpeg
+        data = encode_jpeg(np.full((8, 8, 3), 100, dtype=np.uint8))
+        i = data.find(b"\xFF\xC0")
+        bad = data[:i + 5] + struct.pack(">HH", 65535, 65535) + data[i + 9:]
+        with pytest.raises(ValueError, match="decode limit"):
+            decode_jpeg(bad)

@@ -726,6 +726,9 @@ class TestCanonicalUrl:
         # a second '?' is legal inside the query (RFC 3986) — the
         # content between the two must NOT be dropped
         ("http://example.com/p?b=2?x&a=1", "http://example.com/p?a=1&b=2?x"),
+        # protocol-relative: host folds, path case preserved
+        ("//Example.COM/Path/Pg", "//example.com/Path/Pg"),
+        ("//example.com:8080/x?b=2&a=1", "//example.com:8080/x?a=1&b=2"),
     ]
 
     def test_canonicalization_table(self, spark):
@@ -975,3 +978,22 @@ class TestThirdReviewPass:
                          per_group_params={"en": {"m": 1 << 13, "k": 6}})]
         with pytest.raises(ValueError, match="fingerprint"):
             build_sketches_checkpointed(df, ["lang"], p2, ck)
+
+
+def test_ngram_jaccard_cap_never_inflates(spark):
+    """Set sizes must come from the PRE-cap shingle sets: two docs
+    sharing only one rare shingle amid lots of capped boilerplate must
+    NOT read as near-identical (round-4 review: post-cap sizes made
+    their Jaccard 1.0 instead of ~0.01)."""
+    boiler = " ".join(f"b{i} b{i} common" for i in range(20))
+    rows = [(i, boiler) for i in range(30)]  # make boiler shingles frequent
+    rows += [(100, boiler + " raremarker one"),
+             (101, boiler + " raremarker two")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = textops.ngram_jaccard_pairs(df, "doc_id", "text", n=3,
+                                      threshold=0.3, max_shingle_freq=10)
+    pairs = {(r["a_id"], r["b_id"]): r["jaccard"] for r in got.collect()}
+    # docs 100/101 share the capped boiler set + 'common raremarker
+    # one/two' tails; with TRUE sizes their Jaccard is well under the
+    # threshold, so no pair may be emitted for them
+    assert (100, 101) not in pairs, pairs
