@@ -136,6 +136,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_lsh": _wrap(Q.q_embedding_neardup_lsh),
         "user_overlap_exact": _wrap(Q.q_user_overlap_exact),
         "user_jaccard_exact": _wrap(Q.q_user_jaccard_exact),
+        "user_containment_exact": _wrap(Q.q_user_containment_exact),
+        "hll_user_containment": _wrap(Q.q_hll_user_containment),
         "theta_user_overlap": _wrap(Q.q_theta_user_overlap),
         "user_difference_exact": _wrap(Q.q_user_difference_exact),
         "theta_user_difference": _wrap(Q.q_theta_user_difference),
@@ -418,6 +420,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM dots JOIN norms na ON na.vec_id = a_id "
             "JOIN norms nb ON nb.vec_id = b_id "
             "WHERE dot / (na.norm * nb.norm) >= 0.4",
+        "user_containment_exact":
+            "WITH u AS (SELECT DISTINCT event_type, user_id FROM events), "
+            "na AS (SELECT event_type, count(*) AS n FROM u "
+            "GROUP BY event_type), "
+            "sh AS (SELECT a.event_type AS type_a, b.event_type AS type_b, "
+            "count(*) AS s FROM u a JOIN u b ON a.user_id = b.user_id "
+            "AND a.event_type != b.event_type GROUP BY 1, 2) "
+            "SELECT x.event_type AS type_a, y.event_type AS type_b, "
+            "round(coalesce(sh.s, 0) / x.n, 4) AS containment "
+            "FROM na x JOIN na y ON x.event_type != y.event_type "
+            "LEFT JOIN sh ON sh.type_a = x.event_type "
+            "AND sh.type_b = y.event_type",
         "user_jaccard_exact":
             "WITH u AS (SELECT DISTINCT event_type, user_id FROM events), "
             "na AS (SELECT event_type, count(*) AS n FROM u "

@@ -100,6 +100,35 @@ class HyperLogLog:
         np.maximum(self.registers, other.registers, out=self.registers)
         return self
 
+    def union_estimate(self, other: "HyperLogLog") -> float:
+        """|A ∪ B| from register-max — HLL's native set operation."""
+        if (other.b, other.seed) != (self.b, self.seed):
+            raise ValueError("sketches must share (b, seed)")
+        tmp = HyperLogLog(self.b, self.seed)
+        np.maximum(self.registers, other.registers, out=tmp.registers)
+        return tmp.estimate()
+
+    def intersect_estimate(self, other: "HyperLogLog") -> float:
+        """|A ∩ B| by inclusion-exclusion over register-max unions
+        (cf. "Efficient Estimation of Inclusion Coefficient using
+        HyperLogLog Sketches", VLDB 2018): works on ALREADY-STORED
+        per-group HLLs with no second sketch type. Relative error
+        grows as the intersection shrinks vs the union (the two
+        ~1.04/sqrt(m) errors difference out) — for small overlaps
+        prefer the theta kernel, whose error scales with the
+        intersection itself. Clamped at 0 (inclusion-exclusion can go
+        negative within noise)."""
+        u = self.union_estimate(other)
+        return max(0.0, self.estimate() + other.estimate() - u)
+
+    def inclusion_coefficient(self, other: "HyperLogLog") -> float:
+        """|A ∩ B| / |A| in [0, 1] — the containment score: 1.0 means
+        (estimated) every element of A is in B."""
+        a = self.estimate()
+        if a <= 0:
+            return 0.0
+        return min(1.0, self.intersect_estimate(other) / a)
+
     def estimate(self) -> float:
         """Ertl's improved raw estimator (arXiv:1702.01284, alg. 6).
 

@@ -798,6 +798,54 @@ def q_user_overlap_exact(spark, sf_dir):
             .agg(F.count("*").alias("n_shared")))
 
 
+def q_user_containment_exact(spark, sf_dir):
+    """Exact inclusion coefficient |users(a) ∩ users(b)| / |users(a)|
+    per ordered event_type pair — companion of the HLL containment
+    estimate."""
+    u = (load(spark, sf_dir, "events")
+         .select("event_type", "user_id").distinct())
+    na = u.groupBy("event_type").agg(F.count("*").alias("n"))
+    a, b = u.alias("a"), u.alias("b")
+    shared = (a.join(b, (F.col("a.user_id") == F.col("b.user_id"))
+                     & (F.col("a.event_type") != F.col("b.event_type")))
+              .groupBy(F.col("a.event_type").alias("type_a"),
+                       F.col("b.event_type").alias("type_b"))
+              .agg(F.count("*").alias("n_shared")))
+    pairs = (na.select(F.col("event_type").alias("type_a"),
+                       F.col("n").alias("n_a"))
+             .crossJoin(na.select(F.col("event_type").alias("type_b")))
+             .filter(F.col("type_a") != F.col("type_b")))
+    return (pairs.join(shared, ["type_a", "type_b"], "left")
+            .select("type_a", "type_b",
+                    F.round(F.coalesce("n_shared", F.lit(0))
+                            / F.col("n_a"), 4).alias("containment")))
+
+
+def q_hll_user_containment(spark, sf_dir):
+    """HLL inclusion coefficient between event_type user sets — the
+    VLDB-2018 technique: containment from ALREADY-STORED per-group
+    HLLs via register-max union + inclusion-exclusion, no second
+    sketch type. Self-join of the HLL table + the hll_inclusion SQL
+    UDF; exact companion q_user_containment_exact (accuracy note:
+    error grows as the intersection shrinks — theta is the
+    small-overlap tool)."""
+    from sketchlib.spark.sqlfuncs import register_sql_functions
+    udfs = register_sql_functions(spark)
+    ev = (load(spark, sf_dir, "events")
+          .withColumn("uid", F.col("user_id").cast("string")))
+    sk = build_sketches(ev, ["event_type"],
+                        [SketchSpec("h", "hll", "uid", {"b": 13})])
+    a = sk.select(F.col("event_type").alias("type_a"),
+                  F.col("sketch").alias("sk_a"))
+    b = sk.select(F.col("event_type").alias("type_b"),
+                  F.col("sketch").alias("sk_b"))
+    return (a.join(b, F.col("type_a") != F.col("type_b"))
+            .select("type_a", "type_b",
+                    F.round(udfs["hll_inclusion"](F.col("sk_a"),
+                                                  F.col("sk_b")), 4)
+                    .alias("containment_est")))
+
+
 def q_user_jaccard_exact(spark, sf_dir):
     """Exact Jaccard of user sets between event_type pairs — the
     companion of q_theta_user_overlap's jaccard_est column:

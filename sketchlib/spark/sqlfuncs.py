@@ -188,6 +188,27 @@ def _make_udfs() -> dict:
     theta_difference = _theta_pair(lambda a, b: a.difference_estimate(b))
     theta_jaccard = _theta_pair(lambda a, b: a.jaccard_estimate(b))
 
+    def _hll_pair(fn):
+        def inner(a_blobs: pd.Series, b_blobs: pd.Series) -> pd.Series:
+            from sketchlib.core.hll import HyperLogLog
+            out = np.full(len(a_blobs), np.nan)
+            for i, (a, b) in enumerate(zip(a_blobs, b_blobs)):
+                if a is None or b is None:
+                    continue
+                out[i] = fn(HyperLogLog.from_bytes(bytes(a)),
+                            HyperLogLog.from_bytes(bytes(b)))
+            return pd.Series(out)
+        return inner
+
+    # HLL set algebra via inclusion-exclusion over register-max unions
+    # (VLDB 2018 inclusion-coefficient technique): runs on already-
+    # stored per-group HLL tables with no second sketch type; for
+    # small intersections prefer the theta UDFs (error scales with the
+    # intersection itself there)
+    hll_union = _hll_pair(lambda a, b: a.union_estimate(b))
+    hll_intersect = _hll_pair(lambda a, b: a.intersect_estimate(b))
+    hll_inclusion = _hll_pair(lambda a, b: a.inclusion_coefficient(b))
+
     return {
         "sketch_estimate": pandas_udf(sketch_estimate, "double"),
         "bloom_contains": pandas_udf(bloom_contains, "boolean"),
@@ -203,6 +224,9 @@ def _make_udfs() -> dict:
         "theta_intersect": pandas_udf(theta_intersect, "double"),
         "theta_difference": pandas_udf(theta_difference, "double"),
         "theta_jaccard": pandas_udf(theta_jaccard, "double"),
+        "hll_union": pandas_udf(hll_union, "double"),
+        "hll_intersect": pandas_udf(hll_intersect, "double"),
+        "hll_inclusion": pandas_udf(hll_inclusion, "double"),
     }
 
 

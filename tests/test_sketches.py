@@ -318,3 +318,45 @@ class TestKernelReviewRound4:
         t, hdr, payload = serde.unpack(h.to_bytes())
         with pytest.raises(ValueError, match="HLL"):
             HyperLogLog.from_bytes(serde.pack(t, hdr, payload[:-7]))
+
+
+class TestHllSetAlgebra:
+    """HLL union/intersection/inclusion via register-max +
+    inclusion-exclusion (VLDB-2018 inclusion-coefficient technique)."""
+
+    def _pair(self, b=12):
+        from sketchlib.core.hll import HyperLogLog
+        a = HyperLogLog(b=b).update_batch([f"u{i}" for i in range(10_000)])
+        c = HyperLogLog(b=b).update_batch(
+            [f"u{i}" for i in range(5_000, 20_000)])
+        return a, c
+
+    def test_union_intersect_inclusion_accuracy(self):
+        a, c = self._pair()
+        # 1.04/sqrt(4096) ~ 1.6% sigma; allow 5 sigma on the union and
+        # a looser band on the differenced intersection
+        assert abs(a.union_estimate(c) - 20_000) < 20_000 * 0.08
+        assert abs(a.intersect_estimate(c) - 5_000) < 5_000 * 0.25
+        assert abs(a.inclusion_coefficient(c) - 0.5) < 0.12
+
+    def test_subset_containment_is_one(self):
+        from sketchlib.core.hll import HyperLogLog
+        big = HyperLogLog(b=12).update_batch([f"u{i}" for i in range(8_000)])
+        sub = HyperLogLog(b=12).update_batch([f"u{i}" for i in range(2_000)])
+        assert sub.inclusion_coefficient(big) > 0.999  # ~1 (float eps)
+        # disjoint sets: clamped at 0
+        other = HyperLogLog(b=12).update_batch(
+            [f"x{i}" for i in range(2_000)])
+        assert sub.inclusion_coefficient(other) < 0.1
+
+    def test_param_mismatch_refused(self):
+        import pytest
+        from sketchlib.core.hll import HyperLogLog
+        with pytest.raises(ValueError, match="share"):
+            HyperLogLog(b=12).union_estimate(HyperLogLog(b=10))
+
+    def test_empty_a_containment_zero(self):
+        from sketchlib.core.hll import HyperLogLog
+        empty = HyperLogLog(b=10)
+        full = HyperLogLog(b=10).update_batch(["x"])
+        assert empty.inclusion_coefficient(full) == 0.0
