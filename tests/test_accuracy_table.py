@@ -32,7 +32,10 @@ def test_distinct_rows_exact_column_is_exact(spark, acc):
 def test_quantile_rows_are_rank_errors(acc):
     q = acc[acc["kind"].isin(["kll", "tdigest"])]
     assert (q["metric"] == "median_rank_err").all()
-    assert ((q["exact"] >= 0) & (q["exact"] <= 1)).all()
+    # falsifiable: a correct median estimate pins the measured rank
+    # near 0.5 on the (tie-free) fixture — an avg of indicators is in
+    # [0,1] by construction, so only the tight band checks anything
+    assert ((q["exact"] - 0.5).abs() <= 0.05).all(), q
     assert (q["err"] <= 0.05).all()
 
 

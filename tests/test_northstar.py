@@ -10,7 +10,6 @@ import numpy as np
 import pyspark.sql.functions as F
 import pytest
 
-from sketchlib.core.serde import sketch_from_bytes
 from sketchlib.spark.build import calibrate, bloom_params_by_group, build_sketches
 from sketchlib.spark.heavyhitters import cms_heavy_hitters
 from sketchlib.spark.specs import SketchSpec

@@ -135,6 +135,11 @@ def test_duplicate_spec_names_rejected(spark, pages):
 
 
 def test_auto_fanout_multi_level_on_wide_input(spark, pages_tiny):
+    # precondition for the narrow-path half below: the tiny fixture
+    # must scan as ONE partition (it sits under the 4MB parquet
+    # openCost split) — if a fixture tweak grows it past that, this
+    # assert points at the real cause instead of a plan mismatch
+    assert pages_tiny.rdd.getNumPartitions() == 1
     wide = pages_tiny.repartition(100)
     df = build_sketches(wide, ["lang"],
                         [SketchSpec("h", "hll", "url", {"b": 8})])
@@ -160,13 +165,11 @@ def test_flush_bounded_memory_semantics(spark, pages_tiny_multifile):
     to the unbounded build; the lossy quantile kernels get one more
     merge boundary (same class of effect as the partition split) and
     must be deterministic run-to-run with accurate quantiles."""
-    from sketchlib.spark.build import build_partials, merge_partials
     from sketchlib.core.serde import sketch_from_bytes
     specs = [SketchSpec("b", "bloom", "url", {"m": 1 << 14, "k": 5}),
              SketchSpec("h", "hll", "url", {"b": 10}),
              SketchSpec("t", "tdigest", "html_len", {"delta": 100}),
              SketchSpec("k", "kll", "html_len", {"k": 128})]
-    import pyspark.sql.functions as F
     df = pages_tiny_multifile.withColumn(
         "html_len", F.length("html").cast("double"))
     def run(mg):

@@ -14,11 +14,17 @@ def canon(df: pd.DataFrame) -> tuple[int, str]:
     df = df.reindex(sorted(df.columns), axis=1)
     rows = []
     for t in df.itertuples(index=False):
-        rows.append("|".join("NULL" if pd.isna(v) else
-                             (f"{v:.6f}" if isinstance(v, float) else str(v))
-                    for v in t))
+        # v + 0.0 folds -0.0 into 0.0 (engines can disagree on the
+        # sign of a zero sum); \x1f/\x1e separators cannot appear in
+        # the fixture text (newlines/pipes DO — joining on them let
+        # different row splits hash identical)
+        cells = "\x1f".join("NULL" if pd.isna(v) else
+                            (f"{v + 0.0:.6f}" if isinstance(v, float)
+                             else str(v))
+                            for v in t)
+        rows.append(cells)
     rows.sort()
-    return len(rows), hashlib.md5("\n".join(rows).encode()).hexdigest()
+    return len(rows), hashlib.md5("\x1e".join(rows).encode()).hexdigest()
 
 def main(only=None):
     import __spark_entry__ as E
@@ -30,6 +36,10 @@ def main(only=None):
         if os.path.exists(p):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     qs, oracles = E.queries(), E.oracle_sql()
+    if only:
+        unknown = set(only) - set(qs)
+        if unknown:  # a typo must not produce a false-green gate
+            raise SystemExit(f"unknown query name(s): {sorted(unknown)}")
     fails = []
     for name, fn in qs.items():
         if only and name not in only:
