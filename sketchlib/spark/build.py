@@ -293,7 +293,8 @@ def _merged_schema(partials: DataFrame, group_cols: list[str]) -> StructType:
 
 
 def merge_partials(partials: DataFrame, group_cols: list[str],
-                   fanout: int | str | list[int] | None = None) -> DataFrame:
+                   fanout: int | str | list[int] | None = None,
+                   allow_narrow: bool = True) -> DataFrame:
     """Stage 2b: hierarchical merge of partial sketches per (group, spec).
 
     ``fanout=S`` inserts one salted pre-merge level (treeAggregate
@@ -346,7 +347,7 @@ def merge_partials(partials: DataFrame, group_cols: list[str],
     if not plan and nparts is None:
         nparts = partials.rdd.getNumPartitions()
 
-    if nparts == 1 and not plan:
+    if nparts == 1 and not plan and allow_narrow:
         # every partial row of a (group, spec) lives in the one input
         # partition, so a NARROW per-partition fold is complete — no
         # Exchange, no extra stage wave: it pipelines with the partial
@@ -354,15 +355,28 @@ def merge_partials(partials: DataFrame, group_cols: list[str],
         # where the shuffle stage latency dominates the whole query).
         # Fold order is the same (partition_id, chunk) sort, so the
         # result is bitwise-identical to the shuffle path.
+        #
+        # Memory shape: batches accumulate per GROUP and each group is
+        # folded (and its accumulation freed) independently, so the
+        # transient is all partial blobs once plus ONE group's frame —
+        # never a single concat of every group's dense partials. For
+        # inputs where even that is too much (a large checkpoint store
+        # read back as one partition), callers pass allow_narrow=False
+        # and take the shuffle path, which holds one group per task.
         def fold_partition(batches):
-            pdfs = [p for p in batches if len(p)]
-            if not pdfs:
+            groups: dict = {}
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                for key, sub in pdf.groupby(keys, sort=False, dropna=False):
+                    if not isinstance(key, tuple):
+                        key = (key,)
+                    groups.setdefault(key, []).append(sub)
+            if not groups:
                 return
-            pdf = pd.concat(pdfs, ignore_index=True)
             out = []
-            for key, sub in pdf.groupby(keys, sort=False, dropna=False):
-                if not isinstance(key, tuple):
-                    key = (key,)
+            for key in list(groups):
+                sub = pd.concat(groups.pop(key), ignore_index=True)
                 out.append(merge_fn(_norm_nan(key), sub))
             yield pd.concat(out, ignore_index=True)
 

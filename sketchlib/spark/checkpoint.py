@@ -104,9 +104,14 @@ def spec_fingerprint(df: DataFrame, group_cols: list[str],
                    # CONTENT of per-group params, not just presence: a
                    # resume against recalibrated (m,k) must refuse up
                    # front, not fail deep inside merge (or, for params
-                   # merge doesn't validate, silently mix modes)
-                   "per_group": (sorted((repr(g), repr(p)) for g, p in
-                                        s.per_group_params.items())
+                   # merge doesn't validate, silently mix modes).
+                   # Params serialize via json.dumps(sort_keys) — repr
+                   # of a dict depends on insertion order, so two
+                   # logically identical param dicts built in different
+                   # orders would spuriously refuse a legitimate resume
+                   "per_group": (sorted(
+                       (repr(g), json.dumps(p, sort_keys=True, default=repr))
+                       for g, p in s.per_group_params.items())
                                  if s.per_group_params is not None else None),
                    "tokenize": s.tokenize, "weight_col": s.weight_col}
                   for s in specs],
@@ -307,7 +312,13 @@ def build_sketches_checkpointed(df: DataFrame, group_cols: list[str],
         remaining = df.filter(~F.spark_partition_id().isin(done)) if done else df
         new_partials = build_partials(remaining, group_cols, specs)
         ckpt.write(new_partials, fp, append=True)
-        return merge_partials(ckpt.read_partials(), group_cols, fanout=fanout)
+        # allow_narrow=False: a store read back as ONE partition
+        # would concentrate every group's partials in a single
+        # narrow-fold task; stored partials always merge via the
+        # shuffle path (one group per task)
+        return merge_partials(ckpt.read_partials(), group_cols,
+                              fanout=fanout, allow_narrow=False)
     partials = build_partials(df, group_cols, specs)
     ckpt.write(partials, fp, append=False)
-    return merge_partials(ckpt.read_partials(), group_cols, fanout=fanout)
+    return merge_partials(ckpt.read_partials(), group_cols,
+                          fanout=fanout, allow_narrow=False)

@@ -618,6 +618,7 @@ def mp4_extract_samples(payload: bytes, handler: str = "vide") -> list[bytes]:
     probe_mp4(payload)  # validates container structure up front
     walk = _bmff_walk  # re-walk for the raw tables (probe keeps stats)
     n = len(payload)
+    incomplete = None  # first matching-but-incomplete trak's error
     for tag, b0, b1 in walk(payload, 0, n):
         if tag != b"moov":
             continue
@@ -685,9 +686,14 @@ def mp4_extract_samples(payload: bytes, handler: str = "vide") -> list[bytes]:
             if hdl != handler:
                 continue
             if not sizes or not stsc or not offsets:
-                raise ValueError(
+                # a handler-matching trak with incomplete tables must
+                # not end the search: a later matching trak may be
+                # complete (multi-track files). Remember the failure
+                # for the terminal error and keep walking.
+                incomplete = (
                     f"track '{handler}' has no complete sample table "
                     "(need stsz + stsc + stco/co64)")
+                continue
             # expand stsc: samples-per-chunk for each chunk 1..len(offsets)
             out, si = [], 0
             for ci, off in enumerate(offsets, start=1):
@@ -706,8 +712,18 @@ def mp4_extract_samples(payload: bytes, handler: str = "vide") -> list[bytes]:
                     out.append(payload[off:end])
                     off = end
                     si += 1
+            if si < len(sizes):
+                # stsc's chunk map covers fewer samples than stsz
+                # declares: the tables are mutually inconsistent —
+                # loudly refuse rather than silently truncate the
+                # sample list (docstring contract)
+                raise ValueError(
+                    f"inconsistent MP4 sample tables: stsz declares "
+                    f"{len(sizes)} samples but the stsc chunk map only "
+                    f"covers {si}")
             return out
-    raise ValueError(f"no '{handler}' track with a sample table found")
+    raise ValueError(incomplete if incomplete is not None else
+                     f"no '{handler}' track with a sample table found")
 
 
 def decode_mp4_frames(payload: bytes, max_frames: int | None = None

@@ -17,22 +17,47 @@ _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__f
 
 
 def package_zip(out_dir: str | None = None) -> str:
-    """Zip the sketchlib package for --py-files / addPyFile shipping."""
+    """Zip the sketchlib package for --py-files / addPyFile shipping.
+
+    Named by CONTENT HASH and reused: repeated attach_package calls (or
+    concurrent sessions over the same source tree) share one archive
+    instead of leaking a fresh multi-MB zip per call into the shared
+    tmp dir. Publication is atomic (write-unique then os.replace), so a
+    concurrent session never observes a truncated archive; a different
+    source tree hashes to a different name, so stale reuse is
+    impossible.
+    """
+    import hashlib
     pkg_dir = os.path.join(_REPO_ROOT, "sketchlib")
-    # unique per call: a fixed name in the shared tmp dir races
-    # concurrent sessions (overwrite while another session's executors
-    # fetch it -> truncated archive) and fails across users
-    fd, out = tempfile.mkstemp(prefix="sketchlib_pyfiles_", suffix=".zip",
+    entries = []
+    for root, _dirs, files in os.walk(pkg_dir):
+        if "__pycache__" in root:
+            continue
+        for f in sorted(files):
+            if f.endswith(".py"):
+                full = os.path.join(root, f)
+                entries.append((os.path.relpath(full, _REPO_ROOT), full))
+    entries.sort()
+    h = hashlib.sha256()
+    for rel, full in entries:
+        h.update(rel.encode())
+        with open(full, "rb") as fh:
+            h.update(fh.read())
+    out_dir = out_dir or tempfile.gettempdir()
+    out = os.path.join(out_dir, f"sketchlib_pyfiles_{h.hexdigest()[:16]}.zip")
+    if os.path.exists(out):
+        return out
+    fd, tmp = tempfile.mkstemp(prefix="sketchlib_pyfiles_", suffix=".zip.tmp",
                                dir=out_dir)
     os.close(fd)
-    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as zf:
-        for root, _dirs, files in os.walk(pkg_dir):
-            if "__pycache__" in root:
-                continue
-            for f in files:
-                if f.endswith(".py"):
-                    full = os.path.join(root, f)
-                    zf.write(full, os.path.relpath(full, _REPO_ROOT))
+    try:
+        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+            for rel, full in entries:
+                zf.write(full, rel)
+        os.replace(tmp, out)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
     return out
 
 

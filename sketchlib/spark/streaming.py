@@ -435,12 +435,29 @@ class SketchTableSink:
         self._prune(int(batch_id))
 
     def _prune(self, committed: int) -> None:
-        """Best-effort removal of versions older than the newest
-        ``keep_versions`` — through Hadoop FS so any scheme works."""
+        """Best-effort removal of stale versions — through Hadoop FS so
+        any scheme works. Retention counts COMMITTED versions only: a
+        crash-leftover uncommitted dir must not displace a committed
+        rollback version from the keep window, so uncommitted dirs
+        older than the newest commit are always deleted and the newest
+        ``keep_versions`` committed versions are kept."""
+        import json
         try:
             jvm, fs = self._fs()
-            for v in self._versions()[:-self.keep_versions]:
-                if v < committed:
+            versions = self._versions()
+            committed_vs = []
+            for v in versions:
+                try:
+                    rows = self.spark.read.text(
+                        f"{self.path}/v={v}/_COMMIT").collect()
+                    doc = json.loads("".join(r["value"] for r in rows))
+                    if int(doc.get("batch_id", -1)) == v:
+                        committed_vs.append(v)
+                except Exception:
+                    pass  # unreadable marker -> not committed
+            keep = set(committed_vs[-self.keep_versions:])
+            for v in versions:
+                if v < committed and v not in keep:
                     fs.delete(jvm.org.apache.hadoop.fs.Path(
                         f"{self.path}/v={v}"), True)
         except Exception:

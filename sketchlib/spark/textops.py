@@ -657,7 +657,21 @@ def canonical_url(df: DataFrame, url_col: str,
                   F.concat_ws("/", F.slice(parts, n_head + F.lit(1),
                                            F.lit(100000)))
                   ).otherwise(F.lit(None))
-    head = F.lower(head)
+    # case-fold scheme and host ONLY — userinfo (user:pass@) is
+    # case-sensitive per RFC 3986 §3.2.1, so http://Alice@Host/x must
+    # keep 'Alice' while folding scheme+host. The host is everything
+    # after the LAST '@' in the head (an unencoded '@' cannot occur
+    # earlier within userinfo's grammar, and path '@'s are outside the
+    # head by construction).
+    host_part = F.substring_index(head, "@", -1)
+    before_at = F.substring(
+        head, F.lit(1), F.length(head) - F.length(host_part) - F.lit(1))
+    scheme_prefix = F.regexp_extract(head, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://", 0)
+    userinfo = F.substring(
+        before_at, F.length(scheme_prefix) + F.lit(1), F.lit(1 << 30))
+    with_user = F.concat(F.lower(scheme_prefix), userinfo,
+                         F.lit("@"), F.lower(host_part))
+    head = F.when(F.instr(head, "@") > 0, with_user).otherwise(F.lower(head))
     # default ports are scheme-specific: http://host:443 is a distinct
     # origin from http://host and must NOT merge (and vice versa)
     head = (F.when(head.startswith("http://"),

@@ -215,3 +215,23 @@ class TestIcebergStore:
             pages_tiny, ["lang"], SPECS, "iceberg:db.t")
         assert out.count() > 0
         assert ("create_replace", "db.t") in seen["ops"].calls
+
+
+def test_fingerprint_per_group_param_dict_order_invariant(spark, pages_tiny):
+    """Two logically identical per_group_params dicts built in
+    different key-insertion orders must fingerprint identically — a
+    legitimate resume must not be refused on dict ordering (ADVICE
+    r4: repr(p) leaked insertion order)."""
+    p1 = {("en",): {"m": 1 << 12, "k": 5}, ("fr",): {"k": 5, "m": 1 << 12}}
+    p2 = {("fr",): {"m": 1 << 12, "k": 5}, ("en",): {"k": 5, "m": 1 << 12}}
+    s1 = [SketchSpec("b", "bloom", "url", per_group_params=p1)]
+    s2 = [SketchSpec("b", "bloom", "url", per_group_params=p2)]
+    assert (spec_fingerprint(pages_tiny, ["lang"], s1)
+            == spec_fingerprint(pages_tiny, ["lang"], s2))
+    # DIFFERENT param content must still change the fingerprint
+    p3 = {("en",): {"m": 1 << 13, "k": 5}, ("fr",): {"m": 1 << 12, "k": 5}}
+    s3 = [SketchSpec("b", "bloom", "url", per_group_params=p3)]
+    assert (spec_fingerprint(spark.createDataFrame(
+        [("a", "x")], "lang string, url string"), ["lang"], s3)
+        != spec_fingerprint(spark.createDataFrame(
+            [("a", "x")], "lang string, url string"), ["lang"], s1))

@@ -799,3 +799,105 @@ class TestDecodeResourceGuards:
         bad = data[:i + 5] + struct.pack(">HH", 65535, 65535) + data[i + 9:]
         with pytest.raises(ValueError, match="decode limit"):
             decode_jpeg(bad)
+
+
+class TestMp4SampleTableEdges:
+    """ADVICE r4: inconsistent stsz/stsc tables must raise loudly, and
+    an incomplete handler-matching trak must not mask a later complete
+    one."""
+
+    @staticmethod
+    def _frames():
+        # extraction never decodes, so minimal JPEG-shaped bytes do
+        return [b"\xFF\xD8" + bytes([i]) * 24 + b"\xFF\xD9"
+                for i in range(3)]
+
+    def test_stsc_covering_fewer_samples_than_stsz_raises(self):
+        import struct
+        from sketchlib.spark.multimodal import (encode_mp4_stub,
+                                                mp4_extract_samples)
+        frames = self._frames()
+        payload = bytearray(encode_mp4_stub(3000, 16, 16, samples=frames))
+        # patch stsc samples_per_chunk: n -> n-1 (chunk map now covers
+        # fewer samples than stsz declares)
+        i = payload.index(b"stsc")
+        # stsc payload: version/flags(4) entry_count(4) then
+        # (first_chunk, samples_per_chunk, desc) — samples_per_chunk
+        # at tag_end + 4 + 4 + 4
+        spc_off = i + 4 + 4 + 4 + 4
+        (spc,) = struct.unpack(">I", payload[spc_off:spc_off + 4])
+        assert spc == len(frames)
+        payload[spc_off:spc_off + 4] = struct.pack(">I", spc - 1)
+        with pytest.raises(ValueError, match="inconsistent"):
+            mp4_extract_samples(bytes(payload))
+
+    def test_incomplete_trak_then_complete_trak_succeeds(self):
+        import struct
+        from sketchlib.spark.multimodal import mp4_extract_samples
+
+        def box(tag, payload):
+            return struct.pack(">I", 8 + len(payload)) + tag + payload
+
+        frames = self._frames()
+        sizes = [len(s) for s in frames]
+        ts = 1000
+        dur = 1000
+        mvhd = box(b"mvhd", struct.pack(">B3xIIII", 0, 0, 0, ts, dur)
+                   + b"\x00" * 80)
+
+        def tkhd():
+            return box(b"tkhd", struct.pack(">B3xIIII", 0, 0, 0, 1, 0)
+                       + struct.pack(">I", dur) + b"\x00" * 52
+                       + struct.pack(">II", 16 << 16, 16 << 16))
+
+        mdhd = box(b"mdhd", struct.pack(">B3xIIII", 0, 0, 0, ts, dur)
+                   + b"\x00" * 4)
+        hdlr = box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12 + b"\x00")
+        # first trak: declares 'vide' but carries NO sample table
+        trak_inc = box(b"trak", tkhd() + box(b"mdia", mdhd + hdlr))
+        n = len(frames)
+
+        def stbl(chunk_off):
+            stts = box(b"stts", struct.pack(">IIII", 0, 1, n, dur // n))
+            stsz = box(b"stsz", struct.pack(">III", 0, 0, n)
+                       + b"".join(struct.pack(">I", s) for s in sizes))
+            stsc = box(b"stsc", struct.pack(">IIIII", 0, 1, 1, n, 1))
+            stco = box(b"stco", struct.pack(">III", 0, 1, chunk_off))
+            return box(b"minf", box(b"stbl", stts + stsz + stsc + stco))
+
+        def assemble(off):
+            trak_c = box(b"trak", tkhd()
+                         + box(b"mdia", mdhd + hdlr + stbl(off)))
+            moov = box(b"moov", mvhd + trak_inc + trak_c)
+            ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0x200)
+                       + b"isommp42")
+            head = ftyp + moov
+            return head + box(b"mdat", b"".join(frames)), len(head) + 8
+
+        _, off = assemble(0)
+        payload, off2 = assemble(off)
+        assert off == off2
+        assert mp4_extract_samples(payload) == frames
+
+    def test_only_incomplete_traks_still_raises(self):
+        import struct
+        from sketchlib.spark.multimodal import mp4_extract_samples
+
+        def box(tag, payload):
+            return struct.pack(">I", 8 + len(payload)) + tag + payload
+
+        ts = dur = 1000
+        mvhd = box(b"mvhd", struct.pack(">B3xIIII", 0, 0, 0, ts, dur)
+                   + b"\x00" * 80)
+        tkhd = box(b"tkhd", struct.pack(">B3xIIII", 0, 0, 0, 1, 0)
+                   + struct.pack(">I", dur) + b"\x00" * 52
+                   + struct.pack(">II", 16 << 16, 16 << 16))
+        mdhd = box(b"mdhd", struct.pack(">B3xIIII", 0, 0, 0, ts, dur)
+                   + b"\x00" * 4)
+        hdlr = box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12 + b"\x00")
+        trak_inc = box(b"trak", tkhd + box(b"mdia", mdhd + hdlr))
+        moov = box(b"moov", mvhd + trak_inc)
+        ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0x200)
+                   + b"isommp42")
+        with pytest.raises(ValueError, match="no complete sample table"):
+            mp4_extract_samples(ftyp + moov + box(b"mdat", b""))

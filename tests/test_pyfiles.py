@@ -49,3 +49,16 @@ def test_worker_side_import_through_addpyfile(spark):
     df = spark.range(4).repartition(2)
     rows = df.mapInPandas(probe, "ok int").collect()
     assert all(r["ok"] == 1 for r in rows)
+
+
+def test_package_zip_content_hash_reuse(tmp_path):
+    """Repeated calls reuse ONE content-addressed archive instead of
+    leaking a fresh tempfile per call (ADVICE r4)."""
+    import os
+    a = package_zip(str(tmp_path))
+    b = package_zip(str(tmp_path))
+    assert a == b and os.path.exists(a)
+    assert len([f for f in os.listdir(tmp_path)
+                if f.startswith("sketchlib_pyfiles_")]) == 1
+    # no stray .tmp leftovers from the atomic publish
+    assert not [f for f in os.listdir(tmp_path) if f.endswith(".tmp")]

@@ -193,3 +193,35 @@ def test_sketch_table_uncommitted_version_is_invisible(spark, pages_tiny,
                 if r["sketch_name"] == "b")
     assert total == pages_tiny.count()
     shutil.rmtree(tbl)
+
+
+def test_sketch_table_prune_counts_committed_only(spark, pages_tiny,
+                                                  tmp_path):
+    """Retention (keep_versions) must count COMMITTED versions: a
+    crash-leftover junk dir must not displace a committed rollback
+    version from the keep window, and junk older than the newest
+    commit is itself removed (ADVICE r4)."""
+    import json
+    import os
+    import shutil
+    from sketchlib.spark.streaming import SketchTableSink
+    tbl = str(tmp_path / "sktbl3")
+    sink = SketchTableSink(spark, tbl, ["lang"], SPECS, keep_versions=2)
+
+    def commit_fake(v):
+        # same marker shape the sink writes: a _COMMIT DIRECTORY
+        # holding text part files
+        os.makedirs(f"{tbl}/v={v}/_COMMIT", exist_ok=True)
+        with open(f"{tbl}/v={v}/_COMMIT/part-00000.txt", "w") as f:
+            f.write(json.dumps({"batch_id": v, "path": f"{tbl}/v={v}"}))
+
+    commit_fake(1)
+    commit_fake(2)
+    os.makedirs(f"{tbl}/v=3", exist_ok=True)  # uncommitted junk
+    commit_fake(4)
+    sink._prune(4)
+    left = sorted(int(d[2:]) for d in os.listdir(tbl) if d.startswith("v="))
+    # keep = newest 2 COMMITTED {2, 4}; junk v=3 and stale v=1 removed
+    assert left == [2, 4]
+    assert sink.latest()["batch_id"] == 4
+    shutil.rmtree(tbl)
