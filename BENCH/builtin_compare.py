@@ -28,9 +28,14 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
 def timed(fn):
-    t0 = time.perf_counter()
-    out = fn()
-    return out, time.perf_counter() - t0
+    """Median of 3 (same discipline as bench.py since round 4: single
+    runs on this shared box carry ±50% noise)."""
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = fn()
+        ts.append(time.perf_counter() - t0)
+    return out, sorted(ts)[1]
 
 
 def main():
@@ -59,11 +64,13 @@ def main():
         docs.groupBy("lang").agg(
             F.approx_count_distinct("text", 0.00812).alias("n")).collect()})
     def ours_d():
+        # fused read-out: the estimate is extracted inside the final
+        # merge task (readout=), so no separate python-eval stage
         m = build_sketches(docs, ["lang"],
-                           [SketchSpec("h", "hll", "text", {"b": 14})])
-        return {r["lang"]: r["n"] for r in
-                m.select("lang", udfs["sketch_estimate"]("sketch")
-                         .alias("n")).collect()}
+                           [SketchSpec("h", "hll", "text", {"b": 14})],
+                           readout=[("n", "double",
+                                     lambda _n, sk: float(sk.estimate()))])
+        return {r["lang"]: r["n"] for r in m.select("lang", "n").collect()}
     our_d, t_our_d = timed(ours_d)
 
     # --- median ---
@@ -72,11 +79,13 @@ def main():
         docs.groupBy("lang").agg(
             F.percentile_approx("n_chars", 0.5, 10000).alias("q")).collect()})
     def ours_q():
-        m = build_sketches(docs, ["lang"],
-                           [SketchSpec("k", "kll", "n_chars", {"k": 256})])
-        return {r["lang"]: r["q"] for r in
-                m.select("lang", udfs["sketch_quantile"]("sketch", F.lit(0.5))
-                         .alias("q")).collect()}
+        # interactive-latency path: ONE python stage (partials), fold
+        # of the <= #parts x #groups tiny blobs on the driver —
+        # bitwise-identical to the distributed merge (same fold order)
+        from sketchlib.spark.build import build_sketches_local
+        sks = build_sketches_local(
+            docs, ["lang"], [SketchSpec("k", "kll", "n_chars", {"k": 256})])
+        return {lang: sk.quantile(0.5) for (lang, _n), sk in sks.items()}
     our_q, t_our_q = timed(ours_q)
 
     def werr(est, exact):

@@ -568,35 +568,57 @@ def q_countsketch_token_freq(spark, sf_dir):
 
 
 def q_kll_quantiles_nchars(spark, sf_dir):
-    """Distributed quantile read-out via the sketch_quantile SQL UDF —
-    the KLL and t-digest sketch rows join on lang, no driver loop."""
+    """Distributed quantile + rank/CDF read-out from ONE python-eval
+    boundary: the KLL and t-digest rows pivot to one wide row per lang
+    (first-over-when — a ≤#groups×#specs-row shuffle), then the three
+    array-in/array-out UDF calls (`sketch_quantiles`, `sketch_cdfs`)
+    sit in a single projection, so Catalyst folds them into one
+    ArrowEvalPython stage. Round 4 paid ~3 Arrow round-trips here
+    (filter+join of per-point scalar UDF columns); the CDF shares
+    (inverse read-out, exact companion short_doc_share_lang) ride the
+    same boundary for free — this query also absorbs round 4's
+    separate kll_cdf_nchars catalog entry."""
     from sketchlib.spark.sqlfuncs import register_sql_functions
     udfs = register_sql_functions(spark)
     merged = _doc_sketches(
         spark, sf_dir,
         [SketchSpec("k", "kll", "n_chars", {"k": 256}),
          SketchSpec("t", "tdigest", "n_chars", {"delta": 300})])
-    quant = udfs["sketch_quantile"]
-    k = (merged.filter(F.col("sketch_name") == "k")
-         .select("lang", quant(F.col("sketch"), F.lit(0.5)).alias("kll_p50"),
-                 quant(F.col("sketch"), F.lit(0.9)).alias("kll_p90")))
-    t = (merged.filter(F.col("sketch_name") == "t")
-         .select("lang", quant(F.col("sketch"), F.lit(0.5)).alias("td_p50"),
-                 quant(F.col("sketch"), F.lit(0.9)).alias("td_p90")))
-    return k.join(t, "lang").select("lang", "kll_p50", "kll_p90",
-                                    "td_p50", "td_p90")
+    wide = merged.groupBy("lang").agg(
+        F.first(F.when(F.col("sketch_name") == "k", F.col("sketch")),
+                ignorenulls=True).alias("ksk"),
+        F.first(F.when(F.col("sketch_name") == "t", F.col("sketch")),
+                ignorenulls=True).alias("tsk"))
+    sel = wide.select(
+        "lang",
+        udfs["sketch_quantiles"](
+            F.col("ksk"), F.array(F.lit(0.5), F.lit(0.9))).alias("kq"),
+        udfs["sketch_quantiles"](
+            F.col("tsk"), F.array(F.lit(0.5), F.lit(0.9))).alias("tq"),
+        udfs["sketch_cdfs"](
+            F.col("ksk"), F.array(F.lit(200.0), F.lit(500.0))).alias("kc"))
+    return sel.select(
+        "lang",
+        F.col("kq")[0].alias("kll_p50"), F.col("kq")[1].alias("kll_p90"),
+        F.col("tq")[0].alias("td_p50"), F.col("tq")[1].alias("td_p90"),
+        F.round(F.col("kc")[0], 4).alias("share_le_200"),
+        F.round(F.col("kc")[1], 4).alias("share_le_500"))
 
 
 def q_tdigest_quantiles_value(spark, sf_dir):
+    """t-digest read-out over events — one array-UDF call per sketch
+    row (single python-eval boundary; was two scalar calls)."""
     from sketchlib.spark.sqlfuncs import register_sql_functions
     udfs = register_sql_functions(spark)
     ev = load(spark, sf_dir, "events")
     merged = build_sketches(ev, ["event_type"],
                             [SketchSpec("t", "tdigest", "value", {"delta": 300})])
-    quant = udfs["sketch_quantile"]
+    qv = udfs["sketch_quantiles"](
+        F.col("sketch"), F.array(F.lit(0.5), F.lit(0.95)))
     return merged.select(
-        "event_type", quant(F.col("sketch"), F.lit(0.5)).alias("p50_est"),
-        quant(F.col("sketch"), F.lit(0.95)).alias("p95_est"))
+        "event_type", qv.alias("_q")).select(
+        "event_type", F.col("_q")[0].alias("p50_est"),
+        F.col("_q")[1].alias("p95_est"))
 
 
 def q_minhash_lsh_pairs(spark, sf_dir):

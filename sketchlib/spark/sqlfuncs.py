@@ -89,6 +89,40 @@ def _make_udfs() -> dict:
             out[i] = float(sk.quantile(float(q)))
         return pd.Series(out)
 
+    def sketch_quantiles(blobs: pd.Series, qss: pd.Series) -> pd.Series:
+        """Multi-point quantile read-out: array of probabilities in,
+        array of values out — ONE python-eval boundary for a whole
+        read-out row where per-point sketch_quantile columns would pay
+        a ~70-100ms Arrow round-trip EACH (BENCH/builtin_compare.py
+        root cause, round 4)."""
+        out = []
+        for b, qs in zip(blobs, qss):
+            if b is None or qs is None:
+                out.append(None)
+                continue
+            sk = sketch_from_bytes(bytes(b))
+            if not hasattr(sk, "quantile"):
+                out.append(None)
+                continue
+            out.append([float(sk.quantile(float(q))) for q in qs])
+        return pd.Series(out, dtype=object)
+
+    def sketch_cdfs(blobs: pd.Series, xss: pd.Series) -> pd.Series:
+        """Multi-point rank/CDF read-out (array counterpart of
+        sketch_cdf): estimated fraction <= x for each x, one boundary."""
+        out = []
+        for b, xs in zip(blobs, xss):
+            if b is None or xs is None:
+                out.append(None)
+                continue
+            sk = sketch_from_bytes(bytes(b))
+            fn = getattr(sk, "cdf", None) or getattr(sk, "rank", None)
+            if fn is None:
+                out.append(None)
+                continue
+            out.append([float(fn(float(x))) for x in xs])
+        return pd.Series(out, dtype=object)
+
     def cms_join_size(a_blobs: pd.Series, b_blobs: pd.Series) -> pd.Series:
         """Equi-join size estimate from two CMS blobs over the two
         sides' join keys (inner product of frequency vectors;
@@ -215,6 +249,8 @@ def _make_udfs() -> dict:
         "cms_count": pandas_udf(cms_count, "long"),
         "sketch_quantile": pandas_udf(sketch_quantile, "double"),
         "sketch_cdf": pandas_udf(sketch_cdf, "double"),
+        "sketch_quantiles": pandas_udf(sketch_quantiles, "array<double>"),
+        "sketch_cdfs": pandas_udf(sketch_cdfs, "array<double>"),
         "cms_join_size": pandas_udf(cms_join_size, "long"),
         "fd_spectrum": pandas_udf(fd_spectrum, "array<double>"),
         "sketch_merge": pandas_udf(sketch_merge, "binary"),

@@ -207,3 +207,22 @@ def test_rollup_to_global_empty_keys(spark, pages_tiny):
         pages_tiny.withColumn("g", F.lit(1)), ["g"],
         [SketchSpec("h", "hll", "url", {"b": 12})]).collect()
     assert bytes(rows[0]["sketch"]) == bytes(direct[0]["sketch"])
+
+
+def test_query_kll_readout_single_python_boundary(spark):
+    """The quantile+CDF read-out row must ride ONE ArrowEvalPython
+    stage (round-5: the round-4 filter+join of scalar UDF columns paid
+    ~3 Arrow round-trips)."""
+    from sketchlib.spark import queries as Q
+    df = Q.q_kll_quantiles_nchars(spark, SF)
+    rows = df.collect()
+    assert {len(r) for r in rows} == {7}
+    plan = df._jdf.queryExecution().executedPlan().toString() \
+        .split("Initial Plan")[0]
+    assert plan.count("ArrowEvalPython") <= 1
+    # CDF shares land near the exact shares (rank error bound)
+    exact = {r["lang"]: (r["share_le_200"], r["share_le_500"])
+             for r in Q.q_short_doc_share_lang(spark, SF).collect()}
+    for r in rows:
+        assert abs(r["share_le_200"] - exact[r["lang"]][0]) < 0.05
+        assert abs(r["share_le_500"] - exact[r["lang"]][1]) < 0.05

@@ -202,3 +202,56 @@ def test_flush_bounded_memory_semantics(spark, pages_tiny_multifile):
         else:                    # lossy: accurate within rank error
             est = sketch_from_bytes(blob).quantile(0.5)
             assert abs(est - exact_med[lang]) / exact_med[lang] < 0.1
+
+
+class TestFusedReadout:
+    """merge_partials(readout=...) extracts estimates inside the final
+    merge task — values must equal a post-hoc read-out of the merged
+    blob on every merge path (narrow, flat, tree)."""
+
+    RD = [("p50", "double",
+           lambda name, sk: float(sk.quantile(0.5))
+           if hasattr(sk, "quantile") else None),
+          ("est", "double",
+           lambda name, sk: float(sk.estimate())
+           if hasattr(sk, "estimate") else None)]
+
+    def _check(self, df, fanout):
+        from sketchlib.core.serde import sketch_from_bytes
+        specs = [SketchSpec("k", "kll", "html_len", {"k": 128}),
+                 SketchSpec("h", "hll", "url", {"b": 10})]
+        d = df.withColumn("html_len", F.length("html").cast("double"))
+        out = build_sketches(d, ["lang"], specs, fanout=fanout,
+                             readout=self.RD).collect()
+        assert out
+        for r in out:
+            sk = sketch_from_bytes(bytes(r["sketch"]))
+            if r["sketch_name"] == "k":
+                assert r["p50"] == float(sk.quantile(0.5))
+                assert r["est"] is None
+            else:
+                assert r["est"] == float(sk.estimate())
+                assert r["p50"] is None
+
+    def test_flat_and_tree(self, pages_tiny):
+        self._check(pages_tiny.repartition(6), None)      # flat fold
+        self._check(pages_tiny.repartition(8), [4])       # merge tree
+
+    def test_narrow_single_partition(self, pages_tiny):
+        self._check(pages_tiny.coalesce(1), "auto")       # narrow path
+
+
+def test_build_sketches_local_bitwise_matches_distributed(pages_tiny):
+    """Driver-side fold (one python stage) must equal the distributed
+    merge bitwise — same (partition_id, chunk) total order."""
+    from sketchlib.spark.build import build_sketches_local
+    specs = [SketchSpec("k", "kll", "html_len", {"k": 128}),
+             SketchSpec("h", "hll", "url", {"b": 10}),
+             SketchSpec("t", "tdigest", "html_len", {"delta": 100})]
+    d = pages_tiny.repartition(7).withColumn(
+        "html_len", F.length("html").cast("double"))
+    dist = {(r["lang"], r["sketch_name"]): bytes(r["sketch"])
+            for r in build_sketches(d, ["lang"], specs).collect()}
+    local = {k: sk.to_bytes()
+             for k, sk in build_sketches_local(d, ["lang"], specs).items()}
+    assert local == dist

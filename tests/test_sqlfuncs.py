@@ -76,3 +76,29 @@ def test_sql_cdf_and_quantile_null_for_non_quantile_sketch(spark, sketch_view):
                   "sketch_quantile(sketch, 0.5) AS q FROM sketches "
                   "WHERE sketch_name = 'url_hll'").first()
     assert r["c"] is None and r["q"] is None
+
+
+def test_sql_multipoint_quantiles_match_scalar(spark, sketch_view):
+    """sketch_quantiles/sketch_cdfs (array-in/array-out, ONE python
+    boundary) must agree element-wise with the scalar UDFs."""
+    rows = spark.sql(
+        "SELECT lang, "
+        "sketch_quantiles(sketch, array(0.25D, 0.5D, 0.9D)) AS qs, "
+        "sketch_quantile(sketch, 0.25) AS q25, "
+        "sketch_quantile(sketch, 0.5) AS q50, "
+        "sketch_quantile(sketch, 0.9) AS q90, "
+        "sketch_cdfs(sketch, array(500D, 1000D)) AS cs, "
+        "sketch_cdf(sketch, 500) AS c500, "
+        "sketch_cdf(sketch, 1000) AS c1000 "
+        "FROM sketches WHERE sketch_name = 'len_kll'").collect()
+    assert rows
+    for r in rows:
+        assert r["qs"] == [r["q25"], r["q50"], r["q90"]], r
+        assert r["cs"] == [r["c500"], r["c1000"]], r
+
+
+def test_sql_multipoint_null_for_non_quantile_sketch(spark, sketch_view):
+    r = spark.sql("SELECT sketch_quantiles(sketch, array(0.5D)) AS q, "
+                  "sketch_cdfs(sketch, array(1.0D)) AS c FROM sketches "
+                  "WHERE sketch_name = 'url_hll'").first()
+    assert r["q"] is None and r["c"] is None
