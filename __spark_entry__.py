@@ -81,8 +81,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """EXACTLY 50 entries (the driver's CORRECTNESS snapshot holds 50
+    rows): all 33 oracle-checked exacts FIRST, then 17 rows-only sketch
+    estimates — every registered query gets a driver-side row. Related
+    estimates that held separate round-4 slots are merged into combined
+    read-outs (kll CDF into kll_quantiles_nchars; theta overlap/diff +
+    HLL containment into sketch_set_algebra; CMS + count-sketch token
+    frequencies into token_freq_sketch_accuracy; LSH + IVF ANN into
+    ann_approx_topk; FD est + exact spectrum into fd_spectrum_vs_exact;
+    hll_distinct_lang is the rollup's bitwise twin and lives inside
+    hll_rollup_lang). The merged-away per-technique functions remain in
+    sketchlib.spark.queries (bench.py and pytest still exercise them).
+    """
     return {
-        # exact (oracle-checked)
+        # ---- exact, oracle-checked (33) ----
         "calib_counts_lang": _wrap(Q.q_calib_counts_lang),
         "distinct_texts_lang": _wrap(Q.q_distinct_texts_lang),
         "distinct_users_daily": _wrap(Q.q_distinct_users_daily),
@@ -97,51 +109,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _wrap(Q.q_pii_scrub),
         "ngram_jaccard_pairs": _wrap(Q.q_ngram_jaccard_pairs),
         "dedup_clusters": _wrap(Q.q_dedup_clusters),
-        "dedup_clusters_minhash": _wrap(Q.q_dedup_clusters_minhash),
         "corpus_curation": _wrap(Q.q_corpus_curation),
         "url_canon_dedup": _wrap(Q.q_url_canon_dedup),
         "decontamination": _wrap(Q.q_decontamination),
         "hash_split_counts": _wrap(Q.q_hash_split_counts),
-        "ann_cosine_topk": _wrap(Q.q_ann_cosine_topk),
-        "fd_embedding_spectrum": _wrap(Q.q_fd_embedding_spectrum),
-        "embedding_spectrum_exact": _wrap(Q.q_embedding_spectrum_exact),
+        "content_fingerprint": _wrap(Q.q_content_fingerprint),
+        "langid_heuristic": _wrap(Q.q_langid),
         "props_json_stats": _wrap(Q.q_props_json_stats),
         "label_centroids": _wrap(Q.q_label_centroids),
+        "ann_cosine_topk": _wrap(Q.q_ann_cosine_topk),
+        "embedding_neardup_pairs": _wrap(Q.q_embedding_neardup_pairs),
         "pricing_summary": _wrap(Q.q_pricing_summary),
         "shipping_priority": _wrap(Q.q_shipping_priority),
         "bloom_semijoin": _wrap(Q.q_bloom_semijoin),
         "join_size_exact": _wrap(Q.q_join_size_exact),
-        "cms_join_size": _wrap(Q.q_cms_join_size),
-        # sketch estimates (rows-only; exact companions above)
-        "bloom_fpr_validation": _wrap(Q.q_bloom_fpr_validation),
-        "sample_docs_lang": _wrap(Q.q_sample_docs_lang),
-        "sketch_accuracy_lang": _wrap(Q.q_sketch_accuracy_lang),
         "short_doc_share_lang": _wrap(Q.q_short_doc_share_lang),
-        "kll_cdf_nchars": _wrap(Q.q_kll_cdf_nchars),
-        "hll_distinct_lang": _wrap(Q.q_hll_distinct_lang),
-        "cms_top_tokens": _wrap(Q.q_cms_top_tokens),
-        "countsketch_token_freq": _wrap(Q.q_countsketch_token_freq),
-        "kll_quantiles_nchars": _wrap(Q.q_kll_quantiles_nchars),
-        "tdigest_quantiles_value": _wrap(Q.q_tdigest_quantiles_value),
-        "minhash_lsh_pairs": _wrap(Q.q_minhash_lsh_pairs),
-        "simhash_pairs": _wrap(Q.q_simhash_pairs),
-        "content_fingerprint": _wrap(Q.q_content_fingerprint),
-        "langid_heuristic": _wrap(Q.q_langid),
-        "hll_users_daily": _wrap(Q.q_hll_users_daily),
-        "bloom_membership": _wrap(Q.q_bloom_membership),
-        "ann_lsh_topk": _wrap(Q.q_ann_lsh_topk),
-        "ann_ivf_topk": _wrap(Q.q_ann_ivf_topk),
-        "cms_heavy_hitters_scale": _wrap(Q.q_cms_heavy_hitters_scale),
-        "embedding_neardup_pairs": _wrap(Q.q_embedding_neardup_pairs),
-        "embedding_neardup_lsh": _wrap(Q.q_embedding_neardup_lsh),
         "user_overlap_exact": _wrap(Q.q_user_overlap_exact),
         "user_jaccard_exact": _wrap(Q.q_user_jaccard_exact),
         "user_containment_exact": _wrap(Q.q_user_containment_exact),
-        "hll_user_containment": _wrap(Q.q_hll_user_containment),
-        "theta_user_overlap": _wrap(Q.q_theta_user_overlap),
         "user_difference_exact": _wrap(Q.q_user_difference_exact),
-        "theta_user_difference": _wrap(Q.q_theta_user_difference),
+        # ---- sketch estimates, rows-only (17; exact companions above) ----
+        "bloom_fpr_validation": _wrap(Q.q_bloom_fpr_validation),
+        "bloom_membership": _wrap(Q.q_bloom_membership),
+        "sample_docs_lang": _wrap(Q.q_sample_docs_lang),
+        "sketch_accuracy_lang": _wrap(Q.q_sketch_accuracy_lang),
+        "kll_quantiles_nchars": _wrap(Q.q_kll_quantiles_nchars),
+        "tdigest_quantiles_value": _wrap(Q.q_tdigest_quantiles_value),
         "hll_rollup_lang": _wrap(Q.q_hll_rollup_lang),
+        "token_freq_sketch_accuracy": _wrap(Q.q_token_freq_sketch_accuracy),
+        "cms_heavy_hitters_scale": _wrap(Q.q_cms_heavy_hitters_scale),
+        "cms_join_size": _wrap(Q.q_cms_join_size),
+        "simhash_pairs": _wrap(Q.q_simhash_pairs),
+        "dedup_clusters_minhash": _wrap(Q.q_dedup_clusters_minhash),
+        "embedding_neardup_lsh": _wrap(Q.q_embedding_neardup_lsh),
+        "ann_approx_topk": _wrap(Q.q_ann_approx_topk),
+        "fd_spectrum_vs_exact": _wrap(Q.q_fd_spectrum_vs_exact),
+        "sketch_set_algebra": _wrap(Q.q_sketch_set_algebra),
+        "media_features": _wrap(Q.q_media_features),
     }
 
 
@@ -398,6 +402,12 @@ def oracle_sql() -> dict[str, str]:
             "FROM dsh d JOIN bsh USING (sh) GROUP BY d.doc_id) "
             "SELECT doc_id, CAST(coalesce(n, 0) AS BIGINT) AS n_hits "
             "FROM documents LEFT JOIN hits USING (doc_id)",
+        "content_fingerprint":
+            # identical normalization chain in both engines: collapse
+            # whitespace, trim, lowercase, md5, first 16 hex chars
+            "SELECT doc_id AS doc, substring(md5(lower(trim("
+            "regexp_replace(text, '\\s+', ' ', 'g')))), 1, 16) "
+            "AS fingerprint FROM documents WHERE text IS NOT NULL",
         "langid_heuristic": _langid_oracle(),
         "pii_scrub": _pii_oracle(),
         "user_overlap_exact":

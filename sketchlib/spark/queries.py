@@ -632,8 +632,13 @@ def q_simhash_pairs(spark, sf_dir):
 
 
 def q_content_fingerprint(spark, sf_dir):
+    """Per-doc content fingerprint of the whitespace-normalized
+    lowercased text — md5-prefix flavor (pure JVM, engine-portable) so
+    the driver hash-checks it against DuckDB. The xxh throughput
+    flavor (vectorized 64-bit, 259k+ docs/s) shares the normalization
+    and is measured in BENCH/dedup_ladder.py."""
     return textops.content_fingerprint(load(spark, sf_dir, "documents"),
-                                       "doc_id", "text")
+                                       "doc_id", "text", method="md5")
 
 
 def q_decontamination(spark, sf_dir):
@@ -982,3 +987,144 @@ def q_theta_user_overlap(spark, sf_dir):
                     .alias("n_shared_est"),
                     F.round(udfs["theta_jaccard"](F.col("sk_a"), F.col("sk_b")),
                             4).alias("jaccard_est")))
+
+
+# ---------------------------------------------------------------------------
+# round-5 catalog consolidation: merged read-outs (the driver snapshot
+# holds 50 queries, so related estimates share one entry — VERDICT r4)
+# ---------------------------------------------------------------------------
+
+def q_fd_spectrum_vs_exact(spark, sf_dir):
+    """Frequent-directions covariance spectrum NEXT TO the exact
+    eigenvalues in one result: (rnk, sq_singular_est, sq_singular_exact,
+    rel_err). Merges round 4's separate fd_embedding_spectrum /
+    embedding_spectrum_exact entries; the FD estimate comes from one
+    fixed-size mergeable state, the exact column from the d^2-row Gram
+    reduce — accuracy is now driver-visible per rank."""
+    est = q_fd_embedding_spectrum(spark, sf_dir).select(
+        "rnk", F.col("sq_singular").alias("sq_singular_est"))
+    exact = q_embedding_spectrum_exact(spark, sf_dir).select(
+        "rnk", F.col("sq_singular").alias("sq_singular_exact"))
+    return (est.join(exact, "rnk")
+            .select("rnk", "sq_singular_est", "sq_singular_exact",
+                    F.round(F.abs(F.col("sq_singular_est")
+                                  - F.col("sq_singular_exact"))
+                            / F.col("sq_singular_exact"), 4)
+                    .alias("rel_err"))
+            .orderBy("rnk"))
+
+
+def q_sketch_set_algebra(spark, sf_dir):
+    """Pairwise set algebra between event_type user sets from ONE
+    sketch build carrying BOTH kernels (theta k=4096 + HLL b=13 over
+    the same grouping): estimated shared users, Jaccard, a-not-b
+    difference (theta) and inclusion coefficient (HLL register
+    algebra, VLDB-2018) per ordered pair. Merges round 4's
+    theta_user_overlap / theta_user_difference / hll_user_containment
+    entries. One wide pivot per event_type, then a self-join whose
+    four UDF calls sit in a single projection -> one ArrowEvalPython
+    stage. Exact companions: user_overlap_exact, user_jaccard_exact,
+    user_difference_exact, user_containment_exact."""
+    from sketchlib.spark.sqlfuncs import register_sql_functions
+    udfs = register_sql_functions(spark)
+    ev = (load(spark, sf_dir, "events")
+          .withColumn("uid", F.col("user_id").cast("string")))
+    sk = build_sketches(ev, ["event_type"],
+                        [SketchSpec("t", "theta", "uid", {"k": 4096}),
+                         SketchSpec("h", "hll", "uid", {"b": 13})])
+    wide = sk.groupBy("event_type").agg(
+        F.first(F.when(F.col("sketch_name") == "t", F.col("sketch")),
+                ignorenulls=True).alias("tsk"),
+        F.first(F.when(F.col("sketch_name") == "h", F.col("sketch")),
+                ignorenulls=True).alias("hsk"))
+    a = wide.select(F.col("event_type").alias("type_a"),
+                    F.col("tsk").alias("ta"), F.col("hsk").alias("ha"))
+    b = wide.select(F.col("event_type").alias("type_b"),
+                    F.col("tsk").alias("tb"), F.col("hsk").alias("hb"))
+    return (a.join(b, F.col("type_a") != F.col("type_b"))
+            .select("type_a", "type_b",
+                    udfs["theta_intersect"](F.col("ta"), F.col("tb"))
+                    .alias("n_shared_est"),
+                    F.round(udfs["theta_jaccard"](F.col("ta"), F.col("tb")),
+                            4).alias("jaccard_est"),
+                    udfs["theta_difference"](F.col("ta"), F.col("tb"))
+                    .alias("n_only_a_est"),
+                    F.round(udfs["hll_inclusion"](F.col("ha"), F.col("hb")),
+                            4).alias("containment_est")))
+
+
+def q_token_freq_sketch_accuracy(spark, sf_dir):
+    """Frequency-sketch accuracy in one entry: for the SCALE-path
+    heavy-hitter candidates (CMS + per-partition certified trackers,
+    no exact subquery picks them), the CMS estimate (overestimate-
+    only), the count-sketch estimate (unbiased, signed), and the exact
+    count joined in distributedly as the measurement column. Merges
+    round 4's cms_top_tokens / countsketch_token_freq entries; exact
+    companion heavy_tokens_lang."""
+    from sketchlib.spark.heavyhitters import cms_heavy_hitters
+    from sketchlib.spark.sqlfuncs import register_sql_functions
+    udfs = register_sql_functions(spark)
+    docs = load(spark, sf_dir, "documents")
+    est = (cms_heavy_hitters(docs, ["lang"], "text", k=10)
+           .select("lang", "token", F.col("est_cnt").alias("cms_cnt")))
+    cs = _doc_sketches(
+        spark, sf_dir,
+        [SketchSpec("cs", "countsketch", "text", {"w": 16384, "d": 5},
+                    tokenize=True)])
+    with_cs = (est.join(cs.filter(F.col("sketch_name") == "cs")
+                        .select("lang", "sketch"), "lang")
+               .select("lang", "token", "cms_cnt",
+                       udfs["cms_count"](F.col("sketch"), F.col("token"))
+                       .alias("cs_cnt")))
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    exact = (docs.select("lang", F.explode(toks).alias("token"))
+             .groupBy("lang", "token").agg(F.count("*").alias("exact_cnt")))
+    return (with_cs.join(exact, ["lang", "token"], "left")
+            .select("lang", "token", "cms_cnt", "cs_cnt",
+                    F.coalesce("exact_cnt", F.lit(0)).alias("exact_cnt")))
+
+
+def q_ann_approx_topk(spark, sf_dir):
+    """Both approximate-NN scale paths in one entry, tagged by method:
+    SRP-LSH banded probing and IVF (train-once/query-many). Merges
+    round 4's ann_lsh_topk / ann_ivf_topk; brute-force companion
+    ann_cosine_topk measures recall (test-enforced >= 0.9 for both)."""
+    lsh = q_ann_lsh_topk(spark, sf_dir).select(
+        F.lit("srp_lsh").alias("method"), "q_id", "nbr_id", "rnk", "score")
+    ivf = q_ann_ivf_topk(spark, sf_dir).select(
+        F.lit("ivf").alias("method"), "q_id", "nbr_id", "rnk", "score")
+    return lsh.unionByName(ivf)
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal layer, driver-visible: a deterministic media table
+    (REAL in-repo codecs: PCM WAV, PPM, PNG incl. Adam7, baseline
+    JPEG, minimal MP4 containers — synthesized because the driver
+    fixtures carry no binary column and BASELINE.json forbids external
+    data) flows through the three production stages: JVM-side byte
+    metadata (media_metadata — never ships payloads to Python),
+    container probe (video_metadata: stbl walk for dimensions/sample
+    stats), and Arrow-batched feature extraction (extract_features:
+    real decode for WAV/PPM/PNG/JPEG/MJPEG-MP4, deterministic stub for
+    codecs that need ffmpeg). Output: one row per media item with
+    byte stats, probe dims, and a feature checksum (dim + rounded
+    sum) — rows-only driver check (binary fixtures have no DuckDB
+    view); per-codec exactness is pytest-enforced (test_multimodal,
+    test_jpeg)."""
+    from sketchlib.spark import multimodal as M
+    media = M.make_fake_media(spark, n=120, seed=5)
+    meta = M.media_metadata(media, "media_id", "payload")
+    probe = (M.video_metadata(media)
+             .select("media_id", F.col("width").alias("probe_w"),
+                     F.col("height").alias("probe_h"), "n_samples"))
+    feats = (M.extract_features(media, fake=True)
+             .select("media_id", F.size("feature").alias("feat_dim"),
+                     F.round(F.aggregate(
+                         "feature", F.lit(0.0),
+                         lambda a, v: a + v.cast("double")), 3)
+                     .alias("feat_sum")))
+    return (media.select("media_id", "kind", "mime")
+            .join(meta, "media_id")
+            .join(feats, "media_id")
+            .join(probe, "media_id", "left")
+            .orderBy("media_id"))

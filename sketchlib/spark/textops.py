@@ -741,9 +741,24 @@ def decontaminate(docs: DataFrame, id_col: str, text_col: str,
 
 
 def content_fingerprint(df: DataFrame, id_col: str, text_col: str,
-                        seed: int = 13) -> DataFrame:
-    """(id, fingerprint: bigint) — 64-bit content hash of the
-    whitespace-normalized lowercased text (exact-dup fingerprinting)."""
+                        seed: int = 13, method: str = "xxh") -> DataFrame:
+    """(id, fingerprint) — content hash of the whitespace-normalized
+    lowercased text (exact-dup fingerprinting).
+
+    method="xxh" (default): 64-bit vectorized hash as bigint — the
+    throughput path (one numpy fold per Arrow batch, 259k+ docs/s).
+    method="md5": first 16 hex chars of md5 as string — pure JVM
+    (whole-stage codegen, no python stage) and engine-portable, so the
+    result is DuckDB-oracle-checkable; 64 bits of digest either way.
+    """
+    if method == "md5":
+        norm = F.lower(F.trim(F.regexp_replace(F.col(text_col),
+                                               r"\s+", " ")))
+        return (df.filter(F.col(text_col).isNotNull())
+                .select(F.col(id_col).cast("long").alias("doc"),
+                        F.substring(F.md5(norm), 1, 16).alias("fingerprint")))
+    if method != "xxh":
+        raise ValueError(f"unknown fingerprint method {method!r}")
     schema = StructType([
         StructField("doc", LongType(), False),
         StructField("fingerprint", LongType(), False),

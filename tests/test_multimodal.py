@@ -901,3 +901,29 @@ class TestMp4SampleTableEdges:
                    + b"isommp42")
         with pytest.raises(ValueError, match="no complete sample table"):
             mp4_extract_samples(ftyp + moov + box(b"mdat", b""))
+
+
+def test_media_features_catalog_query(spark):
+    """The driver-visible media query: one row per media item,
+    deterministic run-to-run, probe dims match the declared metadata
+    for probed MP4s, and every feature row has the full 64-dim
+    vector (quarantine-free on the clean fixture)."""
+    from sketchlib.spark.queries import q_media_features
+    rows = q_media_features(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 120
+    by_id = {r["media_id"]: r for r in rows}
+    from sketchlib.spark.multimodal import make_fake_media, FEATURE_DIM
+    media = {r["media_id"]: r for r in
+             make_fake_media(spark, n=120, seed=5)
+             .select("media_id", "kind", "width", "height").collect()}
+    for mid, r in by_id.items():
+        assert r["feat_dim"] == FEATURE_DIM
+        assert r["feat_sum"] is not None
+        m = media[mid]
+        if m["kind"] == "video":
+            assert r["probe_w"] == m["width"], (mid, r, m)
+            assert r["probe_h"] == m["height"]
+        else:
+            assert r["probe_w"] is None
+    again = q_media_features(spark, "/root/testdata/sf0.001").collect()
+    assert again == rows

@@ -226,3 +226,24 @@ def test_query_kll_readout_single_python_boundary(spark):
     for r in rows:
         assert abs(r["share_le_200"] - exact[r["lang"]][0]) < 0.05
         assert abs(r["share_le_500"] - exact[r["lang"]][1]) < 0.05
+
+
+def test_sketch_set_algebra_matches_component_queries(spark):
+    """The merged set-algebra entry must reproduce the round-4
+    per-technique queries' values (same kernels, same params)."""
+    from sketchlib.spark import queries as Q
+    merged = {(r["type_a"], r["type_b"]): r
+              for r in Q.q_sketch_set_algebra(spark, SF).collect()}
+    theta_d = {(r["type_a"], r["type_b"]): r["n_only_a_est"]
+               for r in Q.q_theta_user_difference(spark, SF).collect()}
+    hll_c = {(r["type_a"], r["type_b"]): r["containment_est"]
+             for r in Q.q_hll_user_containment(spark, SF).collect()}
+    assert set(merged) == set(theta_d) == set(hll_c)
+    for k, r in merged.items():
+        assert r["n_only_a_est"] == theta_d[k], k
+        assert r["containment_est"] == hll_c[k], k
+    ov = {(r["type_a"], r["type_b"]): (r["n_shared_est"], r["jaccard_est"])
+          for r in Q.q_theta_user_overlap(spark, SF).collect()}
+    for k, (shared, jac) in ov.items():  # overlap uses < ordering only
+        assert merged[k]["n_shared_est"] == shared, k
+        assert merged[k]["jaccard_est"] == jac, k
