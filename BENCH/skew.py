@@ -114,4 +114,63 @@ for label, rs in results.items():
     wall = sorted(r[0] for r in rs)[1]
     mt = sorted(r[1] for r in rs)[1]
     print(f"{label}: median wall {wall:.2f}s  median max-task {mt/1000:.2f}s")
+
+# ---------------------------------------------------------------------------
+# stage 3 (validation) under the same 90% skew — the one stage without
+# an adversarial measurement through round 4. Validation probes every
+# row against every group's filter from a broadcast, so work per task
+# is ROW-balanced regardless of how skewed the groups are (there is no
+# group shuffle to straggle); the numbers below evidence that: the
+# max probe-task should sit near the median, not 9x above it, and the
+# broadcast stays within the deserialized-size budget guard.
+# ---------------------------------------------------------------------------
+from sketchlib.spark.validate import bloom_validate, collect_sketches
+
+merged = build_sketches(pages, ["lang"], specs, fanout="auto")
+filters = collect_sketches(merged, ["lang"], "url_bloom")
+ser_bytes = sum(len(v.to_bytes()) for v in filters.values())
+infl_bytes = sum(v.m // 8 + 1 for v in filters.values())
+print(f"\nstage-3 broadcast: {len(filters)} filters, "
+      f"{ser_bytes/1e6:.1f} MB serialized, "
+      f"{infl_bytes/1e6:.1f} MB inflated (budget guard: 1 GiB)", flush=True)
+
+
+def task_ms(group: str, q: float) -> float:
+    stages = set()
+    for job in rest("/jobs?status=succeeded"):
+        if job.get("jobGroup") == group:
+            stages.update(job["stageIds"])
+    worst = 0.0
+    for sid in stages:
+        try:
+            info = rest(f"/stages/{sid}")[0]
+            if info.get("numTasks", 0) < 32:
+                continue  # the probe scan is the big stage; skip finals
+            s = rest(f"/stages/{sid}/0/taskSummary?quantiles={q}")
+            worst = max(worst, s["duration"][0])
+        except Exception:
+            pass
+    return worst
+
+
+bloom_validate(pages, filters, ["lang"], "url", 0.01).collect()  # warm
+vruns = []
+for i in range(3):
+    g = f"validate-run{i}"
+    sc.setJobGroup(g, "validate")
+    t0 = time.time()
+    out = bloom_validate(pages, filters, ["lang"], "url", 0.01).collect()
+    wall = time.time() - t0
+    sc.setJobGroup("", "")
+    mx, med = task_ms(g, 1.0), task_ms(g, 0.5)
+    vruns.append((wall, mx, med))
+    print(f"validate run{i}: wall {wall:.2f}s  max-task {mx/1000:.2f}s  "
+          f"median-task {med/1000:.2f}s", flush=True)
+wall = sorted(r[0] for r in vruns)[1]
+mx = sorted(r[1] for r in vruns)[1]
+med = sorted(r[2] for r in vruns)[1]
+fn_total = sum(r["false_negatives"] for r in out)
+print(f"validate: median wall {wall:.2f}s  max-task {mx/1000:.2f}s  "
+      f"median-task {med/1000:.2f}s  "
+      f"max/median {mx/max(med, 1):.2f}x  false_negatives {fn_total}")
 spark.stop()
