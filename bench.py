@@ -45,6 +45,9 @@ BENCH_QUERIES = [
     "fd_embedding_spectrum",
     "url_canon_dedup",
     "decontamination",
+    # round-5 additions (excluded from the r3/r4-comparable sums)
+    "sketch_set_algebra",
+    "media_features",
 ]
 
 
@@ -129,12 +132,16 @@ def main() -> None:
     # numbers sit below round 3's cold single-runs by the ~1s/query
     # codegen cost in addition to any real speedup
     r4_new = {"url_canon_dedup", "decontamination"}
-    comparable = sum(v for k, v in times.items() if k not in r4_new)
+    r5_new = {"sketch_set_algebra", "media_features"}
+    comparable = sum(v for k, v in times.items()
+                     if k not in r4_new and k not in r5_new)
+    r4_comparable = sum(v for k, v in times.items() if k not in r5_new)
     print(json.dumps({
         "metric": "suite_seconds",
         "value": round(total, 3),
         "unit": "sec",
         "suite_seconds_r3_queries": round(comparable, 3),
+        "suite_seconds_r4_queries": round(r4_comparable, 3),
         "runs_per_query": 3,
         "queries": times,
         "sf": SF_DIR,
