@@ -606,19 +606,21 @@ def q_kll_quantiles_nchars(spark, sf_dir):
 
 
 def q_tdigest_quantiles_value(spark, sf_dir):
-    """t-digest read-out over events — one array-UDF call per sketch
-    row (single python-eval boundary; was two scalar calls)."""
-    from sketchlib.spark.sqlfuncs import register_sql_functions
-    udfs = register_sql_functions(spark)
+    """t-digest read-out over events via the FUSED read-out path: the
+    estimate columns are extracted inside the final merge task
+    (build_sketches readout=), so the whole query is two python
+    stages — partial build and merge — with zero read-out stages.
+    (kll_quantiles_nchars demonstrates the SQL-UDF read-out surface
+    instead; both ride the same kernels.)"""
     ev = load(spark, sf_dir, "events")
-    merged = build_sketches(ev, ["event_type"],
-                            [SketchSpec("t", "tdigest", "value", {"delta": 300})])
-    qv = udfs["sketch_quantiles"](
-        F.col("sketch"), F.array(F.lit(0.5), F.lit(0.95)))
-    return merged.select(
-        "event_type", qv.alias("_q")).select(
-        "event_type", F.col("_q")[0].alias("p50_est"),
-        F.col("_q")[1].alias("p95_est"))
+    merged = build_sketches(
+        ev, ["event_type"],
+        [SketchSpec("t", "tdigest", "value", {"delta": 300})],
+        readout=[("p50_est", "double",
+                  lambda _n, sk: float(sk.quantile(0.5))),
+                 ("p95_est", "double",
+                  lambda _n, sk: float(sk.quantile(0.95)))])
+    return merged.select("event_type", "p50_est", "p95_est")
 
 
 def q_minhash_lsh_pairs(spark, sf_dir):
