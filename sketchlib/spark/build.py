@@ -583,7 +583,8 @@ def _auto_fanout(parts: int) -> list[int] | None:
 
 def incremental_update(sketch_table: DataFrame, new_df: DataFrame,
                        group_cols: list[str], specs: list[SketchSpec],
-                       fanout: int | str | None = "auto") -> DataFrame:
+                       fanout: int | str | None = "auto",
+                       readout: list | None = None) -> DataFrame:
     """Fold NEW rows into an existing sketch table — the daily-append
     maintenance op mergeability buys: sketch only the delta, merge with
     the stored states, never re-read the base corpus.
@@ -614,6 +615,12 @@ def incremental_update(sketch_table: DataFrame, new_df: DataFrame,
         StructField("n_rows", LongType(), False),
         StructField("n_partials", LongType(), False),
     ])
+    if readout is not None:
+        # same fused-extraction contract as merge_partials(readout=):
+        # estimate columns come out of the update's own merge task
+        out_schema = StructType(out_schema.fields + [
+            StructField(col, _parse_dtype(dtype), True)
+            for col, dtype, _fn in readout])
 
     def merge_fn(key, pdf):
         # deterministic merge order for the lossy kernels: base first
@@ -628,11 +635,17 @@ def incremental_update(sketch_table: DataFrame, new_df: DataFrame,
             f"cannot update group {key}: the stored state and the "
             "delta build have incompatible params — pass the same "
             "specs that built the sketch table"))
+        extra = {}
+        if readout is not None:
+            name = key[len(keys) - 1]
+            for col, _dtype, fn in readout:
+                extra[col] = [fn(name, sk)]
         return pd.DataFrame({
             **{c: [key[i]] for i, c in enumerate(keys)},
             "sketch": [sk.to_bytes()],
             "n_rows": [int(pdf["n_rows"].sum())],
             "n_partials": [int(pdf["n_partials"].sum())],
+            **extra,
         })
 
     return both.groupBy(*keys).applyInPandas(merge_fn, out_schema)

@@ -276,7 +276,8 @@ class IcebergPartialCheckpoint:
 
 def build_sketches_checkpointed(df: DataFrame, group_cols: list[str],
                                 specs: list[SketchSpec], ckpt_path,
-                                fanout: int | str | None = "auto") -> DataFrame:
+                                fanout: int | str | None = "auto",
+                                readout: list | None = None) -> DataFrame:
     """build_sketches with a partial-level checkpoint at ``ckpt_path``.
 
     ``ckpt_path`` selects the store: a filesystem path uses the
@@ -317,8 +318,10 @@ def build_sketches_checkpointed(df: DataFrame, group_cols: list[str],
         # narrow-fold task; stored partials always merge via the
         # shuffle path (one group per task)
         return merge_partials(ckpt.read_partials(), group_cols,
-                              fanout=fanout, allow_narrow=False)
+                              fanout=fanout, allow_narrow=False,
+                              readout=readout)
     partials = build_partials(df, group_cols, specs)
     ckpt.write(partials, fp, append=False)
     return merge_partials(ckpt.read_partials(), group_cols,
-                          fanout=fanout, allow_narrow=False)
+                          fanout=fanout, allow_narrow=False,
+                          readout=readout)

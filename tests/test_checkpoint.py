@@ -235,3 +235,17 @@ def test_fingerprint_per_group_param_dict_order_invariant(spark, pages_tiny):
         [("a", "x")], "lang string, url string"), ["lang"], s3)
         != spec_fingerprint(spark.createDataFrame(
             [("a", "x")], "lang string, url string"), ["lang"], s1))
+
+
+def test_checkpointed_build_fused_readout(spark, pages_tiny, tmp_path):
+    """readout= flows through the checkpointed build's merge."""
+    from sketchlib.core.serde import sketch_from_bytes
+    rd = [("est", "double", lambda _n, sk: float(sk.estimate())
+           if hasattr(sk, "estimate") else None)]
+    out = build_sketches_checkpointed(
+        pages_tiny, ["lang"], [SketchSpec("h", "hll", "url", {"b": 10})],
+        str(tmp_path / "ckro"), readout=rd).collect()
+    assert out
+    for r in out:
+        assert r["est"] == float(
+            sketch_from_bytes(bytes(r["sketch"])).estimate())

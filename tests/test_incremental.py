@@ -55,3 +55,21 @@ def test_base_data_never_rescanned(spark, tmp_path):
     plan = upd._jdf.queryExecution().executedPlan().toString()
     assert "base_data.parquet" not in plan
     assert upd.count() == len(SPECS)
+
+
+def test_incremental_update_fused_readout(spark, pages_tiny):
+    """readout= on incremental_update: estimate columns come out of the
+    update's own merge task and match a post-hoc read of the blob."""
+    from sketchlib.core.serde import sketch_from_bytes
+    import pyspark.sql.functions as F
+    specs = [SketchSpec("h", "hll", "url", {"b": 10})]
+    half = pages_tiny.limit(pages_tiny.count() // 2)
+    rest = pages_tiny.subtract(half)
+    base = build_sketches(half, ["lang"], specs)
+    rd = [("est", "double", lambda _n, sk: float(sk.estimate()))]
+    out = incremental_update(base, rest, ["lang"], specs,
+                             readout=rd).collect()
+    assert out
+    for r in out:
+        assert r["est"] == float(
+            sketch_from_bytes(bytes(r["sketch"])).estimate())
