@@ -31,6 +31,7 @@ TYPE_THETA = 6
 TYPE_SAMPLE = 7
 TYPE_COUNTSKETCH = 8
 TYPE_FD = 9
+TYPE_WSAMPLE = 10
 
 _REGISTRY: dict[int, type] = {}
 

@@ -37,6 +37,7 @@ from pyspark.sql.types import (BinaryType, IntegerType, LongType, StringType,
                                StructField, StructType)
 
 from sketchlib.core.cms import CountMinSketch
+from sketchlib.core.sample import WeightedBottomKSample
 from sketchlib.core.countsketch import CountSketch
 from sketchlib.core.params import bloom_params
 from sketchlib.core.serde import sketch_from_bytes
@@ -161,9 +162,15 @@ def _feed(spec: SketchSpec, sketch, sub: pd.DataFrame,
     ``vcache`` memoizes extracted value columns across specs sharing a
     (value_col, tokenize, numeric) triple within one sub-frame.
     """
-    if spec.weight_col is not None:  # cms/countsketch (spec-validated)
+    if spec.weight_col is not None:  # cms/countsketch/wsample
         vals = sub[spec.value_col]
         w = pd.to_numeric(sub[spec.weight_col], errors="coerce")
+        if isinstance(sketch, WeightedBottomKSample):
+            # positive-float weights; the kernel applies the shared
+            # null rules (null key / NaN weight drop the row) and
+            # raises on non-positive weights
+            sketch.update_batch(vals, w.to_numpy(np.float64))
+            return
         mask = (vals.notna() & w.notna()).to_numpy()
         if mask.any():
             wf = w[mask].to_numpy(np.float64)

@@ -18,12 +18,13 @@ from sketchlib.core.cms import CountMinSketch
 from sketchlib.core.tdigest import TDigest
 from sketchlib.core.kll import KLL
 from sketchlib.core.theta import ThetaSketch
-from sketchlib.core.sample import BottomKSample
+from sketchlib.core.sample import (BottomKSample,
+                                   WeightedBottomKSample)
 from sketchlib.core.countsketch import CountSketch
 from sketchlib.core.fd import FrequentDirections
 
 KINDS = {"bloom", "hll", "cms", "tdigest", "kll", "theta", "sample",
-         "countsketch", "fd"}
+         "countsketch", "fd", "wsample"}
 _NUMERIC_KINDS = {"tdigest", "kll"}
 
 
@@ -59,13 +60,21 @@ class SketchSpec:
     def __post_init__(self):
         if self.kind not in KINDS:
             raise ValueError(f"unknown sketch kind {self.kind!r}; one of {sorted(KINDS)}")
-        if self.weight_col is not None and self.kind not in ("cms",
-                                                             "countsketch"):
+        if self.weight_col is not None and self.kind not in (
+                "cms", "countsketch", "wsample"):
             raise ValueError(
-                "weight_col is only meaningful for cms/countsketch (a "
-                f"{self.kind} update is per-distinct-key, not per-count)")
+                "weight_col is only meaningful for cms/countsketch/"
+                f"wsample (a {self.kind} update is per-distinct-key, "
+                "not per-count)")
+        if self.kind == "wsample" and self.weight_col is None:
+            raise ValueError(
+                "wsample requires weight_col (for a uniform sample use "
+                "kind='sample')")
         if self.weight_col is not None and self.tokenize:
             raise ValueError("weight_col + tokenize is ambiguous (one "
+                             "weight per row, many tokens per row)")
+        if self.kind == "wsample" and self.tokenize:
+            raise ValueError("wsample + tokenize is ambiguous (one "
                              "weight per row, many tokens per row)")
         if self.tokenize and self.kind in ("kll", "tdigest"):
             raise ValueError(
@@ -81,6 +90,7 @@ class SketchSpec:
         ctor = {"bloom": BloomFilter, "hll": HyperLogLog, "cms": CountMinSketch,
                 "tdigest": TDigest, "kll": KLL, "theta": ThetaSketch,
                 "sample": BottomKSample,
+                "wsample": WeightedBottomKSample,
                 "countsketch": CountSketch,
                 "fd": FrequentDirections}[self.kind]
         return ctor(**kwargs)

@@ -28,7 +28,8 @@ from sketchlib.core.bloom import BloomFilter
 from sketchlib.core.cms import CountMinSketch
 from sketchlib.core.hll import HyperLogLog
 from sketchlib.core.theta import ThetaSketch
-from sketchlib.core.sample import BottomKSample
+from sketchlib.core.sample import (BottomKSample,
+                                   WeightedBottomKSample)
 from sketchlib.core.countsketch import CountSketch
 
 
@@ -43,7 +44,7 @@ def _make_udfs() -> dict:
                 continue
             sk = sketch_from_bytes(bytes(b))
             if isinstance(sk, (HyperLogLog, BloomFilter, ThetaSketch,
-                               BottomKSample)):
+                               BottomKSample, WeightedBottomKSample)):
                 out.append(float(sk.estimate()))
             elif isinstance(sk, (CountMinSketch, CountSketch)):
                 out.append(float(sk.total))
@@ -206,16 +207,36 @@ def _make_udfs() -> dict:
         return inner
 
     def sample_values(blobs: pd.Series) -> pd.Series:
-        """Retained payloads of a bottom-k sample blob as array<string>
-        (utf-8, lossy for non-text payloads) — `explode(sample_values(
-        sketch))` turns a sample table into sampled rows in SQL."""
+        """Retained payloads of a (uniform or weighted) bottom-k sample
+        blob as array<string> (utf-8, lossy for non-text payloads) —
+        `explode(sample_values(sketch))` turns a sample table into
+        sampled rows in SQL."""
         out = []
         for b in blobs:
             if b is None:
                 out.append(None)
                 continue
-            sk = BottomKSample.from_bytes(bytes(b))
+            sk = sketch_from_bytes(bytes(b))
+            if not hasattr(sk, "sample"):
+                out.append(None)  # non-sample blob in a mixed table
+                continue
             out.append([p.decode("utf-8", "replace") for p in sk.sample()])
+        return pd.Series(out, dtype=object)
+
+    def sample_weights(blobs: pd.Series) -> pd.Series:
+        """Retained weights of a weighted bottom-k sample blob as
+        array<double>, payload-aligned with sample_values — for
+        importance-reweighting the drawn sample downstream."""
+        out = []
+        for b in blobs:
+            if b is None:
+                out.append(None)
+                continue
+            sk = sketch_from_bytes(bytes(b))
+            if not isinstance(sk, WeightedBottomKSample):
+                out.append(None)
+                continue
+            out.append(sk.sample_weights())
         return pd.Series(out, dtype=object)
 
     theta_intersect = _theta_pair(lambda a, b: a.intersect_estimate(b))
@@ -255,6 +276,7 @@ def _make_udfs() -> dict:
         "fd_spectrum": pandas_udf(fd_spectrum, "array<double>"),
         "sketch_merge": pandas_udf(sketch_merge, "binary"),
         "sample_values": pandas_udf(sample_values, "array<string>"),
+        "sample_weights": pandas_udf(sample_weights, "array<double>"),
         # theta set algebra between two sketch columns — pairwise group
         # comparisons become a plain self-join over the sketch table
         "theta_intersect": pandas_udf(theta_intersect, "double"),
