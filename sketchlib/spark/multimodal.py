@@ -984,6 +984,83 @@ def encode_mp3_stub(duration_ms: int, bitrate_kbps: int = 128,
     return out
 
 
+def _mp3_header_at(payload: bytes, pos: int) -> dict | None:
+    """Parse a candidate MPEG-audio frame header at ``pos``; None when
+    the 4 bytes there are not a valid header. Returns the decoded
+    fields plus the computed frame length — shared by ``probe_mp3``
+    (first-frame metadata) and ``mp3_extract_frames`` (full walk,
+    where VBR streams change bitrate per frame)."""
+    n = len(payload)
+    if pos + 4 > n or payload[pos] != 0xFF \
+            or (payload[pos + 1] & 0xE0) != 0xE0:
+        return None
+    b1, b2, b3 = payload[pos + 1], payload[pos + 2], payload[pos + 3]
+    version = (b1 >> 3) & 0x3          # 3=MPEG1 2=MPEG2 0=MPEG2.5
+    layer = (b1 >> 1) & 0x3            # 1=III 2=II 3=I
+    br_idx = (b2 >> 4) & 0xF
+    sr_idx = (b2 >> 2) & 0x3
+    pad = (b2 >> 1) & 1
+    if version == 1 or layer == 0 or br_idx in (0, 15) or sr_idx == 3:
+        return None
+    rate = _MP3_RATES[version][sr_idx]
+    lyr = {1: 3, 2: 2, 3: 1}[layer]
+    vgrp = 1 if version == 3 else 2
+    kbps = _MP3_BITRATES[(vgrp, lyr)][br_idx]
+    if lyr == 1:  # Layer I: slots are 4 bytes
+        flen = (12 * kbps * 1000 // rate + pad) * 4
+    else:
+        per = 144 if (vgrp == 1 or lyr == 2) else 72
+        flen = per * kbps * 1000 // rate + pad
+    mode = (b3 >> 6) & 0x3
+    spf = 384 if lyr == 1 else (1152 if (lyr == 2 or vgrp == 1) else 576)
+    return {"b1": b1, "version": version, "vgrp": vgrp, "lyr": lyr,
+            "kbps": kbps, "rate": rate, "pad": pad, "mode": mode,
+            "flen": flen, "spf": spf}
+
+
+def mp3_extract_frames(payload: bytes, max_frames: int | None = None
+                       ) -> list[bytes]:
+    """Pull the raw per-frame byte payloads out of an MPEG-audio
+    stream — the mp3 counterpart of ``mp4_extract_samples``: each
+    returned element is one complete frame (header + side info +
+    main data), the unit a real decoder consumes and the unit a
+    frame-sampling curation pipeline ships. Handles ID3v2 skip and
+    per-frame lengths (VBR streams change bitrate frame to frame),
+    stops at the first non-frame byte after at least one frame (APE /
+    ID3v1 trailers), and raises ValueError when no verified sync
+    exists (same acceptance rule as ``probe_mp3``). Frame DECODE
+    (Huffman + IMDCT synthesis) stays honestly stubbed — no stdlib
+    path; the frames come back as opaque bytes.
+    """
+    probe_mp3(payload)  # validates the stream shape up front
+    pos = 0
+    if payload[:3] == b"ID3" and len(payload) >= 10:
+        size = ((payload[6] & 0x7F) << 21) | ((payload[7] & 0x7F) << 14) \
+            | ((payload[8] & 0x7F) << 7) | (payload[9] & 0x7F)
+        pos = 10 + size
+    n = len(payload)
+    # sync on the first verified frame (same rule as probe_mp3)
+    while pos + 4 <= n:
+        h = _mp3_header_at(payload, pos)
+        if h is not None:
+            nxt = pos + h["flen"]
+            if nxt + 2 > n or (payload[nxt] == 0xFF
+                               and (payload[nxt + 1] & 0xE0) == 0xE0):
+                break
+        pos += 1
+    frames: list[bytes] = []
+    while pos + 4 <= n:
+        h = _mp3_header_at(payload, pos)
+        if h is None:
+            break  # trailer (ID3v1/APE) or corruption: stop cleanly
+        end = min(pos + h["flen"], n)
+        frames.append(payload[pos:end])
+        pos = end
+        if max_frames is not None and len(frames) >= max_frames:
+            break
+    return frames
+
+
 def probe_mp3(payload: bytes) -> dict:
     """REAL MPEG-audio header probe — stdlib only.
 
@@ -1007,24 +1084,11 @@ def probe_mp3(payload: bytes) -> dict:
         pos = 10 + size
     n = len(payload)
     while pos + 4 <= n:
-        if payload[pos] == 0xFF and (payload[pos + 1] & 0xE0) == 0xE0:
-            b1, b2, b3 = payload[pos + 1], payload[pos + 2], payload[pos + 3]
-            version = (b1 >> 3) & 0x3          # 3=MPEG1 2=MPEG2 0=MPEG2.5
-            layer = (b1 >> 1) & 0x3            # 1=III 2=II 3=I
-            br_idx = (b2 >> 4) & 0xF
-            sr_idx = (b2 >> 2) & 0x3
-            pad = (b2 >> 1) & 1
-            if version != 1 and layer != 0 and br_idx not in (0, 15) \
-                    and sr_idx != 3:
-                rate = _MP3_RATES[version][sr_idx]
-                lyr = {1: 3, 2: 2, 3: 1}[layer]
-                vgrp = 1 if version == 3 else 2
-                kbps = _MP3_BITRATES[(vgrp, lyr)][br_idx]
-                if lyr == 1:  # Layer I: slots are 4 bytes
-                    flen = (12 * kbps * 1000 // rate + pad) * 4
-                else:
-                    per = 144 if (vgrp == 1 or lyr == 2) else 72
-                    flen = per * kbps * 1000 // rate + pad
+        h = _mp3_header_at(payload, pos)  # shared parse (see above)
+        if h is not None:
+                rate, lyr, vgrp = h["rate"], h["lyr"], h["vgrp"]
+                kbps, mode, b1 = h["kbps"], h["mode"], h["b1"]
+                flen, spf, version = h["flen"], h["spf"], h["version"]
                 # sync verification: a real stream has another frame
                 # header right after this one (skip for streams shorter
                 # than two frames)
@@ -1034,7 +1098,6 @@ def probe_mp3(payload: bytes) -> dict:
                         and (payload[nxt + 1] & 0xE0) == 0xE0):
                     pos += 1
                     continue
-                mode = (b3 >> 6) & 0x3
                 # bits / kbps = milliseconds (CBR-exact)
                 dur = (n - pos) * 8 // kbps if kbps else None
                 out = {"mpeg_version": {3: 1, 2: 2, 0: 25}[version],
@@ -1052,8 +1115,6 @@ def probe_mp3(payload: bytes) -> dict:
                     si = 17 if mode == 3 else 32
                 else:
                     si = 9 if mode == 3 else 17
-                spf = 384 if lyr == 1 else (
-                    1152 if (lyr == 2 or vgrp == 1) else 576)
                 # protection_bit == 0 means a 16-bit CRC sits between
                 # the header and the side info — the Xing tag shifts
                 # with it (common in broadcast rips)
