@@ -255,7 +255,8 @@ def main(argv=None) -> int:
     b.add_argument("--sketch", action="append", required=True,
                    help="kind:value_col[:k=v,...], repeatable; special "
                         "params tokenize=1 (split text to tokens) and "
-                        "weight_col=<col> (cms/countsketch counts)")
+                        "weight_col=<col> (cms/countsketch counts; "
+                        "wsample sampling weights)")
     b.add_argument("--derive", action="append", default=None,
                    help="name=SQL_EXPR derived column, e.g. "
                         "html_len=CAST(length(html) AS DOUBLE); repeatable")

@@ -1119,6 +1119,9 @@ def q_media_features(spark, sf_dir):
     probe = (M.video_metadata(media)
              .select("media_id", F.col("width").alias("probe_w"),
                      F.col("height").alias("probe_h"), "n_samples"))
+    audio = (M.audio_metadata(media)
+             .select("media_id", "sample_rate",
+                     F.col("duration_ms_est").alias("audio_ms")))
     feats = (M.extract_features(media, fake=True)
              .select("media_id", F.size("feature").alias("feat_dim"),
                      F.round(F.aggregate(
@@ -1129,4 +1132,5 @@ def q_media_features(spark, sf_dir):
             .join(meta, "media_id")
             .join(feats, "media_id")
             .join(probe, "media_id", "left")
+            .join(audio, "media_id", "left")
             .orderBy("media_id"))
