@@ -471,10 +471,16 @@ def q_sketch_accuracy_lang(spark, sf_dir):
     4-sigma bound) and KLL/t-digest (median rank err vs 5% bound),
     with a within_bound verdict a pipeline can gate on."""
     from sketchlib.spark.validate import accuracy_table
-    docs = load(spark, sf_dir, "documents")
+    docs = (load(spark, sf_dir, "documents")
+            # +1: sampling weights must be > 0 and empty docs have
+            # n_chars == 0; constant-per-text, so the wsample lattice
+            # (max weight per distinct value) is well-defined
+            .withColumn("w_chars", (F.col("n_chars") + 1).cast("double")))
     specs = [SketchSpec("h", "hll", "text", {"b": 14}),
              SketchSpec("th", "theta", "text", {"k": 4096}),
              SketchSpec("s", "sample", "doc_id", {"k": 256}),
+             SketchSpec("ws", "wsample", "text", {"k": 256},
+                        weight_col="w_chars"),
              SketchSpec("k", "kll", "n_chars", {"k": 256}),
              SketchSpec("t", "tdigest", "n_chars", {"delta": 300})]
     return accuracy_table(docs, ["lang"], specs)

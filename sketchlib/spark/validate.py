@@ -167,6 +167,9 @@ def accuracy_table(df: DataFrame, group_cols: list[str], specs,
       the exact rank of sketch_quantile(0.5) must sit within
       ``quantile_rank_bound`` of 0.5 (rank error is the quantity these
       sketches bound; value-space error is data-dependent).
+    - wsample: metric = relative error of the weighted-total
+      estimate ((k-1)/key_k) vs the exact sum over distinct values of
+      their max weight; bound = 4/sqrt(k-2) (same KMV error shape).
     - bloom: use ``bloom_validate`` (FPR semantics need probe sets);
       cms / countsketch: use their top-k companion queries.
 
@@ -182,10 +185,11 @@ def accuracy_table(df: DataFrame, group_cols: list[str], specs,
     udfs = register_sql_functions(spark)
     distinct_kinds = {"hll", "theta", "sample"}
     quantile_kinds = {"kll", "tdigest"}
-    todo = [s for s in specs if s.kind in distinct_kinds | quantile_kinds]
+    todo = [s for s in specs
+            if s.kind in distinct_kinds | quantile_kinds | {"wsample"}]
     if not todo:
         raise ValueError("accuracy_table needs hll/theta/sample/kll/"
-                         "tdigest specs; bloom has bloom_validate")
+                         "tdigest/wsample specs; bloom has bloom_validate")
     if merged is None:
         merged = build_sketches(df, group_cols, todo)
 
@@ -197,6 +201,7 @@ def accuracy_table(df: DataFrame, group_cols: list[str], specs,
 
     dist_specs = [s for s in todo if s.kind in distinct_kinds]
     quant_specs = [s for s in todo if s.kind in quantile_kinds]
+    wsample_specs = [s for s in todo if s.kind == "wsample"]
     out = []
 
     def _join_groups(left, right):
@@ -276,6 +281,32 @@ def accuracy_table(df: DataFrame, group_cols: list[str], specs,
                            "est", "exact", "err", "bound",
                            (F.col("err") <= F.col("bound"))
                            .alias("within_bound")))
+    for spec in wsample_specs:
+        # exact total weight over DISTINCT values (max weight per
+        # value — the kernel's own lattice semantics): one pre-agg on
+        # (group, value) then a per-group sum
+        exw = (df.select(*group_cols, F.col(spec.value_col).alias("_v"),
+                         F.col(spec.weight_col).cast("double").alias("_w"))
+               .dropna(subset=["_v", "_w"])
+               .groupBy(*group_cols, "_v").agg(F.max("_w").alias("_mw"))
+               .groupBy(*group_cols).agg(F.sum("_mw").alias("__exw")))
+        est = (merged.filter(F.col("sketch_name") == spec.name)
+               .select(*group_cols, "sketch_name",
+                       udfs["sketch_estimate"]("sketch").alias("est")))
+        k = spec.params.get("k", 1024)
+        bound = 4.0 / (max(k - 2, 1)) ** 0.5
+        ex = F.col("__exw")
+        out.append(
+            _join_groups(est, exw)
+            .withColumn("err", F.abs(F.col("est") - ex) / ex)
+            .withColumn("bound", F.lit(float(bound)))
+            .select(*group_cols, "sketch_name",
+                    F.lit("wsample").alias("kind"),
+                    F.lit("weight_total_rel_err").alias("metric"),
+                    "est", ex.cast("double").alias("exact"),
+                    "err", "bound",
+                    (F.col("err") <= F.col("bound")).alias("within_bound")))
+
     res = out[0]
     for o in out[1:]:
         res = res.unionByName(o)

@@ -13,7 +13,7 @@ def acc(spark):
 
 
 def test_all_rows_within_bound(acc):
-    assert len(acc) == 5 * 5  # 5 langs x 5 specs
+    assert len(acc) == 5 * 6  # 5 langs x 6 specs (round 5: + wsample)
     bad = acc[~acc["within_bound"]]
     assert bad.empty, bad.to_string()
 
@@ -27,6 +27,24 @@ def test_distinct_rows_exact_column_is_exact(spark, acc):
     for _, r in hll.iterrows():
         assert r["exact"] == want[r["lang"]]
         assert r["metric"] == "distinct_rel_err"
+
+
+def test_wsample_rows_weighted_total(spark, acc):
+    """wsample rows measure the weighted-total estimate against the
+    exact sum of per-distinct-text max weight."""
+    import pyspark.sql.functions as F
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .withColumn("w", (F.col("n_chars") + 1).cast("double")))
+    want = {r["lang"]: r["tw"] for r in
+            docs.dropna(subset=["text"]).groupBy("lang", "text")
+            .agg(F.max("w").alias("mw")).groupBy("lang")
+            .agg(F.sum("mw").alias("tw")).collect()}
+    ws = acc[acc["kind"] == "wsample"]
+    assert len(ws) == 5
+    for _, r in ws.iterrows():
+        assert r["metric"] == "weight_total_rel_err"
+        assert r["exact"] == want[r["lang"]]
+        assert r["within_bound"]
 
 
 def test_quantile_rows_are_rank_errors(acc):
