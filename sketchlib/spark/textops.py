@@ -776,3 +776,60 @@ def content_fingerprint(df: DataFrame, id_col: str, text_col: str,
             yield pd.DataFrame({"doc": pdf["_id"].to_numpy(), "fingerprint": h})
 
     return sel.mapInPandas(fn, schema)
+
+
+def html_to_text(df: DataFrame, html_col: str,
+                 out_col: str = "text_extracted") -> DataFrame:
+    """Deterministic HTML -> visible-text extraction as ONE declarative
+    JVM expression chain (whole-stage codegen, no python stage) — the
+    first step of a Common-Crawl-style pipeline, where the per-row
+    contract is byte-identical extracted text per page across runs and
+    cluster sizes (BASELINE.json input_hint invariant; asserted in
+    tests/test_html_extract.py round-trip).
+
+    Accepts binary or string html (binary decodes as UTF-8 with
+    replacement). Extraction rules, applied in order:
+
+    1. drop <head>/<script>/<style>/<noscript>/<template> elements
+       wholesale (head metadata and code are never visible body text)
+       and <!-- comments -->
+    2. block-level boundaries (<p>, <br>, <div>, <li>, <tr>, <h1-6>,
+       heads of tables/lists, open or close) become newlines so words
+       from adjacent blocks don't fuse
+    3. every remaining tag becomes a space (inline tags separate
+       words in real pages: "a<b>b</b>" -> "a b")
+    4. the named entities that dominate crawl text decode
+       (&amp; &lt; &gt; &quot; &#39; &#34; &nbsp;) — &amp; LAST so
+       double-encoded text does not over-decode
+    5. whitespace canonicalization: horizontal runs -> one space,
+       spaces around newlines dropped, newline runs -> ONE newline
+       (canonical block separator — dedup keys want one normal form,
+       not a paragraph-spacing-sensitive one), trim
+
+    Deliberately conservative and dependency-free: no DOM repair, no
+    numeric-entity table, no visibility CSS — those need an html5 tree
+    builder (not in this container) and for sketch/dedup keys the
+    DETERMINISM of the mapping matters more than perfect fidelity.
+    """
+    c = F.col(html_col)
+    s = F.when(c.isNull(), F.lit(None)).otherwise(
+        F.decode(c, "UTF-8") if dict(df.dtypes)[html_col] == "binary"
+        else c.cast("string"))
+    # (?is): case-insensitive + DOTALL so elements span lines
+    for el in ("head", "script", "style", "noscript", "template"):
+        s = F.regexp_replace(
+            s, f"(?is)<{el}\\b[^>]*>.*?</{el}\\s*>", " ")
+    s = F.regexp_replace(s, r"(?s)<!--.*?-->", " ")
+    s = F.regexp_replace(
+        s, r"(?i)</?(p|br|div|li|tr|h[1-6]|ul|ol|table|blockquote|"
+        r"section|article|header|footer|pre)\b[^>]*>", "\n")
+    s = F.regexp_replace(s, r"(?s)<[^>]*>", " ")
+    for ent, rep in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", "\""),
+                     ("&#39;", "'"), ("&#34;", "\""), ("&nbsp;", " "),
+                     ("&amp;", "&")):
+        s = F.regexp_replace(s, ent, rep)
+    s = F.regexp_replace(s, r"[ \t\x0B\f\r]+", " ")
+    s = F.regexp_replace(s, r" ?\n ?", "\n")
+    s = F.regexp_replace(s, r"\n{2,}", "\n")
+    s = F.regexp_replace(s, r"^\s+|\s+$", "")
+    return df.withColumn(out_col, s)
