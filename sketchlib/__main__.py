@@ -80,6 +80,12 @@ def cmd_pipeline(args) -> int:
     from sketchlib.io.sources import read_input
     spark = get_spark("sketchlib-pipeline", cpus=args.cpus)
     df = read_input(spark, args.input, fmt=args.format)
+    if args.extract_html:
+        # the pages-table flow: visible text is extracted from the
+        # html column first (JVM regexp chain, adds text_extracted);
+        # point --key at text_extracted to sketch over it
+        from sketchlib.spark.textops import html_to_text
+        df = html_to_text(df, args.extract_html)
     calib = calibrate(df, [args.group])
     bp = bloom_params_by_group(calib, args.fpr)
     print(f"calibration (p={args.fpr}):")
@@ -238,6 +244,9 @@ def main(argv=None) -> int:
     p.add_argument("--group", required=True)
     p.add_argument("--key", required=True)
     p.add_argument("--fpr", type=float, default=0.01)
+    p.add_argument("--extract-html", default=None, metavar="COL",
+                   help="extract visible text from html column COL "
+                        "first (adds a text_extracted column)")
     p.add_argument("--out", default=None)
     p.add_argument("--fanout", type=_parse_fanout, default="auto",
                    help="merge-tree fan-in: int, 'auto' (default), or 'none'")

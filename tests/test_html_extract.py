@@ -95,3 +95,35 @@ def test_plan_is_jvm_only(spark, pages_tiny):
     plan = df._jdf.queryExecution().executedPlan().toString() \
         .split("Initial Plan")[0]
     assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_cli_pipeline_with_html_extraction(tmp_path):
+    """python -m sketchlib pipeline --extract-html: the pages-table
+    flow end-to-end — html in, per-group Bloom over the EXTRACTED
+    text, zero false negatives."""
+    import os
+    import subprocess
+    import sys
+    import pandas as pd
+    rows = []
+    for i in range(60):
+        lang = "en" if i % 2 else "fr"
+        text = f"doc {i} body words {i * 7}"
+        rows.append((lang, f"u{i}",
+                     f"<html><head><title>x</title></head><body><p>"
+                     f"{text}</p></body></html>"))
+    src = tmp_path / "pages.tsv"
+    pd.DataFrame(rows, columns=["lang", "url", "html"]).to_csv(
+        src, sep="\t", index=False)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, "-m", "sketchlib", "pipeline",
+         "--input", str(src), "--group", "lang",
+         "--extract-html", "html", "--key", "text_extracted",
+         "--cpus", "4"],
+        capture_output=True, text=True, timeout=300,
+        cwd=env["PYTHONPATH"], env=env)
+    assert out.returncode == 0, (out.stdout[-1500:], out.stderr[-800:])
+    assert "calibration" in out.stdout and "measured_fpr" in out.stdout
