@@ -225,3 +225,36 @@ def test_sketch_table_prune_counts_committed_only(spark, pages_tiny,
     assert left == [2, 4]
     assert sink.latest()["batch_id"] == 4
     shutil.rmtree(tbl)
+
+
+def test_streaming_wsample_matches_batch_bitwise(spark, pages_tiny,
+                                                 stream_dir, tmp_path):
+    """The weighted sample kernel through the streaming feed path:
+    final streamed state == batch-built state, bitwise (lattice)."""
+    import pyspark.sql.functions as F
+    from sketchlib.spark.specs import SketchSpec
+    from sketchlib.spark.streaming import streaming_build
+    spec = [SketchSpec("ws", "wsample", "url", {"k": 32},
+                       weight_col="w")]
+    add_w = lambda d: d.withColumn(
+        "w", (F.length("url") % 13 + 1).cast("double"))
+    stream = (spark.readStream.schema(pages_tiny.schema)
+              .option("maxFilesPerTrigger", 1).parquet(stream_dir))
+    q = (streaming_build(add_w(stream), ["lang"], spec)
+         .writeStream.format("memory").queryName("ws_updates")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ws_ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM ws_updates").collect()
+    assert rows
+    # last emitted state per lang (max n_rows) is the final one
+    final = {}
+    best = {}
+    for r in rows:
+        if r["n_rows"] >= best.get(r["lang"], -1):
+            best[r["lang"]] = r["n_rows"]
+            final[r["lang"]] = bytes(r["sketch"])
+    batch = {r["lang"]: bytes(r["sketch"]) for r in
+             build_sketches(add_w(pages_tiny), ["lang"], spec).collect()}
+    assert final == batch
