@@ -465,7 +465,8 @@ def _fold_blobs(pdf: pd.DataFrame, context: str | None = None):
 
 
 def rollup_sketches(sketches: DataFrame, from_cols: list[str],
-                    to_cols: list[str]) -> DataFrame:
+                    to_cols: list[str],
+                    readout: list | None = None) -> DataFrame:
     """Roll a sketch table keyed by ``from_cols`` up to ``to_cols`` by
     MERGING the stored states — no rebuild from raw rows.
 
@@ -480,6 +481,9 @@ def rollup_sketches(sketches: DataFrame, from_cols: list[str],
 
     Input must have the ``build_sketches`` output shape
     (from_cols..., sketch_name, sketch, n_rows, n_partials).
+    ``readout=[(col, dtype, fn), ...]`` appends estimate columns
+    extracted inside the rollup's own merge task (same contract as
+    ``merge_partials``): rolled-up read-outs with zero extra stages.
     SQL equivalent (registered by ``register_sql_functions``):
     ``SELECT to_cols, sketch_merge(collect_list(sketch)) ... GROUP BY``.
     """
@@ -494,6 +498,10 @@ def rollup_sketches(sketches: DataFrame, from_cols: list[str],
         StructField("n_rows", LongType(), False),
         StructField("n_partials", LongType(), False),
     ])
+    if readout is not None:
+        out_schema = StructType(out_schema.fields + [
+            StructField(col, _parse_dtype(dtype), True)
+            for col, dtype, _fn in readout])
 
     def merge_fn(key, pdf):
         if dropped:
@@ -506,11 +514,17 @@ def rollup_sketches(sketches: DataFrame, from_cols: list[str],
             "requires params uniform over the dropped keys "
             "(HLL/CMS/theta/KLL/t-digest with fixed params qualify; "
             "per-group-calibrated Bloom does not)"))
+        extra = {}
+        if readout is not None:
+            name = key[len(keys) - 1]
+            for col, _dtype, fn in readout:
+                extra[col] = [fn(name, sk)]
         return pd.DataFrame({
             **{c: [key[i]] for i, c in enumerate(keys)},
             "sketch": [sk.to_bytes()],
             "n_rows": [int(pdf["n_rows"].sum())],
             "n_partials": [int(pdf["n_partials"].sum())],
+            **extra,
         })
 
     return sketches.groupBy(*keys).applyInPandas(merge_fn, out_schema)

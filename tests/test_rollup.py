@@ -247,3 +247,18 @@ def test_sketch_set_algebra_matches_component_queries(spark):
     for k, (shared, jac) in ov.items():  # overlap uses < ordering only
         assert merged[k]["n_shared_est"] == shared, k
         assert merged[k]["jaccard_est"] == jac, k
+
+
+def test_rollup_fused_readout(spark):
+    """readout= on rollup_sketches: estimate columns extracted in the
+    rollup's own merge task match a post-hoc read of the blob."""
+    docs = _docs(spark)
+    fine = build_sketches(docs, ["lang", "source"],
+                          [SketchSpec("h", "hll", "text", {"b": 12})])
+    rd = [("est", "double", lambda _n, sk: float(sk.estimate()))]
+    out = rollup_sketches(fine, ["lang", "source"], ["lang"],
+                          readout=rd).collect()
+    assert out
+    for r in out:
+        assert r["est"] == float(
+            sketch_from_bytes(bytes(r["sketch"])).estimate())
