@@ -74,6 +74,12 @@ def main() -> None:
 
     spark = get_spark("sketchlib-bench", cpus=CPUS,
                       shuffle_partitions=max(CPUS, 16))
+    # the Q-module resolution below bypasses the catalog's _wrap (and
+    # its attach_package); attach once here so pandas-UDF stages can
+    # import sketchlib on any master, not just PYTHONPATH-inheriting
+    # local workers
+    from sketchlib.spark.session import attach_package
+    attach_package(spark)
     # warm JVM + python workers so query timings measure queries,
     # not process startup
     spark.range(1 << 20).select(F.sum("id")).collect()

@@ -197,14 +197,18 @@ class WeightedBottomKSample:
         w = np.asarray(weights, dtype=np.float64)
         if len(w) != len(values):
             raise ValueError("values and weights must align")
-        if np.any(w[~np.isnan(w)] <= 0):
-            raise ValueError(
-                "weights must be > 0 (a zero/negative sampling weight "
-                "is a caller bug, not a row to skip silently)")
         arr, valid = hashing.valid_key_mask(values)
         ok = ~np.isnan(w)  # NaN weight drops the row (null rule)
         if valid is not None:
             ok &= valid
+        # positivity is validated on rows that SURVIVE the null rule:
+        # a null-valued row is dropped before its weight matters (same
+        # order as the cms/countsketch feed path), so a pipeline whose
+        # weight defaults to 0 for null values doesn't kill the job
+        if np.any(w[ok] <= 0):
+            raise ValueError(
+                "weights must be > 0 (a zero/negative sampling weight "
+                "is a caller bug, not a row to skip silently)")
         if not ok.all():
             arr = arr.filter(pa.array(ok))
             w = w[ok]
@@ -234,6 +238,8 @@ class WeightedBottomKSample:
                             other.payloads)
 
     def _absorb(self, keys, tags, weights, payloads):
+        if len(keys) == 0:
+            return self  # absorbing an empty state is the identity
         all_keys = np.concatenate([self.keys, keys])
         all_tags = np.concatenate([self.tags, tags])
         all_w = np.concatenate([self.weights, weights])

@@ -402,13 +402,17 @@ def merge_partials(partials: DataFrame, group_cols: list[str],
                 for key, sub in pdf.groupby(keys, sort=False, dropna=False):
                     if not isinstance(key, tuple):
                         key = (key,)
-                    groups.setdefault(key, []).append(sub)
+                    # normalize BEFORE the dict insert: distinct NaN
+                    # objects are unequal, so a null numeric group key
+                    # spanning multiple Arrow batches would otherwise
+                    # split into duplicate partial rows (review r5)
+                    groups.setdefault(_norm_nan(key), []).append(sub)
             if not groups:
                 return
             out = []
             for key in list(groups):
                 sub = pd.concat(groups.pop(key), ignore_index=True)
-                out.append(merge_fn(_norm_nan(key), sub))
+                out.append(merge_fn(key, sub))
             yield pd.concat(out, ignore_index=True)
 
         return partials.mapInPandas(fold_partition, out_schema)

@@ -45,7 +45,19 @@ def package_zip(out_dir: str | None = None) -> str:
             h.update(fh.read())
     out_dir = out_dir or tempfile.gettempdir()
     out = os.path.join(out_dir, f"sketchlib_pyfiles_{h.hexdigest()[:16]}.zip")
+    if os.path.exists(out) and os.access(out, os.R_OK):
+        return out
     if os.path.exists(out):
+        # same content hash published by ANOTHER user whose file we
+        # cannot read (or a perms accident): fall back to a private
+        # uniquely-named archive rather than hand out an unreadable
+        # path (review r5)
+        fd, out = tempfile.mkstemp(prefix="sketchlib_pyfiles_",
+                                   suffix=".zip", dir=out_dir)
+        os.close(fd)
+        with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as zf:
+            for rel, full in entries:
+                zf.write(full, rel)
         return out
     fd, tmp = tempfile.mkstemp(prefix="sketchlib_pyfiles_", suffix=".zip.tmp",
                                dir=out_dir)
@@ -54,6 +66,10 @@ def package_zip(out_dir: str | None = None) -> str:
         with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
             for rel, full in entries:
                 zf.write(full, rel)
+        # mkstemp creates 0600; the shared content-addressed archive
+        # must be readable by OTHER users who hash to the same name
+        # (executor fetch under a different uid)
+        os.chmod(tmp, 0o644)
         os.replace(tmp, out)
     finally:
         if os.path.exists(tmp):

@@ -442,6 +442,7 @@ class SketchTableSink:
         older than the newest commit are always deleted and the newest
         ``keep_versions`` committed versions are kept."""
         import json
+        from sketchlib.spark.checkpoint import _is_path_missing
         try:
             jvm, fs = self._fs()
             versions = self._versions()
@@ -450,11 +451,21 @@ class SketchTableSink:
                 try:
                     rows = self.spark.read.text(
                         f"{self.path}/v={v}/_COMMIT").collect()
+                except Exception as e:
+                    if _is_path_missing(e):
+                        continue  # marker never written -> uncommitted
+                    # transient IO failure (throttling, network,
+                    # permissions): the version's commit status is
+                    # UNKNOWN — abort this prune pass entirely rather
+                    # than misclassify a committed rollback version as
+                    # junk and delete it (same rule latest() applies)
+                    return
+                try:
                     doc = json.loads("".join(r["value"] for r in rows))
-                    if int(doc.get("batch_id", -1)) == v:
-                        committed_vs.append(v)
-                except Exception:
-                    pass  # unreadable marker -> not committed
+                except ValueError:
+                    continue  # crash mid-marker-write -> uncommitted
+                if int(doc.get("batch_id", -1)) == v:
+                    committed_vs.append(v)
             keep = set(committed_vs[-self.keep_versions:])
             for v in versions:
                 if v < committed and v not in keep:

@@ -837,8 +837,7 @@ def html_to_text(df: DataFrame, html_col: str,
 
 def dup_span_flags(df: DataFrame, id_col: str, text_col: str,
                    span_tokens: int = 50, winnow: int = 1,
-                   min_count: int = 2,
-                   max_span_freq: int | None = None) -> DataFrame:
+                   min_count: int = 2) -> DataFrame:
     """Corpus-wide duplicated-SPAN detection — the substring-level rung
     of the dedup ladder (the "exact substring dedup" of Deduplicating
     Training Data Makes Language Models Better / RefinedWeb, which
@@ -880,13 +879,12 @@ def dup_span_flags(df: DataFrame, id_col: str, text_col: str,
     - exploded rows ~= n_tokens per doc at winnow=1, ~2/(w+1) of that
       at winnow=w — at 10^12 docs run span=50, winnow=50 for ~4%
       density with the >= 99-token detection guarantee.
-    - the count side is a partial-aggregated groupBy on the hash (no
-      pair join: a boilerplate span shared by millions of docs costs
-      its row count, never f^2).
-    - ``max_span_freq`` optionally drops ultra-hot hashes from the
-      JOIN-BACK side (they are certainly duplicates; capping bounds
-      the hash->doc fan-out when one licence block dominates) —
-      counts stay exact, only flag fan-out is bounded.
+    - the count side is a partial-aggregated groupBy on the hash, and
+      the flag join-back is an equi-join of the span rows against a
+      DISTINCT-hash set: each span row matches at most once, so
+      output <= |spans| — there is NO f^2 fan-out anywhere, and no
+      hot-span cap is needed (an earlier draft had one; it would have
+      UN-flagged exactly the heaviest boilerplate — review r5).
 
     64-bit hashing: at N shipped hashes expect ~N^2/2^65 false
     collisions — a handful per 10^9 — acceptable for a keep/trim gate.
@@ -960,8 +958,6 @@ def dup_span_flags(df: DataFrame, id_col: str, text_col: str,
     spans = _materialize(spans_src)
     counts = spans.groupBy("_h").agg(F.count("*").alias("_c"))
     dup = counts.filter(F.col("_c") >= int(min_count))
-    if max_span_freq is not None:
-        dup = dup.filter(F.col("_c") <= int(max_span_freq))
     per_doc = (spans.groupBy("_id")
                .agg(F.count("*").alias("_nfp"),
                     F.first("_nsp").alias("_nsp")))

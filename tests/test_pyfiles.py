@@ -62,3 +62,14 @@ def test_package_zip_content_hash_reuse(tmp_path):
                 if f.startswith("sketchlib_pyfiles_")]) == 1
     # no stray .tmp leftovers from the atomic publish
     assert not [f for f in os.listdir(tmp_path) if f.endswith(".tmp")]
+
+
+def test_package_zip_world_readable(tmp_path):
+    """The shared content-addressed archive must be readable by OTHER
+    users who hash to the same name (mkstemp's 0600 would make the
+    cached path useless across uids — review r5)."""
+    import os
+    import stat
+    zp = package_zip(str(tmp_path))
+    mode = stat.S_IMODE(os.stat(zp).st_mode)
+    assert mode & stat.S_IROTH, oct(mode)

@@ -255,3 +255,39 @@ def test_build_sketches_local_bitwise_matches_distributed(pages_tiny):
     local = {k: sk.to_bytes()
              for k, sk in build_sketches_local(d, ["lang"], specs).items()}
     assert local == dist
+
+
+def test_narrow_fold_null_numeric_group_key_across_batches(spark):
+    """Review r5: the narrow single-partition fold keys its group dict
+    on normalized keys — a null numeric group key spanning multiple
+    Arrow batches must fold to ONE row per (group, spec), not split
+    into duplicate partials (NaN != NaN as dict keys)."""
+    import os
+    # interleave the null and non-null groups and force a 1-group
+    # in-flight budget so the build FLUSHES many chunked partial rows
+    # per group; tiny Arrow batches then split one group's partial
+    # rows across fold_partition batches — the regression scenario
+    rows = []
+    for i in range(40):
+        rows.append((None, f"u{i}"))
+        rows.append((1.0, f"v{i}"))
+    df = (spark.createDataFrame(rows, "g double, url string")
+          .coalesce(1))
+    old_batch = spark.conf.get(
+        "spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    os.environ["SKETCHLIB_MAX_GROUPS_IN_FLIGHT"] = "1"
+    try:
+        out = build_sketches(df, ["g"],
+                             [SketchSpec("h", "hll", "url", {"b": 10})],
+                             fanout="auto").collect()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                       old_batch)
+        del os.environ["SKETCHLIB_MAX_GROUPS_IN_FLIGHT"]
+    keys = [(r["g"], r["sketch_name"]) for r in out]
+    assert len(keys) == len(set(map(str, keys))) == 2, keys
+    for r in out:
+        assert r["n_rows"] == 40, r
+        # the scenario really happened: many chunked partials folded
+        assert r["n_partials"] > 1, r

@@ -128,3 +128,32 @@ class TestSparkPath:
     def test_wsample_weight_col_required(self):
         with pytest.raises(ValueError, match="requires weight_col"):
             SketchSpec("w", "wsample", "url", {"k": 8})
+
+
+class TestReviewRegressions:
+    """Round-5 review findings."""
+
+    def test_merge_empty_states(self):
+        """Two all-null-input partials merge without crashing (a group
+        whose rows in several partitions are all null-valued produces
+        empty partials; the merge must be the identity, not an
+        IndexError)."""
+        a = WeightedBottomKSample(4)
+        b = WeightedBottomKSample(4)
+        assert a.merge(b).sample() == []
+        # empty + nonempty in both orders
+        c = _mk(["x"], [2.0], k=4)
+        assert WeightedBottomKSample(4).merge(c).sample() == [b"x"]
+        assert c.merge(WeightedBottomKSample(4)).sample() == [b"x"]
+        # serde of the empty state round-trips (the _fold_sorted path)
+        blob = WeightedBottomKSample(4).to_bytes()
+        assert WeightedBottomKSample.from_bytes(blob).to_bytes() == blob
+
+    def test_null_key_with_nonpositive_weight_drops_not_raises(self):
+        """Positivity is validated AFTER the null rule: a pipeline
+        whose weight defaults to 0 for null values must not die."""
+        s = _mk(["a", None, "b"], [1.0, 0.0, 2.0], k=8)
+        assert sorted(s.sample()) == [b"a", b"b"]
+        # a zero weight on a NON-null row is still a loud caller bug
+        with pytest.raises(ValueError, match="> 0"):
+            _mk(["a", "b"], [1.0, 0.0])
