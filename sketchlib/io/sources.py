@@ -24,6 +24,7 @@ _SUFFIXES = {
     ".parquet": "parquet", ".pq": "parquet", ".orc": "orc",
     ".csv": "csv", ".tsv": "tsv", ".txt": "tsv",
     ".json": "json", ".jsonl": "json", ".ndjson": "json",
+    ".warc": "warc",  # .warc.gz handled by the double-suffix rule
 }
 FORMATS = sorted(set(_SUFFIXES.values()))
 
@@ -32,6 +33,11 @@ def infer_format(path: str) -> str:
     """Format from the path suffix (directories of part-files included:
     'x.parquet/', 'x.parquet/*' style paths still carry the suffix)."""
     base = path.rstrip("*/")
+    if base.lower().endswith(".gz"):
+        # compressed inputs carry their real format in the DOUBLE
+        # suffix: x.warc.gz -> warc; x.csv.gz -> csv (Spark reads
+        # gzipped text sources natively); a bare .gz stays ambiguous
+        base = base[:-3]
     _, ext = os.path.splitext(base)
     fmt = _SUFFIXES.get(ext.lower())
     if fmt is None:
@@ -69,4 +75,10 @@ def read_input(spark: SparkSession, path: str, fmt: str | None = None,
         if schema is not None:
             reader = reader.schema(schema)
         return reader.json(path)
+    if fmt == "warc":
+        # crawl container -> pages-shaped rows (url, warc_ts, html,
+        # ...); chain textops.html_to_text (or the CLI's
+        # --extract-html) for the text column
+        from sketchlib.io.warc import read_warc
+        return read_warc(spark, path)
     raise ValueError(f"unsupported format {fmt!r}; one of {FORMATS}")
