@@ -12,20 +12,22 @@ industry pattern (and ours) is FILE-level parallelism: crawl dumps
 ship thousands of ~1 GB files, so one task per file saturates any
 cluster; ``read_warc`` uses Spark's binaryFile source + one
 Arrow-batched parse pass per file. Records that fail to parse are
-counted, not fatal (a truncated tail record must not kill a 1 GB
-file's task).
+SKIPPED with a boundary resync, not fatal (a garbled record mid-file
+must not cost the file's tail, and a truncated tail must not kill the
+task). Known limit: Spark's binaryFile source refuses files over
+2 GiB — split larger dumps upstream (crawl convention is ~1 GB/file).
 """
 
 from __future__ import annotations
 
 import gzip
 import io as _io
+import zlib
 from collections.abc import Iterator
 from datetime import datetime, timezone
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
-import pyspark.sql.functions as F
 from pyspark.sql.types import (BinaryType, LongType, StringType, StructField,
                                StructType, TimestampType)
 
@@ -111,7 +113,16 @@ def iter_warc_records(payload: bytes) -> Iterator[dict]:
         try:
             length = int(headers.get("content-length", ""))
         except ValueError:
-            break
+            # garbled Content-Length mid-file: RESYNC on the next
+            # record magic rather than silently dropping every
+            # remaining record (a body containing the magic can fool
+            # the resync, but this path only runs on corruption —
+            # losing one boundary beats losing the file tail)
+            nxt = payload.find(b"WARC/", hdr_end)
+            if nxt == -1:
+                break
+            pos = nxt
+            continue
         block_start = hdr_end + 4
         if block_start + length > n:
             break  # truncated tail record
@@ -120,15 +131,53 @@ def iter_warc_records(payload: bytes) -> Iterator[dict]:
         pos = block_start + length
 
 
-def http_body(block: bytes) -> tuple[dict, bytes]:
+def _dechunk(body: bytes) -> bytes | None:
+    """Decode Transfer-Encoding: chunked framing; None on malformed."""
+    out, pos, n = bytearray(), 0, len(body)
+    while pos < n:
+        eol = body.find(_CRLF, pos)
+        if eol == -1:
+            return None
+        try:
+            size = int(body[pos:eol].split(b";")[0], 16)
+        except ValueError:
+            return None
+        if size == 0:
+            return bytes(out)
+        start = eol + 2
+        if start + size > n:
+            return None
+        out += body[start:start + size]
+        pos = start + size + 2  # skip trailing CRLF
+    return bytes(out)
+
+
+def http_body(block: bytes) -> tuple[dict, bytes | None]:
     """(http headers, body) of a response record's block; a block
-    without an HTTP header section comes back with empty headers."""
-    if not (block.startswith(b"HTTP/") or block.startswith(b"http/")):
+    without an HTTP header section comes back with empty headers.
+    Chunked transfer framing is decoded and gzip content-encoding
+    decompressed; a body these DECODERS cannot process returns None
+    (quarantine) rather than leaking framing/compressed bytes into
+    the html column."""
+    if block[:5].upper() != b"HTTP/":
         return {}, block
     sep = block.find(_CRLF + _CRLF)
     if sep == -1:
         return {}, block
-    return _parse_headers(block[:sep]), block[sep + 4:]
+    headers = _parse_headers(block[:sep])
+    body: bytes | None = block[sep + 4:]
+    if "chunked" in headers.get("transfer-encoding", "").lower():
+        body = _dechunk(body)
+    enc = headers.get("content-encoding", "").lower()
+    if body is not None and enc in ("gzip", "x-gzip", "deflate"):
+        try:
+            body = (gzip.decompress(body) if "gzip" in enc
+                    else zlib.decompress(body))
+        except Exception:
+            body = None
+    elif enc and enc not in ("identity",):
+        body = None  # br etc.: no stdlib decoder -> quarantine
+    return headers, body
 
 
 # ---------------------------------------------------------------------------
@@ -175,10 +224,17 @@ def read_warc(spark: SparkSession, path: str,
                         raw_ts = h.get("warc-date")
                         if raw_ts:
                             try:
-                                ts = datetime.fromisoformat(
-                                    raw_ts.replace("Z", "+00:00")
-                                ).astimezone(timezone.utc) \
-                                    .replace(tzinfo=None)
+                                dt = datetime.fromisoformat(
+                                    raw_ts.replace("Z", "+00:00"))
+                                if dt.tzinfo is None:
+                                    # spec-violating naive date: WARC
+                                    # times are UTC by definition —
+                                    # never interpret via machine-
+                                    # local tz (determinism)
+                                    ts = dt
+                                else:
+                                    ts = dt.astimezone(timezone.utc) \
+                                        .replace(tzinfo=None)
                             except ValueError:
                                 pass
                         hh, body = http_body(rec["block"])

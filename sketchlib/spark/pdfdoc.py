@@ -250,13 +250,24 @@ def _scan_text_ops(content: bytes) -> str:
     return text.decode("latin-1").strip("\n")
 
 
+def _is_encrypted(payload: bytes) -> bool:
+    """/Encrypt is meaningful only inside a trailer dictionary (or an
+    xref-stream dict) — a page whose TEXT mentions '/Encrypt' must not
+    quarantine the document, so scan the regions after each 'trailer'
+    keyword rather than the whole payload."""
+    for m in re.finditer(rb"trailer", payload):
+        if b"/Encrypt" in payload[m.end():m.end() + 512]:
+            return True
+    return False
+
+
 def pdf_extract_text(payload: bytes) -> str:
     """Visible text of a (digitally-born) PDF, pages in document
     order, lines separated by newlines. ValueError on non-PDF or
     encrypted payloads; undecodable streams are skipped."""
     if not payload.startswith(b"%PDF-"):
         raise ValueError("not a PDF payload (missing %PDF- header)")
-    if b"/Encrypt" in payload[-2048:] or b"/Encrypt " in payload:
+    if _is_encrypted(payload):
         raise ValueError("encrypted PDF (no decryption support)")
     parts = []
     for head, data in _iter_streams(payload):
@@ -275,7 +286,11 @@ def probe_pdf(payload: bytes) -> dict:
     if not payload.startswith(b"%PDF-"):
         raise ValueError("not a PDF payload (missing %PDF- header)")
     version = payload[5:8].decode("latin-1", "replace")
-    n_pages = len(re.findall(rb"/Type\s*/Page[^s]", payload))
+    # \b: match /Page but not /Pages or /PageLabel (both continue
+    # with a word char). Heuristic: literal text inside UNCOMPRESSED
+    # content streams could still inflate the count — acceptable for
+    # a filter-before-extract probe
+    n_pages = len(re.findall(rb"/Type\s*/Page\b(?!s)", payload))
     m = re.search(rb"/Producer\s*\(((?:[^()\\]|\\.)*)\)", payload)
     producer = None
     if m:
@@ -283,7 +298,7 @@ def probe_pdf(payload: bytes) -> dict:
                     .replace(b"\\)", b")").replace(b"\\\\", b"\\")
                     .decode("latin-1", "replace"))
     return {"version": version, "n_pages": int(n_pages),
-            "encrypted": b"/Encrypt" in payload,
+            "encrypted": _is_encrypted(payload),
             "n_streams": len(_STREAM_RE.findall(payload)),
             "producer": producer}
 
@@ -326,6 +341,9 @@ def pdf_metadata(df: DataFrame, id_col: str = "media_id",
     return sel.mapInPandas(fn, schema)
 
 
+_NON_ASCII_RE = re.compile(r"[^\t\n -~]")
+
+
 def pdf_to_text(df: DataFrame, id_col: str = "media_id",
                 payload_col: str = "payload") -> DataFrame:
     """(media_id, text, n_chars, ascii_ratio) — extracted text per PDF.
@@ -351,9 +369,10 @@ def pdf_to_text(df: DataFrame, id_col: str = "media_id",
             for mid, p in zip(pdf_["_id"], pdf_["_payload"]):
                 try:
                     t = pdf_extract_text(bytes(p))
-                    n_ok = sum(1 for ch in t
-                               if ch in ("\n", "\t") or 32 <= ord(ch) < 127)
-                    ratio = round(n_ok / len(t), 4) if t else None
+                    # C-speed count of chars OUTSIDE printable ASCII
+                    n_bad = len(_NON_ASCII_RE.findall(t))
+                    ratio = (round((len(t) - n_bad) / len(t), 4)
+                             if t else None)
                     rows.append((mid, t, len(t), ratio))
                 except (ValueError, zlib.error):
                     rows.append((mid, None, None, None))

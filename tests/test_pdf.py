@@ -125,3 +125,19 @@ class TestSparkOps:
                   token_counts(texts, "media_id", "text").collect()}
         assert counts[1] == 2  # "solo page"
         assert counts[0] > 4
+
+
+class TestReviewRegressions:
+    def test_encrypt_mention_in_page_text_not_quarantined(self):
+        """/Encrypt is meaningful only in trailer dicts — a page whose
+        TEXT mentions it must still extract (review r5)."""
+        pdf = encode_pdf([["see /Encrypt handling notes"]],
+                         compress=False)
+        assert "Encrypt" in pdf_extract_text(pdf)
+        assert probe_pdf(pdf)["encrypted"] is False
+
+    def test_pagelabel_not_counted_as_page(self):
+        pdf = encode_pdf(PAGES)
+        with_label = pdf.replace(
+            b"xref", b"9 0 obj\n<< /Type /PageLabel >>\nendobj\nxref", 1)
+        assert probe_pdf(with_label)["n_pages"] == 2

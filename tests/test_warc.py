@@ -124,3 +124,62 @@ def test_cli_pipeline_over_warc(tmp_path):
         capture_output=True, text=True, timeout=300, cwd=repo, env=env)
     assert out.returncode == 0, (out.stdout[-1500:], out.stderr[-800:])
     assert "measured_fpr" in out.stdout
+
+
+class TestReviewRegressions:
+    """Round-5 second review pass."""
+
+    def test_naive_warc_date_is_utc_not_machine_local(self, spark,
+                                                      tmp_path):
+        """A spec-violating timezone-naive WARC-Date must ingest as
+        UTC — machine-local interpretation breaks cross-run
+        determinism."""
+        d = tmp_path / "w"
+        d.mkdir()
+        recs = [{"url": "http://x.example/", "body": b"<p>x</p>",
+                 "date": "2024-06-01T12:00:00"}]  # no Z/offset
+        (d / "a.warc.gz").write_bytes(write_warc_gz(recs))
+        row = read_warc(spark, str(d)).first()
+        assert row["warc_ts"].hour == 12  # session TZ is pinned UTC
+
+    def test_chunked_transfer_encoding_decoded(self):
+        body = b"5\r\nhello\r\n6\r\n world\r\n0\r\n\r\n"
+        block = (b"HTTP/1.1 200 OK\r\n"
+                 b"Transfer-Encoding: chunked\r\n\r\n" + body)
+        hh, out = http_body(block)
+        assert out == b"hello world"
+
+    def test_gzip_content_encoding_decoded(self):
+        payload = gzip.compress(b"<p>compressed page</p>")
+        block = (b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n"
+                 + payload)
+        assert http_body(block)[1] == b"<p>compressed page</p>"
+
+    def test_undecodable_encoding_quarantines(self):
+        block = (b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\n"
+                 b"\x00\x01brotli-bytes")
+        assert http_body(block)[1] is None
+        bad_chunk = (b"HTTP/1.1 200 OK\r\n"
+                     b"Transfer-Encoding: chunked\r\n\r\nZZZ\r\nx")
+        assert http_body(bad_chunk)[1] is None
+
+    def test_mixed_case_status_line_headers_stripped(self):
+        block = (b"Http/1.1 404 Not Found\r\n"
+                 b"Content-Type: text/html\r\n\r\n<p>gone</p>")
+        hh, body = http_body(block)
+        assert hh["content-type"] == "text/html"
+        assert body == b"<p>gone</p>"
+
+    def test_garbled_content_length_resyncs_not_drops_tail(self):
+        blob = bytearray(write_warc_gz(_recs(3), gzip_per_record=False))
+        # corrupt record 1's Content-Length value (WARC header, not HTTP)
+        i = bytes(blob).index(b"Content-Length: ",
+                              bytes(blob).index(b"/p/1"))
+        j = bytes(blob).index(b"\r", i)
+        blob[i + len(b"Content-Length: "):j] = b"XX".ljust(
+            j - i - len(b"Content-Length: "), b"X")
+        out = list(iter_warc_records(bytes(blob)))
+        urls = [r["headers"]["warc-target-uri"] for r in out]
+        # record 1 lost, record 2 RECOVERED via resync
+        assert any(u.endswith("/p/0") for u in urls)
+        assert any(u.endswith("/p/2") for u in urls)
