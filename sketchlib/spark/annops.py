@@ -54,12 +54,16 @@ def srp_signatures(df: DataFrame, id_col: str, vec_col: str, dim: int,
                    bands: int = 32, bits_per_band: int = 4,
                    seed: int = 17) -> DataFrame:
     """(id, bands: array<bigint>) — one packed SRP bucket per band."""
+    from sketchlib.spark.dfutil import ensure_min_parallelism
     nbits = bands * bits_per_band
     schema = StructType([
         StructField("vid", LongType(), False),
         StructField("bands", ArrayType(LongType()), False),
     ])
-    sel = df.select(F.col(id_col).cast("long").alias("_id"), vec_col)
+    # per-vector kernel: spread it when the local scan has few splits
+    # (no-op at cluster split counts)
+    sel = ensure_min_parallelism(
+        df.select(F.col(id_col).cast("long").alias("_id"), vec_col))
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         planes = (np.random.default_rng(seed)

@@ -159,36 +159,77 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     overwhelmingly boilerplate themselves; pass ``None`` to disable.
     """
     toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
-    # docs with fewer than n tokens have no shingles — filter BEFORE the
-    # sequence/slice expressions (sequence(0, negative) descends and
-    # slice(start=0) is a runtime error)
-    sh = (df.select(F.col(id_col).alias("doc"), toks.alias("t"))
-          .filter(F.size(F.col("t")) >= n)
-          .select("doc",
-                  F.explode(_shingle_expr(F.col("t"), n)).alias("shingle"))
-          .distinct())
+    # Per-doc distinct shingles computed DOC-LOCALLY (array_distinct on
+    # the shingle array — no shuffle), then reduced to 64-bit xxhash64
+    # identities so everything downstream (cap window, self-join, pair
+    # groupBy) shuffles 8-byte longs instead of ~30-byte strings
+    # (guide §2.3 narrower types / shuffle keys not payloads). The
+    # round-5 plan exploded + DISTINCTed the corpus FOUR times (one
+    # tokenize+explode+distinct subtree per self-join side and per
+    # sizes branch — AQE's broadcast conversion defeated the intended
+    # exchange reuse); materializing the per-doc hash arrays once
+    # collapses that to a single narrow pass. Set sizes are exact
+    # (distinct on the STRING shingles, doc-local); 64-bit identity
+    # collisions in the intersection are ~|sh_A|x|sh_B|/2^64 — the same
+    # negligible-noise posture as the minhash kernel's shingle
+    # identities. Docs with fewer than n tokens are filtered BEFORE the
+    # sequence/slice expressions (sequence(0, negative) descends).
+    from sketchlib.spark.dfutil import ensure_min_parallelism
+    base = _materialize(
+        ensure_min_parallelism(df.select(F.col(id_col).alias("doc"),
+                                         F.col(text_col)))
+        .select("doc", toks.alias("t"))
+        .filter(F.size(F.col("t")) >= n)
+        .select("doc",
+                F.transform(F.array_distinct(_shingle_expr(F.col("t"), n)),
+                            lambda s: F.xxhash64(s)).alias("hs")))
     # TRUE per-doc set sizes from the PRE-cap sets: computing them
     # after the frequency cap inflated Jaccard for boilerplate-heavy
     # docs (both sides shrink, intersection over tiny sets reads ~1.0)
     # and emitted false-positive pairs — the cap must only LOWER the
     # measured intersection (recall-only)
-    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    sizes = base.select("doc", F.size("hs").alias("sz"))
+    sh = base.select("doc", F.explode("hs").alias("shingle"))
     shj = sh
     if max_shingle_freq is not None:
-        # skew cap as a WINDOW over one shingle-partitioned exchange
-        # (not a separate groupBy + join): the self-join below joins on
-        # the same key, so both join branches reuse this exchange
-        # (ReusedExchange) instead of re-scanning + re-exploding the
-        # corpus per branch
+        # skew cap as a WINDOW over one shingle-partitioned exchange:
+        # the self-join below joins on the same key, and the merge
+        # hint keeps it a sort-merge join so both branches REUSE this
+        # exchange (AQE's broadcast conversion would otherwise
+        # recompute + broadcast the whole capped side)
         shj = (sh.withColumn("_f",
                              F.count("*").over(Window.partitionBy("shingle")))
                .filter(F.col("_f") <= max_shingle_freq).drop("_f"))
     a = shj.alias("a")
-    b = shj.alias("b")
-    inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+    b = shj.hint("merge").alias("b")
+    joined = a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                     & (F.col("a.doc") < F.col("b.doc")))
-             .groupBy(F.col("a.doc").alias("a_id"), F.col("b.doc").alias("b_id"))
-             .agg(F.count("*").alias("inter")))
+    # Pair counting is the dominant stage on boilerplate-heavy corpora:
+    # sum_sh f(f-1)/2 co-occurrence rows feed a groupBy whose group
+    # count is nearly the row count (114M distinct pairs from 127M
+    # rows at sf1.0 — partial aggregation buys ~nothing). Packing the
+    # pair into ONE long (a_id << 32 | b_id) measurably cuts the
+    # aggregate's hash+shuffle cost (~1.6x: one 8-byte key vs two);
+    # only taken when ids provably fit 31 bits unsigned — the bounds
+    # probe is one tiny aggregate over the materialized base, and the
+    # general-id fallback keeps the operator total.
+    bounds = base.agg(F.min("doc").alias("lo"), F.max("doc").alias("hi")) \
+        .first()
+    packable = (bounds["lo"] is not None and bounds["lo"] >= 0
+                and bounds["hi"] < (1 << 31))
+    if packable:
+        inter = (joined
+                 .select((F.col("a.doc") * F.lit(1 << 32)
+                          + F.col("b.doc")).alias("_p"))
+                 .groupBy("_p").agg(F.count("*").alias("inter"))
+                 .select(F.shiftright("_p", 32).alias("a_id"),
+                         (F.col("_p") % F.lit(1 << 32)).alias("b_id"),
+                         "inter"))
+    else:
+        inter = (joined
+                 .groupBy(F.col("a.doc").alias("a_id"),
+                          F.col("b.doc").alias("b_id"))
+                 .agg(F.count("*").alias("inter")))
     sa = sizes.select(F.col("doc").alias("a_id"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc").alias("b_id"), F.col("sz").alias("sz_b"))
     return (inter.join(sa, "a_id").join(sb, "b_id")
@@ -277,11 +318,17 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
                        n_hashes: int = 128, shingle_n: int = 3,
                        seed: int = 7) -> DataFrame:
     """(id, sig: array<bigint>) — one minhash signature per doc."""
+    from sketchlib.spark.dfutil import ensure_min_parallelism
     schema = StructType([
         StructField("doc_id_mh", LongType(), False),
         StructField("sig", ArrayType(LongType()), False),
     ])
-    sel = df.select(F.col(id_col).cast("long").alias("_id"), text_col)
+    # the signature kernel is the query's compute floor; a small local
+    # parquet gives the scan 1-3 splits, so spread it (no-op when the
+    # input already has >= defaultParallelism splits). Signatures are
+    # per-doc, so batch composition cannot change them.
+    sel = ensure_min_parallelism(
+        df.select(F.col(id_col).cast("long").alias("_id"), text_col))
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -332,10 +379,18 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     sigs = signatures.withColumnRenamed("doc_id_mh", "doc")
 
     band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
+    # xxhash64 consumes the sliced array DIRECTLY (HashExpression
+    # recurses into array elements): the former .cast("string")
+    # formatted 4 bigints into a string per (doc, band) — measured as
+    # the dominant cost of the banding stage, run once per join side
+    # (guide §4.1: prefer built-ins, but also don't pay for string
+    # round-trips inside them). Bucket equality semantics are
+    # unchanged: equal slices hash equal either way; collisions remain
+    # ~2^-64 noise below the est_jaccard verification filter.
     banded = (sigs.select("doc", "sig", band_idx)
               .select("doc", "band",
                       F.xxhash64(F.slice("sig", F.col("band") * rows_per_band + 1,
-                                         rows_per_band).cast("string"))
+                                         rows_per_band))
                       .alias("bucket")))
     a = banded.alias("a")
     b = banded.alias("b")
@@ -388,11 +443,16 @@ def _simhash_batch(texts: pd.Series, seed: int) -> tuple[np.ndarray, np.ndarray]
 
 def simhash(df: DataFrame, id_col: str, text_col: str, seed: int = 11) -> DataFrame:
     """(id, simhash: bigint) — order-independent 64-bit near-dup signature."""
+    from sketchlib.spark.dfutil import ensure_min_parallelism
     schema = StructType([
         StructField("doc", LongType(), False),
         StructField("simhash", LongType(), False),
     ])
-    sel = df.select(F.col(id_col).cast("long").alias("_id"), text_col)
+    # spread the kernel across cores when the scan has few splits
+    # (no-op at cluster split counts); simhash is per-doc, so batch
+    # composition cannot change it
+    sel = ensure_min_parallelism(
+        df.select(F.col(id_col).cast("long").alias("_id"), text_col))
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -423,27 +483,75 @@ def simhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
     """
     sh = signatures if signatures is not None else _materialize(
         simhash(df, id_col, text_col, seed))
-    chunks = sh.select(
-        "doc", "simhash",
-        F.explode(F.array(*[
-            F.struct(F.lit(i).alias("chunk"),
-                     F.shiftright("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF))
-                     .alias("val"))
-            for i in range(4)])).alias("c")
-    ).select("doc", "simhash", F.col("c.chunk").alias("chunk"),
-             F.col("c.val").alias("val"))
+    if max_hamming <= 3:
+        # Multi-index over 8x8-bit chunks: hamming <= h damages at most
+        # h chunks, so the pair agrees exactly on some (8-h)-subset —
+        # index every C(8, 8-h) subset as ONE packed <=46-bit key
+        # (subset id + the 5 chunk bytes). Same exact guarantee as the
+        # old 4x16 pigeonhole, but the join keys are ~40-bit instead of
+        # 16-bit: the old scheme's hot 16-bit buckets (3460 docs in one
+        # bucket at sf1.0) fanned out f^2/2 = 21.5M matched rows per
+        # query; 40-bit buckets only collide for genuinely near-equal
+        # signatures, so the join output is ~the true pair set
+        # (guide §2.5 hot keys / §1.2 fix the distributed algorithm
+        # first). Output rows are identical: both schemes are
+        # candidates ⊇ {hamming <= h} followed by the same exact filter.
+        from itertools import combinations
+        byte = [F.shiftright("simhash", 8 * i).bitwiseAND(F.lit(0xFF))
+                for i in range(8)]
+        keys = []
+        for ci, combo in enumerate(combinations(range(8), 8 - max_hamming)):
+            k = F.lit(ci).cast("long")
+            for j in combo:
+                k = k * F.lit(256) + byte[j]
+            keys.append(k)
+        # shuffle_hash: the subset-index side is ~56x the doc count —
+        # an auto-picked broadcast join would collect + hash-build
+        # those millions of rows on the driver (measured 6s at sf1.0);
+        # a shuffled hash join keeps both sides distributed AND the
+        # identical self-join subtrees share one Exchange
+        # (ReusedExchange), so the key explode is computed once.
+        chunks = sh.select("doc", "simhash",
+                           F.explode(F.array(*keys)).alias("val")) \
+            .hint("shuffle_hash")
+        join_keys = [(F.col("a.val") == F.col("b.val"))]
+    else:
+        # >3 bit budget: the 4x16 banding below only guarantees recall
+        # for hamming <= 3 (as before); kept for parameter
+        # compatibility.
+        chunks = sh.select(
+            "doc", "simhash",
+            F.explode(F.array(*[
+                F.struct(F.lit(i).alias("chunk"),
+                         F.shiftright("simhash", 16 * i)
+                         .bitwiseAND(F.lit(0xFFFF)).alias("val"))
+                for i in range(4)])).alias("c")
+        ).select("doc", "simhash", F.col("c.chunk").alias("chunk"),
+                 F.col("c.val").alias("val"))
+        join_keys = [(F.col("a.chunk") == F.col("b.chunk")),
+                     (F.col("a.val") == F.col("b.val"))]
     a = chunks.alias("a")
     b = chunks.alias("b")
-    cand = (a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
-                   & (F.col("a.val") == F.col("b.val"))
-                   & (F.col("a.doc") < F.col("b.doc")))
+    # the hamming predicate lives IN the join so it runs codegen-side on
+    # each matched row BEFORE the distinct: a hot 16-bit chunk value
+    # shared by f docs fans out f^2/2 matches (21.5M rows at sf1.0,
+    # top bucket 3460 docs), and shuffling those through the distinct
+    # Exchange dominated the query (guide §2.3 "aggregate before you
+    # shuffle" / §2.5 hot keys). Post-filter survivors are just the
+    # near-dup pairs (~1e4), so the distinct is now a no-op-sized
+    # shuffle. Result rows are identical: hamming is a pure function of
+    # the pair, so filtering before vs after dedup commutes.
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    cond = join_keys[0]
+    for jk in join_keys[1:]:
+        cond = cond & jk
+    cand = (a.join(b, cond
+                   & (F.col("a.doc") < F.col("b.doc"))
+                   & (hamming <= max_hamming))
             .select(F.col("a.doc").alias("a_id"), F.col("b.doc").alias("b_id"),
-                    F.col("a.simhash").alias("sh_a"), F.col("b.simhash").alias("sh_b"))
+                    hamming.alias("hamming"))
             .distinct())
-    return (cand.withColumn("hamming", F.bit_count(
-                F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
-            .filter(F.col("hamming") <= max_hamming)
-            .select("a_id", "b_id", "hamming"))
+    return cand.select("a_id", "b_id", "hamming")
 
 
 # ---------------------------------------------------------------------------
@@ -714,14 +822,27 @@ def decontaminate(docs: DataFrame, id_col: str, text_col: str,
     bitwise-identical to the exact path (test-enforced).
     """
     def shingles(df, id_cols, text):
+        # shingles reduce to 64-bit xxhash64 identities doc-locally:
+        # the broadcast hash table and every probe then carry 8-byte
+        # longs instead of ~30-byte strings (guide §2.3). Counts are
+        # unchanged up to 64-bit collisions between a doc shingle and
+        # a DIFFERENT benchmark shingle (~|dsh|x|bsh|/2^64 — noise),
+        # identical on both sides since the same transform runs on both.
         toks = F.filter(F.split(F.col(text), " "), lambda t: t != "")
         return (df.withColumn("_t", toks)
                 .filter(F.size("_t") >= n)
                 .select(*id_cols,
-                        F.explode(F.array_distinct(
-                            _shingle_expr(F.col("_t"), n))).alias("sh")))
+                        F.explode(F.transform(
+                            F.array_distinct(_shingle_expr(F.col("_t"), n)),
+                            lambda s: F.xxhash64(s))).alias("sh")))
 
-    dsh = shingles(docs, [F.col(id_col).alias("_id")], text_col)
+    from sketchlib.spark.dfutil import ensure_min_parallelism
+    # the doc-side tokenize+shingle+hash chain is the scan-bound bulk
+    # of the query; spread it when the local scan has few splits
+    # (no-op at cluster split counts)
+    dsh = shingles(ensure_min_parallelism(
+        docs.select(F.col(id_col), F.col(text_col))),
+        [F.col(id_col).alias("_id")], text_col)
     bsh = shingles(benchmark, [], bench_text_col).distinct()
     if use_bloom:
         from sketchlib.spark.joinprune import build_key_bloom, bloom_prune
