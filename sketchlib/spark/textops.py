@@ -189,7 +189,10 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     # and emitted false-positive pairs — the cap must only LOWER the
     # measured intersection (recall-only)
     sizes = base.select("doc", F.size("hs").alias("sz"))
-    sh = base.select("doc", F.explode("hs").alias("shingle"))
+    # sz rides along each exploded row (8 bytes through the cap
+    # exchange) so the pair kernel below needs no sizes join at all
+    sh = base.select("doc", F.size("hs").alias("sz"),
+                     F.explode("hs").alias("shingle"))
     shj = sh
     if max_shingle_freq is not None:
         # skew cap as a WINDOW over one shingle-partitioned exchange:
@@ -202,8 +205,18 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                .filter(F.col("_f") <= max_shingle_freq).drop("_f"))
     a = shj.alias("a")
     b = shj.hint("merge").alias("b")
+    # exact length filter (AllPairs/PPJoin): J(A,B) <= min/max of the
+    # set sizes, so min >= t*max is necessary for J >= t — evaluated
+    # inside the join, it drops co-occurrence rows before they hit the
+    # pair exchange. The 1e-9 slack covers the one-ulp case where
+    # t*max rounds up past an exactly-boundary min (kept rows are
+    # re-checked exactly by the final jaccard filter, so slack can
+    # only add rows to the intermediate, never change the result).
     joined = a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-                    & (F.col("a.doc") < F.col("b.doc")))
+                    & (F.col("a.doc") < F.col("b.doc"))
+                    & (F.least(F.col("a.sz"), F.col("b.sz"))
+                       >= F.greatest(F.col("a.sz"), F.col("b.sz"))
+                       * F.lit(float(threshold)) - F.lit(1e-9)))
     # Pair counting is the dominant stage on boilerplate-heavy corpora:
     # sum_sh f(f-1)/2 co-occurrence rows feed a groupBy whose group
     # count is nearly the row count (114M distinct pairs from 127M
@@ -218,18 +231,66 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     packable = (bounds["lo"] is not None and bounds["lo"] >= 0
                 and bounds["hi"] < (1 << 31))
     if packable:
-        inter = (joined
-                 .select((F.col("a.doc") * F.lit(1 << 32)
-                          + F.col("b.doc")).alias("_p"))
-                 .groupBy("_p").agg(F.count("*").alias("inter"))
-                 .select(F.shiftright("_p", 32).alias("a_id"),
-                         (F.col("_p") % F.lit(1 << 32)).alias("b_id"),
-                         "inter"))
-    else:
-        inter = (joined
-                 .groupBy(F.col("a.doc").alias("a_id"),
-                          F.col("b.doc").alias("b_id"))
-                 .agg(F.count("*").alias("inter")))
+        # Pair counting + size lookup + threshold in ONE vectorized
+        # kernel over the pair-hash-partitioned co-occurrence stream:
+        # hash-partitioning on the packed pair makes the per-partition
+        # np.unique(return_counts) a GLOBAL count; the two set sizes
+        # ride along each row as a second packed long (no sizes join,
+        # no driver collect), and only threshold survivors leave
+        # Python. This replaces a JVM hash aggregate whose group count
+        # ~= its row count (114M groups from 127M rows at sf1.0 —
+        # partial aggregation bought nothing, measured ~12s of the
+        # query) with a C-speed sort+count (guide §4.2). Numerics are
+        # bitwise-safe: inter/sa/sb are exact ints, numpy's
+        # int64/int64 true-divide is the same IEEE754 double division
+        # the JVM would do, the >= threshold compare uses the
+        # unrounded value, and the 4-decimal HALF_UP rounding stays in
+        # the JVM (numpy's banker rounding WOULD diverge on dyadic
+        # ratios like 5/32).
+        thr = float(threshold)
+        pair_schema = StructType([
+            StructField("a_id", LongType(), False),
+            StructField("b_id", LongType(), False),
+            StructField("_inter", LongType(), False),
+            StructField("_denom", LongType(), False),
+        ])
+
+        def count_pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            ps, ss = [], []
+            for pdf in batches:
+                if len(pdf):
+                    ps.append(pdf["_p"].to_numpy())
+                    ss.append(pdf["_s"].to_numpy())
+            if not ps:
+                return
+            u, idx, c = np.unique(np.concatenate(ps), return_index=True,
+                                  return_counts=True)
+            s = np.concatenate(ss)[idx]
+            sa = s >> np.int64(32)
+            sb = s & np.int64(0xFFFFFFFF)
+            denom = sa + sb - c
+            keep = (c / denom) >= thr
+            if not keep.any():
+                return
+            yield pd.DataFrame({
+                "a_id": (u >> np.int64(32))[keep],
+                "b_id": (u & np.int64(0xFFFFFFFF))[keep],
+                "_inter": c[keep], "_denom": denom[keep]})
+
+        return (joined
+                .select((F.col("a.doc") * F.lit(1 << 32)
+                         + F.col("b.doc")).alias("_p"),
+                        (F.col("a.sz") * F.lit(1 << 32)
+                         + F.col("b.sz")).alias("_s"))
+                .repartition("_p")
+                .mapInPandas(count_pairs, pair_schema)
+                .select("a_id", "b_id",
+                        F.round(F.col("_inter").cast("double")
+                                / F.col("_denom"), 4).alias("jaccard")))
+    inter = (joined
+             .groupBy(F.col("a.doc").alias("a_id"),
+                      F.col("b.doc").alias("b_id"))
+             .agg(F.count("*").alias("inter")))
     sa = sizes.select(F.col("doc").alias("a_id"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc").alias("b_id"), F.col("sz").alias("sz_b"))
     return (inter.join(sa, "a_id").join(sb, "b_id")
