@@ -119,3 +119,39 @@ def pages_path(scale: str = "tiny", base_dir: str | None = None,
     with open(manifest, "w") as f:
         json.dump({"n_rows": n_rows, "seed": seed, "generator": "sketchlib.io.fixtures"}, f)
     return path
+
+
+def media_path(n: int = 120, seed: int = 5,
+               base_dir: str | None = None) -> str:
+    """Generate (once, cached on disk) the deterministic media fixture
+    as parquet and return its path — same caching contract as
+    ``pages_path``. ``q_media_features`` reads this instead of
+    re-encoding the WAV/PNG/JPEG/MP4 payloads inside the query, so its
+    bench time measures the probe/extract operators, not fixture
+    encoding (the media table is INPUT data, generated deterministically
+    from (n, seed) exactly as ``make_fake_media`` does)."""
+    base = base_dir or os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), ".fixtures")
+    os.makedirs(base, exist_ok=True)
+    path = os.path.join(base, f"media_{n}_s{seed}.parquet")
+    manifest = path + ".json"
+    if os.path.exists(path) and os.path.exists(manifest):
+        return path
+    from sketchlib.spark.multimodal import fake_media_rows
+    rows = fake_media_rows(n, seed)
+    cols = list(zip(*rows))
+    table = pa.table({
+        "media_id": pa.array(cols[0], pa.int64()),
+        "kind": pa.array(cols[1], pa.string()),
+        "payload": pa.array(cols[2], pa.binary()),
+        "mime": pa.array(cols[3], pa.string()),
+        "width": pa.array(cols[4], pa.int64()),
+        "height": pa.array(cols[5], pa.int64()),
+        "duration_ms": pa.array(cols[6], pa.int64()),
+    })
+    # small row groups so the local scan splits across cores
+    pq.write_table(table, path, row_group_size=16)
+    with open(manifest, "w") as f:
+        json.dump({"n": n, "seed": seed,
+                   "generator": "sketchlib.spark.multimodal.fake_media_rows"}, f)
+    return path

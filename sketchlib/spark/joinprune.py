@@ -142,24 +142,39 @@ def bloom_prune(fact: DataFrame, fact_key: str, bf: BloomFilter) -> DataFrame:
     No false negatives (every true match survives); false positives
     pass through at the filter's designed rate. Null keys are dropped —
     a null never equi-joins. One broadcast + one Arrow-batched pass.
-    """
-    blob = fact.sparkSession.sparkContext.broadcast(bf.to_bytes())
-    tagged = _as_key(fact, fact_key, _KEY)
-    schema = tagged.schema
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    Implemented as a vectorized boolean pandas UDF over the KEY COLUMN
+    ONLY (iterator form: the filter deserializes once per task): the
+    round-5 version was a mapInPandas over the whole row, which shipped
+    every payload column JVM->Python->JVM just to drop rows — ~3x the
+    bytes across the Arrow boundary for a probe that needs 8 bytes per
+    row (guide §4.1: pass only the columns the function needs). Key
+    canonicalization is unchanged: ints hash as their decimal-string
+    bytes (hashing.to_large_binary == Spark's CAST AS STRING), so the
+    same rows survive.
+    """
+    import pyspark.sql.functions as F
+    blob = fact.sparkSession.sparkContext.broadcast(bf.to_bytes())
+
+    @F.pandas_udf("boolean")
+    def might_contain(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         f = BloomFilter.from_bytes(blob.value)
-        for b in batches:
-            if not len(b):
-                continue
-            notna = b[_KEY].notna().to_numpy()
-            keys = b[_KEY].to_numpy()
+        for s in it:
+            notna = s.notna().to_numpy()
             mask = notna.copy()
             if notna.any():
-                mask[notna] = f.contains_batch(keys[notna])
-            yield b[mask]
+                mask[notna] = f.contains_batch(s.to_numpy()[notna])
+            yield pd.Series(mask)
 
-    return tagged.mapInPandas(fn, schema=schema).drop(_KEY)
+    # ints and strings hash to the same bytes raw as via CAST AS STRING
+    # (to_large_binary canonicalizes ints to decimal strings); every
+    # other type keeps the explicit JVM cast so date/decimal keys
+    # canonicalize exactly as the build side did
+    dt = dict(fact.dtypes)[fact_key]
+    key_col = F.col(fact_key)
+    if dt not in ("string", "tinyint", "smallint", "int", "bigint"):
+        key_col = key_col.cast("string")
+    return fact.filter(might_contain(key_col))
 
 
 def bloom_semijoin(fact: DataFrame, fact_key: str,

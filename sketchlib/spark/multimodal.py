@@ -1322,8 +1322,10 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
                              F.lit(int(every_ms)))).alias("sample_ms"))
 
 
-def make_fake_media(spark, n: int = 300, seed: int = 5):
-    """Deterministic fake media table matching MEDIA_SCHEMA (tests).
+def fake_media_rows(n: int = 300, seed: int = 5) -> list:
+    """Deterministic fake media rows matching MEDIA_SCHEMA — the
+    generator behind ``make_fake_media`` and the parquet fixture
+    (``io.fixtures.media_path``); pure Python, no Spark session.
 
     Audio rows carry REAL (tiny) PCM WAV payloads and image rows REAL
     PPM, PNG, or JPEG payloads (cycling; PNG filter types cycle 0..4,
@@ -1393,4 +1395,9 @@ def make_fake_media(spark, n: int = 300, seed: int = 5):
             ("image/png", "image/x-portable-pixmap",
              "image/jpeg")[i % 3]
         rows.append((i, k, payload, mime, wi, hi, dur))
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return rows
+
+
+def make_fake_media(spark, n: int = 300, seed: int = 5):
+    """Deterministic fake media table (see ``fake_media_rows``)."""
+    return spark.createDataFrame(fake_media_rows(n, seed), MEDIA_SCHEMA)

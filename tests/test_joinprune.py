@@ -52,14 +52,16 @@ def test_null_keys_never_pass(spark):
 
 
 def test_prune_plan_has_no_exchange(spark, fact_dim):
-    """The prune is a map-side mapInPandas straight over the source —
-    no shuffle anywhere in its plan."""
+    """The prune is a map-side vectorized-UDF filter straight over the
+    source — no shuffle anywhere in its plan, and ONLY the key column
+    crosses the Python boundary (the r5 mapInPandas shipped every
+    payload column both ways just to drop rows)."""
     _, dim = fact_dim
     fact = spark.range(1000).select(F.col("id").alias("f_key"))
     bf = build_key_bloom(dim, "d_key", p=0.01)
     plan = bloom_prune(fact, "f_key", bf)._jdf.queryExecution() \
         .executedPlan().toString()
-    assert "MapInPandas" in plan and "Exchange" not in plan, plan
+    assert "ArrowEvalPython" in plan and "Exchange" not in plan, plan
 
 
 def test_build_collects_one_blob_at_1000_partitions(spark):
