@@ -64,7 +64,11 @@ def write_warc_gz(records: list[dict], gzip_per_record: bool = True) -> bytes:
             + f"{i:012d}".encode() + b">\r\n"
             b"WARC-Date: " + rec["date"].encode() + _CRLF +
             b"WARC-Target-URI: " + rec["url"].encode() + _CRLF +
-            b"Content-Type: application/http; msgtype=response\r\n"
+            # content type must match the record type (ADVICE r5: a
+            # request/warcinfo record is not an http response payload)
+            (b"Content-Type: application/http; msgtype=" + rtype.encode()
+             if rtype in ("response", "request")
+             else b"Content-Type: application/warc-fields") + _CRLF +
             b"Content-Length: " + str(len(http)).encode() + _CRLF +
             _CRLF)
         record = head + http + _CRLF + _CRLF

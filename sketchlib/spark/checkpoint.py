@@ -108,7 +108,15 @@ def spec_fingerprint(df: DataFrame, group_cols: list[str],
                    # Params serialize via json.dumps(sort_keys) — repr
                    # of a dict depends on insertion order, so two
                    # logically identical param dicts built in different
-                   # orders would spuriously refuse a legitimate resume
+                   # orders would spuriously refuse a legitimate resume.
+                   # NOTE (ADVICE r5): this serialization change is a
+                   # ONE-TIME invalidation of checkpoints written by
+                   # pre-round-5 builds with per-group params — they
+                   # refuse resume ("built from different specs/input")
+                   # and rebuild at a fresh path. Deliberate: accepting
+                   # the legacy repr form as an alternate match would
+                   # keep the order-dependent false-refusal bug alive
+                   # for every legacy store
                    "per_group": (sorted(
                        (repr(g), json.dumps(p, sort_keys=True, default=repr))
                        for g, p in s.per_group_params.items())

@@ -251,12 +251,22 @@ def _scan_text_ops(content: bytes) -> str:
 
 
 def _is_encrypted(payload: bytes) -> bool:
-    """/Encrypt is meaningful only inside a trailer dictionary (or an
-    xref-stream dict) — a page whose TEXT mentions '/Encrypt' must not
-    quarantine the document, so scan the regions after each 'trailer'
-    keyword rather than the whole payload."""
+    """/Encrypt is meaningful only inside a trailer dictionary or an
+    xref-stream dict (PDF 1.5+ files may have NO 'trailer' keyword) —
+    a page whose TEXT mentions '/Encrypt' must not quarantine the
+    document, so scan only the regions after each 'trailer' keyword
+    and after each '/Type /XRef' cross-reference-stream dict marker
+    (ADVICE r5: trailer-only coverage missed xref-stream-encrypted
+    files, which then emitted garbled latin-1 instead of
+    quarantining)."""
     for m in re.finditer(rb"trailer", payload):
         if b"/Encrypt" in payload[m.end():m.end() + 512]:
+            return True
+    for m in re.finditer(rb"/Type\s*/XRef\b", payload):
+        # scan the enclosing dict region around the marker: /Encrypt
+        # may precede or follow /Type within the same dictionary
+        lo = max(0, m.start() - 512)
+        if b"/Encrypt" in payload[lo:m.end() + 512]:
             return True
     return False
 

@@ -301,64 +301,42 @@ def _embedding_dim(emb):
 def q_ann_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-5 neighbors for query vectors vec_id < 10.
 
-    Scores come from ONE Arrow-batched numpy kernel over the corpus
-    side (queries broadcast — bounded by the query predicate). The
-    round-5 plan did the dot products with zip_with + aggregate, which
-    evaluate INTERPRETED per element (~n_vecs x n_queries x dim lambda
-    evals — the whole query's cost); the kernel replays the exact same
-    left-fold order per element (acc += x_j * y_j ascending j, float64,
-    0.0 seed), so every score double is bit-identical to the JVM
-    expression and the JVM-side ranking + rounding are unchanged
-    (guide §4.2). Output dtypes mirror the input vec_id type.
+    JVM-side vector math: zip_with + aggregate (no Python). At scale
+    the query side is broadcast; the scan side streams.
+
+    KEPT JVM-side deliberately (r6): a numpy scorer kernel was ~1.2s
+    faster in a fresh session, but any sizable variable-length column
+    crossing the Python boundary measurably degrades EVERY later
+    JVM->Python Arrow transfer in the session (measured 7s -> 28s on a
+    100M-row long-column stage after one 20k-row embedding batch; see
+    OPTIMIZATION_r06.md "Arrow-transfer degradation"), and this query
+    runs early in the bench suite — the kernel's local win cost the
+    17 downstream queries far more than it saved.
     """
-    from collections.abc import Iterator
-    import numpy as np
     emb = load(spark, sf_dir, "embeddings")
-    id_type = [f.dataType.simpleString() for f in emb.schema.fields
-               if f.name == "vec_id"][0]
-    q_rows = (emb.filter(F.col("vec_id") < 10)
-              .select("vec_id", "embedding").collect())  # bounded: query set
-    if not q_rows:
-        return spark.createDataFrame(
-            [], f"q_id {id_type}, nbr_id {id_type}, rnk int, score double")
-    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
-    qmat = np.stack([np.asarray(r["embedding"], dtype=np.float64)
-                     for r in q_rows])           # float32 -> float64 exact
-    dim = qmat.shape[1]
-    qn = np.zeros(len(q_ids))
-    for j in range(dim):                          # JVM fold order
-        qn += qmat[:, j] * qmat[:, j]
-    qn = np.sqrt(qn)
-    bq = spark.sparkContext.broadcast((q_ids, qmat, qn))
-
-    def score_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ids, qm, qnorm = bq.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            n = len(pdf)
-            nn = np.zeros(n)
-            dot = np.zeros((n, len(ids)))
-            for j in range(mat.shape[1]):         # same left-fold order
-                cj = mat[:, j]
-                nn += cj * cj
-                dot += cj[:, None] * qm[None, :, j]
-            score = dot / (qnorm[None, :] * np.sqrt(nn)[:, None])
-            nbr = pdf["vec_id"].to_numpy()
-            keep = nbr[:, None] != ids[None, :]
-            r, c = np.nonzero(keep)
-            yield pd.DataFrame({"q_id": ids[c], "nbr_id": nbr[r],
-                                "score": score[r, c]})
-
-    from sketchlib.spark.dfutil import ensure_min_parallelism
-    scored = ensure_min_parallelism(emb.select("vec_id", "embedding")) \
-        .mapInPandas(score_fn, "q_id long, nbr_id long, score double")
+    withnorm = emb.select(
+        "vec_id", "embedding",
+        F.sqrt(F.aggregate(F.transform("embedding",
+                                       lambda x: x.cast("double") * x.cast("double")),
+                           F.lit(0.0), lambda a, v: a + v)).alias("norm"))
+    q = (withnorm.filter(F.col("vec_id") < 10)
+         .select(F.col("vec_id").alias("q_id"),
+                 F.col("embedding").alias("q_emb"),
+                 F.col("norm").alias("q_norm")))
+    n = (withnorm.select(F.col("vec_id").alias("nbr_id"),
+                         F.col("embedding").alias("n_emb"),
+                         F.col("norm").alias("n_norm")))
+    dot = F.aggregate(
+        F.zip_with("q_emb", "n_emb",
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda a, v: a + v)
+    pairs = (n.crossJoin(F.broadcast(q))
+             .filter(F.col("q_id") != F.col("nbr_id"))
+             .withColumn("score", dot / (F.col("q_norm") * F.col("n_norm"))))
     w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("nbr_id"))
-    return (scored.withColumn("rnk", F.row_number().over(w))
+    return (pairs.withColumn("rnk", F.row_number().over(w))
             .filter(F.col("rnk") <= 5)
-            .select(F.col("q_id").cast(id_type), F.col("nbr_id").cast(id_type),
-                    "rnk", F.round("score", 3).alias("score")))
+            .select("q_id", "nbr_id", "rnk", F.round("score", 3).alias("score")))
 
 
 def q_pricing_summary(spark, sf_dir):

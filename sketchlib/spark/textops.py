@@ -231,62 +231,39 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     packable = (bounds["lo"] is not None and bounds["lo"] >= 0
                 and bounds["hi"] < (1 << 31))
     if packable:
-        # Pair counting + size lookup + threshold in ONE vectorized
-        # kernel over the pair-hash-partitioned co-occurrence stream:
-        # hash-partitioning on the packed pair makes the per-partition
-        # np.unique(return_counts) a GLOBAL count; the two set sizes
-        # ride along each row as a second packed long (no sizes join,
-        # no driver collect), and only threshold survivors leave
-        # Python. This replaces a JVM hash aggregate whose group count
-        # ~= its row count (114M groups from 127M rows at sf1.0 —
-        # partial aggregation bought nothing, measured ~12s of the
-        # query) with a C-speed sort+count (guide §4.2). Numerics are
-        # bitwise-safe: inter/sa/sb are exact ints, numpy's
-        # int64/int64 true-divide is the same IEEE754 double division
-        # the JVM would do, the >= threshold compare uses the
-        # unrounded value, and the 4-decimal HALF_UP rounding stays in
-        # the JVM (numpy's banker rounding WOULD diverge on dyadic
-        # ratios like 5/32).
-        thr = float(threshold)
-        pair_schema = StructType([
-            StructField("a_id", LongType(), False),
-            StructField("b_id", LongType(), False),
-            StructField("_inter", LongType(), False),
-            StructField("_denom", LongType(), False),
-        ])
-
-        def count_pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            ps, ss = [], []
-            for pdf in batches:
-                if len(pdf):
-                    ps.append(pdf["_p"].to_numpy())
-                    ss.append(pdf["_s"].to_numpy())
-            if not ps:
-                return
-            u, idx, c = np.unique(np.concatenate(ps), return_index=True,
-                                  return_counts=True)
-            s = np.concatenate(ss)[idx]
-            sa = s >> np.int64(32)
-            sb = s & np.int64(0xFFFFFFFF)
-            denom = sa + sb - c
-            keep = (c / denom) >= thr
-            if not keep.any():
-                return
-            yield pd.DataFrame({
-                "a_id": (u >> np.int64(32))[keep],
-                "b_id": (u & np.int64(0xFFFFFFFF))[keep],
-                "_inter": c[keep], "_denom": denom[keep]})
-
-        return (joined
-                .select((F.col("a.doc") * F.lit(1 << 32)
-                         + F.col("b.doc")).alias("_p"),
-                        (F.col("a.sz") * F.lit(1 << 32)
-                         + F.col("b.sz")).alias("_s"))
-                .repartition("_p")
-                .mapInPandas(count_pairs, pair_schema)
+        # Pair counting over ONE packed long (a_id<<32 | b_id), with
+        # the two set sizes riding as a second packed long so no sizes
+        # join touches the huge intermediate: the pair aggregate's
+        # group count ~= its row count on boilerplate-heavy corpora
+        # (114M groups from 127M co-occurrence rows at sf1.0 — partial
+        # aggregation buys ~nothing), and one 8-byte group key measured
+        # ~1.6x faster than the two-column groupBy. min(_s) is
+        # constant per pair (sizes are a function of the pair), so the
+        # aggregate is exact. KEPT ALL-JVM deliberately: a numpy
+        # sort+count kernel was ~25% faster in a fresh session but the
+        # 100M-row Arrow hand-off runs 3-4x slower once any earlier
+        # query has pushed variable-length batches through the Python
+        # boundary (see OPTIMIZATION_r06.md "Arrow-transfer
+        # degradation"), which made it a net loss in the real suite.
+        inter = (joined
+                 .select((F.col("a.doc") * F.lit(1 << 32)
+                          + F.col("b.doc")).alias("_p"),
+                         (F.col("a.sz") * F.lit(1 << 32)
+                          + F.col("b.sz")).alias("_s"))
+                 .groupBy("_p").agg(F.count("*").alias("inter"),
+                                    F.min("_s").alias("_s"))
+                 .select(F.shiftright("_p", 32).alias("a_id"),
+                         (F.col("_p") % F.lit(1 << 32)).alias("b_id"),
+                         "inter",
+                         F.shiftright("_s", 32).alias("sz_a"),
+                         (F.col("_s") % F.lit(1 << 32)).alias("sz_b")))
+        return (inter
+                .withColumn("jaccard", F.col("inter")
+                            / (F.col("sz_a") + F.col("sz_b")
+                               - F.col("inter")))
+                .filter(F.col("jaccard") >= threshold)
                 .select("a_id", "b_id",
-                        F.round(F.col("_inter").cast("double")
-                                / F.col("_denom"), 4).alias("jaccard")))
+                        F.round("jaccard", 4).alias("jaccard")))
     inter = (joined
              .groupBy(F.col("a.doc").alias("a_id"),
                       F.col("b.doc").alias("b_id"))
@@ -933,9 +910,15 @@ def content_fingerprint(df: DataFrame, id_col: str, text_col: str,
     (whole-stage codegen, no python stage) and engine-portable, so the
     result is DuckDB-oracle-checkable; 64 bits of digest either way.
     """
+    # explicit whitespace class, NOT \s: Java's \s includes \x0B
+    # (vertical tab) while the DuckDB oracle's RE2 \s does not, so a
+    # \x0B-bearing text would normalize differently in the two engines
+    # and fail the hash check (ADVICE r5). [ \t\n\f\r] is exactly
+    # RE2's \s, so both engines collapse the same characters.
+    _WS = r"[ \t\n\f\r]+"
     if method == "md5":
         norm = F.lower(F.trim(F.regexp_replace(F.col(text_col),
-                                               r"\s+", " ")))
+                                               _WS, " ")))
         return (df.filter(F.col(text_col).isNotNull())
                 .select(F.col(id_col).cast("long").alias("doc"),
                         F.substring(F.md5(norm), 1, 16).alias("fingerprint")))
@@ -948,7 +931,7 @@ def content_fingerprint(df: DataFrame, id_col: str, text_col: str,
     sel = (df.filter(F.col(text_col).isNotNull())
            .select(F.col(id_col).cast("long").alias("_id"),
                    F.lower(F.trim(F.regexp_replace(F.col(text_col),
-                                                   r"\s+", " "))).alias("_t")))
+                                                   _WS, " "))).alias("_t")))
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1070,6 +1053,12 @@ def dup_span_flags(df: DataFrame, id_col: str, text_col: str,
 
     64-bit hashing: at N shipped hashes expect ~N^2/2^65 false
     collisions — a handful per 10^9 — acceptable for a keep/trim gate.
+
+    SHORT DOCS PRODUCE NO ROW (ADVICE r5): a doc with fewer than
+    span_tokens + winnow - 1 tokens has no span to evaluate and is
+    absent from the output entirely (not dup_frac=0). Consumers gating
+    a corpus must LEFT-join this table and coalesce dup_frac to 0 —
+    an inner join would silently drop every short doc.
     """
     if span_tokens < 1 or winnow < 1:
         raise ValueError("span_tokens and winnow must be >= 1")
