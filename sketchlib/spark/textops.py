@@ -425,11 +425,17 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     # round-trips inside them). Bucket equality semantics are
     # unchanged: equal slices hash equal either way; collisions remain
     # ~2^-64 noise below the est_jaccard verification filter.
+    # shuffle_hash: the statless (ExistingRDD-rooted) banded side made
+    # the planner BROADCAST all #docs x bands rows — a driver collect
+    # + hash build of the whole index per run; the shuffled hash join
+    # keeps it distributed and the identical self-join subtrees share
+    # one Exchange (ReusedExchange), so banding is computed once.
     banded = (sigs.select("doc", "sig", band_idx)
               .select("doc", "band",
                       F.xxhash64(F.slice("sig", F.col("band") * rows_per_band + 1,
                                          rows_per_band))
-                      .alias("bucket")))
+                      .alias("bucket"))
+              .hint("shuffle_hash"))
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -437,9 +443,14 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                    & (F.col("a.doc") < F.col("b.doc")))
             .select(F.col("a.doc").alias("a_id"), F.col("b.doc").alias("b_id"))
             .distinct())
+    # verification joins broadcast the CANDIDATE side (bounded by the
+    # near-dup pair count), never the signature table — the planner's
+    # choice was to collect + ship the full #docs x n_hashes signature
+    # relation for BOTH joins (tens of MB per run at sf1.0)
     sa = sigs.select(F.col("doc").alias("a_id"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("doc").alias("b_id"), F.col("sig").alias("sig_b"))
-    est = (cand.join(sa, "a_id").join(sb, "b_id")
+    with_a = sa.join(F.broadcast(cand), "a_id")
+    est = (sb.join(F.broadcast(with_a), "b_id")
            .withColumn("est_jaccard", F.expr(
                "aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)),"
                " 0, (acc, v) -> acc + v)") / F.lit(n_hashes)))
