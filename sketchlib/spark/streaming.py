@@ -365,6 +365,40 @@ class SketchTableSink:
                     pass
         return sorted(out)
 
+    def _marker_text(self, v: int) -> str | None:
+        """Raw _COMMIT contents for version ``v`` via the Hadoop
+        FileSystem API directly — None when the marker is absent
+        (never committed); raises on any other IO failure. Reading
+        through ``spark.read.text().collect()`` cost a full Spark job
+        per marker (measured seconds per micro-batch once the session
+        is Arrow-degraded — see OPTIMIZATION_r06.md); the FS read is
+        milliseconds and scheme-agnostic the same way. Accepts both
+        marker shapes: the pre-r6 Spark-written DIRECTORY of text
+        part files and the r6 single FILE."""
+        jvm, fs = self._fs()
+        p = jvm.org.apache.hadoop.fs.Path(f"{self.path}/v={v}/_COMMIT")
+        iou = jvm.org.apache.commons.io.IOUtils
+
+        def read_one(path) -> str:
+            stream = fs.open(path)
+            try:
+                return iou.toString(stream, "UTF-8")
+            finally:
+                stream.close()
+
+        try:
+            st = fs.getFileStatus(p)
+        except Exception as e:
+            if "FileNotFoundException" in str(e):
+                return None  # never committed
+            raise
+        if st.isDirectory():
+            parts = [s.getPath() for s in fs.listStatus(p)
+                     if s.getPath().getName().startswith("part-")]
+            return "".join(read_one(pp) for pp in sorted(
+                parts, key=lambda pp: pp.getName()))
+        return read_one(p)
+
     def latest(self) -> dict | None:
         """Highest version whose _COMMIT marker reads back as valid
         JSON. An ABSENT or CORRUPT marker means the version never
@@ -373,17 +407,12 @@ class SketchTableSink:
         treating a transient IO failure as "uncommitted" would fall
         back to a stale base and silently drop committed batches."""
         import json
-        from sketchlib.spark.checkpoint import _is_path_missing
         for v in reversed(self._versions()):
+            text = self._marker_text(v)
+            if text is None:
+                continue  # never committed
             try:
-                rows = self.spark.read.text(
-                    f"{self.path}/v={v}/_COMMIT").collect()
-            except Exception as e:
-                if _is_path_missing(e):
-                    continue  # never committed
-                raise
-            try:
-                doc = json.loads("".join(r["value"] for r in rows))
+                doc = json.loads(text)
             except ValueError:
                 continue  # crash mid-marker-write: not committed
             if int(doc.get("batch_id", -1)) == v:
@@ -428,10 +457,25 @@ class SketchTableSink:
         doc = json.dumps({"batch_id": int(batch_id), "path": vpath})
         # the version becomes canonical only when its marker reads
         # back as JSON with the matching batch_id — a crash mid-write
-        # leaves an unreadable marker and the version stays invisible;
-        # no previously-committed version is ever touched
-        (self.spark.createDataFrame([(doc,)], "value string")
-         .coalesce(1).write.mode("overwrite").text(vpath + "/_COMMIT"))
+        # leaves a missing/unreadable marker and the version stays
+        # invisible; no previously-committed version is ever touched.
+        # Written directly through the Hadoop FS (write-temp + rename,
+        # atomic on file:// and hdfs://): the former Spark text-write
+        # job cost 7-9s PER MICRO-BATCH in an Arrow-degraded session
+        # for a one-row marker — most of the sink's per-batch wall
+        # time (see OPTIMIZATION_r06.md). A crash mid-create leaves
+        # only _COMMIT.tmp, which readers never look at.
+        jvm, fs = self._fs()
+        tmp = jvm.org.apache.hadoop.fs.Path(vpath + "/_COMMIT.tmp")
+        final = jvm.org.apache.hadoop.fs.Path(vpath + "/_COMMIT")
+        out = fs.create(tmp, True)
+        try:
+            out.write(bytearray(doc.encode("utf-8")))
+        finally:
+            out.close()
+        fs.delete(final, True)  # a stale marker shape must not block rename
+        if not fs.rename(tmp, final):
+            raise IOError(f"could not publish commit marker {final}")
         self._prune(int(batch_id))
 
     def _prune(self, committed: int) -> None:
@@ -442,26 +486,24 @@ class SketchTableSink:
         older than the newest commit are always deleted and the newest
         ``keep_versions`` committed versions are kept."""
         import json
-        from sketchlib.spark.checkpoint import _is_path_missing
         try:
             jvm, fs = self._fs()
             versions = self._versions()
             committed_vs = []
             for v in versions:
                 try:
-                    rows = self.spark.read.text(
-                        f"{self.path}/v={v}/_COMMIT").collect()
-                except Exception as e:
-                    if _is_path_missing(e):
-                        continue  # marker never written -> uncommitted
+                    text = self._marker_text(v)
+                except Exception:
                     # transient IO failure (throttling, network,
                     # permissions): the version's commit status is
                     # UNKNOWN — abort this prune pass entirely rather
                     # than misclassify a committed rollback version as
                     # junk and delete it (same rule latest() applies)
                     return
+                if text is None:
+                    continue  # marker never written -> uncommitted
                 try:
-                    doc = json.loads("".join(r["value"] for r in rows))
+                    doc = json.loads(text)
                 except ValueError:
                     continue  # crash mid-marker-write -> uncommitted
                 if int(doc.get("batch_id", -1)) == v:
