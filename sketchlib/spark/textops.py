@@ -157,6 +157,11 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     is missed only if ALL of its shared shingles are
     boilerplate-frequent, and at Jaccard >= 0.5 such pairs are
     overwhelmingly boilerplate themselves; pass ``None`` to disable.
+
+    ``id_col`` must be unique per row (it is the dedup subject's
+    key): per-doc shingle sets are deduplicated doc-locally, so two
+    input rows sharing an id would keep separate (double-counted)
+    sets rather than merging.
     """
     toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
     # Per-doc distinct shingles computed DOC-LOCALLY (array_distinct on
